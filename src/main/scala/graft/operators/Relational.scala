@@ -1,0 +1,387 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational operator surface (SURVEY.md §2.6 checklist: scans,
+  * projection, filters, joins incl. semi/anti, aggregations, windows,
+  * sorts, limits, set ops, grouping sets, scalar functions).
+  *
+  * Written DataFrame-first so Catalyst handles predicate pushdown,
+  * column pruning and join strategy selection. Dimension tables
+  * (region/nation/supplier — and customer/orders at small SF) are
+  * broadcast explicitly where they stay small at any scale factor.
+  *
+  * Every query is deterministically ordered (unique sort key) so the
+  * driver's hash compare is order-stable, and every floating-point
+  * aggregate is rounded to absorb summation-order differences between
+  * Spark's parallel partial aggregation and DuckDB's serial fold.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  /** TPC-H Q1 shape: scan + filter + hash aggregate + sort. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1999-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        r2(sum($"l_quantity")).as("sum_qty"),
+        r2(sum($"l_extendedprice")).as("sum_base_price"),
+        r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+        r2(avg($"l_quantity")).as("avg_qty"),
+        r2(avg($"l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Projection + filter; both must reach the parquet scan
+    * (PushedFilters / ReadSchema pruned to 3 columns). */
+  def q2FilterPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderstatus" === "F" && $"o_totalprice" > 200000.0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** TPC-H Q3 shape: 3-way join + aggregate + top-N. Customer side is
+    * filtered before the join so at scale the shuffle carries only the
+    * BUILDING segment. */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = t(s, dir, "lineitem")
+      .filter($"l_shipdate" > lit("1998-03-15").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(20)
+  }
+
+  /** TPC-H Q4 shape: EXISTS → left-semi join (no row duplication, no
+    * post-join dedup). */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+    ord.join(li, $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate",
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q5 shape: 6-way join through the dimension chain; all
+    * dimensions broadcast (they are tiny at every SF). */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val region = t(s, dir, "region").filter($"r_name" === "ASIA")
+    val nation = t(s, dir, "nation")
+    val supp = t(s, dir, "supplier")
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** TPC-H Q6 shape: tight filter + single global aggregate — the whole
+    * query collapses to a scan with pushed predicates + partial agg. */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.03 && $"l_discount" <= 0.07 && $"l_quantity" < 24.0)
+      .agg(r2(sum($"l_extendedprice" * $"l_discount")).as("revenue"))
+  }
+
+  /** Window: top-3 orders per customer by price (row_number with a
+    * deterministic tiebreak). */
+  def q7TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", r2($"o_totalprice").as("price"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Global sort + limit (TakeOrderedAndProject — no full sort at scale). */
+  def q8TopOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey", r2($"o_totalprice").as("price"), $"o_orderdate")
+      .orderBy($"price".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** Set operations: INTERSECT / EXCEPT / UNION (all distinct). */
+  def q9SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val active = cust.filter($"c_acctbal" > 0.0).select($"c_custkey".as("key"))
+      .intersect(ord.select($"o_custkey".as("key")))
+    val autoNoF = cust.filter($"c_mktsegment" === "AUTOMOBILE")
+      .select($"c_custkey".as("key"))
+      .except(ord.filter($"o_orderstatus" === "F").select($"o_custkey".as("key")))
+    active.union(autoNoF).distinct().orderBy($"key")
+  }
+
+  /** Distinct aggregates. */
+  def q10DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        countDistinct($"o_custkey").as("n_cust"),
+        countDistinct($"o_orderpriority").as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** NOT EXISTS → left-anti join (customers with no open order). */
+  def q11CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter($"o_orderstatus" === "O")
+          .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Grouping sets (ROLLUP) with explicit NULLS FIRST ordering. */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), r2(sum($"l_quantity")).as("qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Time-bucketed aggregation over the events stream table. */
+  def q13EventsDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"), r2(sum($"value")).as("total"))
+      .orderBy($"day", $"event_type")
+  }
+
+  /** Scalar-function surface: string / math / conditional, with
+    * explicit casts so Spark and DuckDB output types line up. */
+  def q14ScalarFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        upper($"p_brand").as("brand_u"),
+        length($"p_name").cast("long").as("name_len"),
+        substring($"p_type", 1, 5).as("type5"),
+        concat($"p_brand", lit("#"), $"p_type").as("tagged"),
+        r2($"p_retailprice" * 1.1).as("bumped"),
+        ($"p_size" % 7).cast("long").as("size_mod"),
+        when($"p_size" >= 25, lit("LARGE")).otherwise(lit("small")).as("bucket"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Window: lag + running sum per user over the events table — the
+    * frame defines the summation order, so doubles match exactly. */
+  def q15EventsRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .select(
+        $"event_id", $"user_id",
+        r2($"value" - lag($"value", 1).over(w)).as("delta"),
+        r2(sum($"value").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .as("running"),
+        rank().over(w).cast("long").as("rnk"))
+      .orderBy($"event_id")
+  }
+
+  /** Correlated scalar-aggregate shape: orders 1.5× above their
+    * customer's average. The threshold test is done in exact decimal
+    * arithmetic (price·n·2 > sum·3 ⇔ price > 1.5·avg) so the row set
+    * is bit-for-bit reproducible across engines — a float avg would
+    * land exactly on .xx5 half-way points (sum of cents / 2) where
+    * Spark's and DuckDB's rounding disagree. */
+  def q16AboveAverageOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = t(s, dir, "orders")
+      .withColumn("price_d", $"o_totalprice".cast("decimal(18,2)"))
+    val byCust = ord.groupBy($"o_custkey".as("ac_custkey"))
+      .agg(sum($"price_d").as("sum_d"), count(lit(1)).as("n_ord"))
+      .filter($"n_ord" >= 2)
+    ord.join(byCust, $"o_custkey" === $"ac_custkey")
+      .filter($"price_d" * $"n_ord" * 2 > $"sum_d" * 3)
+      .select($"o_orderkey", $"o_custkey", r2($"o_totalprice").as("price"),
+        $"n_ord")
+      .orderBy($"o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_agg" -> (q1Pricing _),
+    "q2_filter_pushdown" -> (q2FilterPushdown _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q4_order_priority_semijoin" -> (q4OrderPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q7_window_topn" -> (q7TopOrdersPerCustomer _),
+    "q8_sort_limit" -> (q8TopOrders _),
+    "q9_set_ops" -> (q9SetOps _),
+    "q10_distinct_agg" -> (q10DistinctAgg _),
+    "q11_anti_join" -> (q11CustomersWithoutOrders _),
+    "q12_rollup" -> (q12Rollup _),
+    "q13_events_daily" -> (q13EventsDaily _),
+    "q14_scalar_funcs" -> (q14ScalarFuncs _),
+    "q15_events_running_window" -> (q15EventsRunning _),
+    "q16_above_avg_orders" -> (q16AboveAverageOrders _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 2) AS avg_qty,
+        | round(avg(l_discount), 2) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_pushdown" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-03-15'
+        | AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+    "q4_order_priority_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-01-01'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |             WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q7_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, price FROM (
+        | SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |  cast(row_number() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q8_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderdate
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q9_set_ops" ->
+      """SELECT key FROM (
+        | (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 0.0
+        |  INTERSECT SELECT o_custkey AS key FROM orders)
+        | UNION
+        | (SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |  EXCEPT SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F')
+        |) ORDER BY key""".stripMargin,
+    "q10_distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        | count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q13_events_daily" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+        | round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q14_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        | cast(length(p_name) AS BIGINT) AS name_len,
+        | substr(p_type, 1, 5) AS type5,
+        | p_brand || '#' || p_type AS tagged,
+        | round(p_retailprice * 1.1, 2) AS bumped,
+        | cast(p_size % 7 AS BIGINT) AS size_mod,
+        | CASE WHEN p_size >= 25 THEN 'LARGE' ELSE 'small' END AS bucket
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q15_events_running_window" ->
+      """SELECT event_id, user_id,
+        | round(value - lag(value, 1) OVER w, 2) AS delta,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+        | cast(rank() OVER w AS BIGINT) AS rnk
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q16_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, n_ord
+        |FROM orders JOIN (
+        |  SELECT o_custkey AS ac_custkey,
+        |   sum(cast(o_totalprice AS DECIMAL(18,2))) AS sum_d,
+        |   count(*) AS n_ord
+        |  FROM orders GROUP BY o_custkey HAVING count(*) >= 2) a
+        | ON o_custkey = ac_custkey
+        |WHERE cast(o_totalprice AS DECIMAL(18,2)) * n_ord * 2 > sum_d * 3
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

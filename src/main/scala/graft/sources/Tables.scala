@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (see /root/repo/TESTDATA.md). All reads go through here so that
+  * column pruning / predicate pushdown are applied uniformly and a
+  * future switch to a catalog (bucketed tables, Delta, …) is one-line.
+  *
+  * Scale notes: at 100 TB these would be partitioned/bucketed tables
+  * (e.g. lineitem bucketed by l_orderkey, orders by o_orderkey) so the
+  * big fact-fact joins below co-locate without a shuffle. Parquet scans
+  * here still exercise the same pushdown surface.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to broadcast at any scale factor. */
+  val broadcastable: Set[String] = Set("region", "nation", "supplier")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
+      // default. Read it as a long (nanos since epoch) and truncate to
+      // the microsecond timestamp DuckDB produces for the same column.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions._
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view (used by tests / SQL surface). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
