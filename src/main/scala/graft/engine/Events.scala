@@ -1,0 +1,250 @@
+package graft.engine
+
+import scala.collection.immutable.VectorMap
+
+/** Event + output wire types (reference: the common/events package,
+  * FIXTURES.md §1.2/§1.3). Timestamps are epoch millis for determinism.
+  */
+object WFEventType {
+  val WF_RUN_STARTED = "WF_RUN_STARTED"
+  val TASK_EVENT = "TASK_EVENT"
+  val EXTERNAL_EVENT = "EXTERNAL_EVENT"
+  val TIMER_EVENT = "TIMER_EVENT"
+  val WF_RUN_STOP_REQUEST = "WF_RUN_STOP_REQUEST"
+  val WF_RUN_RESUME_REQUEST = "WF_RUN_RESUME_REQUEST"
+}
+
+/** Reference: WFEvent.java:16-27. `content` is a JSON-encoded payload
+  * whose schema depends on `eventType`. threadId = -1 means "unspecified"
+  * (reference default 0; external events use -1 to broadcast). */
+case class WFEvent(
+    wfSpecId: String,
+    wfSpecName: String,
+    wfRunId: String,
+    timestamp: Long,
+    threadId: Int,
+    eventType: String,
+    content: String)
+
+/** Reference: WFRunRequest.java:7-11. */
+case class WFRunRequest(
+    variables: VectorMap[String, Any],
+    wfSpecId: String,
+    wfRunId: Option[String])
+
+/** Reference: TaskRunEvent.java:7-16 + started/ended variants. */
+case class TaskRunStartedPayload(workerId: String, stdin: Option[String])
+case class TaskRunResult(
+    stdout: Option[String], stderr: Option[String],
+    success: Boolean, returncode: Int)
+case class TaskRunEndedPayload(result: TaskRunResult)
+case class TaskRunEvent(
+    threadId: Int,
+    taskRunPosition: Int,
+    timestamp: Long,
+    taskDefVersionNumber: Int,
+    startedEvent: Option[TaskRunStartedPayload],
+    endedEvent: Option[TaskRunEndedPayload])
+
+/** Reference: ExternalEventPayload.java:7-12. */
+case class ExternalEventPayload(
+    externalEventDefId: String,
+    externalEventDefName: String,
+    content: Any,
+    timestamp: Long)
+
+/** Reference: WFRunTimer.java:5-11. */
+case class WFRunTimer(
+    wfRunId: String,
+    threadRunId: Int,
+    taskRunId: Int,
+    nodeName: Option[String],
+    maturationTimestamp: Long)
+
+/** Reference: TaskScheduleRequest.java:7-23 — the record sent to the
+  * per-TaskDef task queue topic. */
+case class TaskScheduleRequest(
+    taskDefId: String,
+    taskDefName: String,
+    wfRunId: String,
+    wfSpecId: String,
+    wfSpecName: String,
+    threadId: Int,
+    taskRunPosition: Int,
+    variableSubstitutions: VectorMap[String, Any],
+    kafkaTopic: String)
+
+/** JSON codecs for the event payloads. */
+object EventCodec {
+  import LHJson._
+
+  private def m(v: Any): VectorMap[String, Any] = v match {
+    case mm: VectorMap[_, _] => mm.asInstanceOf[VectorMap[String, Any]]
+    case other => throw new VarSubError(s"Expected JSON object, got $other")
+  }
+  private def str(mm: VectorMap[String, Any], k: String): Option[String] =
+    mm.get(k) match { case Some(s: String) => Some(s); case _ => None }
+  private def int(mm: VectorMap[String, Any], k: String, dflt: Int = 0): Int =
+    mm.get(k) match {
+      case Some(i: Int) => i
+      case Some(l: Long) => l.toInt
+      case Some(d: Double) => d.toInt
+      case _ => dflt
+    }
+  private def long(mm: VectorMap[String, Any], k: String, dflt: Long = 0L): Long =
+    mm.get(k) match {
+      case Some(i: Int) => i.toLong
+      case Some(l: Long) => l
+      case Some(d: Double) => d.toLong
+      case _ => dflt
+    }
+
+  def decodeWFEvent(json: String): WFEvent = {
+    val o = m(parse(json))
+    WFEvent(
+      wfSpecId = str(o, "wfSpecId").getOrElse(""),
+      wfSpecName = str(o, "wfSpecName").getOrElse(""),
+      wfRunId = str(o, "wfRunId").getOrElse(
+        throw new VarSubError("WFEvent missing wfRunId")),
+      timestamp = long(o, "timestamp"),
+      threadId = int(o, "threadId", -1),
+      eventType = str(o, "type").getOrElse(
+        throw new VarSubError("WFEvent missing type")),
+      content = o.get("content") match {
+        case Some(s: String) => s
+        case Some(other) if other != null => render(other)
+        case _ => ""
+      })
+  }
+
+  def encodeWFEvent(e: WFEvent): String =
+    render(VectorMap(
+      "wfSpecId" -> e.wfSpecId, "wfSpecName" -> e.wfSpecName,
+      "wfRunId" -> e.wfRunId, "timestamp" -> e.timestamp,
+      "threadId" -> e.threadId, "type" -> e.eventType,
+      "content" -> e.content))
+
+  def decodeRunRequest(json: String): WFRunRequest = {
+    val o = m(stringToObj(json) match {
+      case s: String => VectorMap.empty[String, Any]
+      case other => other
+    })
+    WFRunRequest(
+      variables = o.get("variables") match {
+        case Some(v: VectorMap[_, _]) => v.asInstanceOf[VectorMap[String, Any]]
+        case _ => VectorMap.empty
+      },
+      wfSpecId = str(o, "wfSpecId").getOrElse(""),
+      wfRunId = str(o, "wfRunId"))
+  }
+
+  def encodeRunRequest(r: WFRunRequest): String =
+    render(VectorMap(
+      "variables" -> r.variables,
+      "wfSpecId" -> r.wfSpecId,
+      "wfRunId" -> r.wfRunId.orNull))
+
+  def decodeTaskRunEvent(json: String): TaskRunEvent = {
+    val o = m(parse(json))
+    TaskRunEvent(
+      threadId = int(o, "threadId"),
+      taskRunPosition = int(o, "taskRunPosition"),
+      timestamp = long(o, "timestamp"),
+      taskDefVersionNumber = int(o, "taskDefVersionNumber", -1),
+      startedEvent = o.get("startedEvent").filter(_ != null).map { v =>
+        val s = m(v)
+        TaskRunStartedPayload(
+          workerId = str(s, "workerId").getOrElse(""),
+          stdin = str(s, "stdin"))
+      },
+      endedEvent = o.get("endedEvent").filter(_ != null).map { v =>
+        val e = m(v)
+        val r = m(e.getOrElse("result",
+          throw new VarSubError("endedEvent missing result")))
+        TaskRunEndedPayload(TaskRunResult(
+          stdout = str(r, "stdout"),
+          stderr = str(r, "stderr"),
+          success = r.get("success") match {
+            case Some(b: Boolean) => b
+            case _ => false
+          },
+          returncode = int(r, "returncode")))
+      })
+  }
+
+  def encodeTaskRunEvent(e: TaskRunEvent): String =
+    render(VectorMap(
+      "threadId" -> e.threadId,
+      "taskRunPosition" -> e.taskRunPosition,
+      "timestamp" -> e.timestamp,
+      "taskDefVersionNumber" -> e.taskDefVersionNumber,
+      "startedEvent" -> e.startedEvent.map(s => VectorMap(
+        "workerId" -> s.workerId, "stdin" -> s.stdin.orNull)).orNull,
+      "endedEvent" -> e.endedEvent.map(en => VectorMap(
+        "result" -> VectorMap(
+          "stdout" -> en.result.stdout.orNull,
+          "stderr" -> en.result.stderr.orNull,
+          "success" -> en.result.success,
+          "returncode" -> en.result.returncode))).orNull))
+
+  def decodeExternalEvent(json: String): ExternalEventPayload = {
+    val o = m(parse(json))
+    ExternalEventPayload(
+      externalEventDefId = str(o, "externalEventDefId").getOrElse(""),
+      externalEventDefName = str(o, "externalEventDefName").getOrElse(
+        throw new VarSubError("external event missing externalEventDefName")),
+      content = o.getOrElse("content", null),
+      timestamp = long(o, "timestamp"))
+  }
+
+  def encodeExternalEvent(p: ExternalEventPayload): String =
+    render(VectorMap(
+      "externalEventDefId" -> p.externalEventDefId,
+      "externalEventDefName" -> p.externalEventDefName,
+      "content" -> p.content,
+      "timestamp" -> p.timestamp))
+
+  def decodeTimer(json: String): WFRunTimer = {
+    val o = m(parse(json))
+    WFRunTimer(
+      wfRunId = str(o, "wfRunId").getOrElse(""),
+      threadRunId = int(o, "threadRunId"),
+      taskRunId = int(o, "taskRunId"),
+      nodeName = str(o, "nodeName"),
+      maturationTimestamp = long(o, "maturationTimestamp"))
+  }
+
+  def encodeTimer(t: WFRunTimer): String =
+    render(VectorMap(
+      "wfRunId" -> t.wfRunId,
+      "threadRunId" -> t.threadRunId,
+      "taskRunId" -> t.taskRunId,
+      "nodeName" -> t.nodeName.orNull,
+      "maturationTimestamp" -> t.maturationTimestamp))
+
+  def encodeTsr(t: TaskScheduleRequest): String =
+    render(VectorMap(
+      "taskDefId" -> t.taskDefId, "taskDefName" -> t.taskDefName,
+      "wfRunId" -> t.wfRunId, "wfSpecId" -> t.wfSpecId,
+      "wfSpecName" -> t.wfSpecName, "threadId" -> t.threadId,
+      "taskRunPosition" -> t.taskRunPosition,
+      "variableSubstitutions" -> t.variableSubstitutions,
+      "kafkaTopic" -> t.kafkaTopic))
+
+  def decodeTsr(json: String): TaskScheduleRequest = {
+    val o = m(parse(json))
+    TaskScheduleRequest(
+      taskDefId = str(o, "taskDefId").getOrElse(""),
+      taskDefName = str(o, "taskDefName").getOrElse(""),
+      wfRunId = str(o, "wfRunId").getOrElse(""),
+      wfSpecId = str(o, "wfSpecId").getOrElse(""),
+      wfSpecName = str(o, "wfSpecName").getOrElse(""),
+      threadId = int(o, "threadId"),
+      taskRunPosition = int(o, "taskRunPosition"),
+      variableSubstitutions = o.get("variableSubstitutions") match {
+        case Some(v: VectorMap[_, _]) => v.asInstanceOf[VectorMap[String, Any]]
+        case _ => VectorMap.empty
+      },
+      kafkaTopic = str(o, "kafkaTopic").getOrElse(""))
+  }
+}

@@ -1,0 +1,379 @@
+package graft.engine
+
+import scala.collection.mutable
+import scala.collection.immutable.VectorMap
+
+/** Execution statuses (reference: LHExecutionStatus.java). */
+object Status {
+  val SCHEDULED = "SCHEDULED"; val RUNNING = "RUNNING"
+  val HALTING = "HALTING"; val HALTED = "HALTED"; val COMPLETED = "COMPLETED"
+}
+
+/** Reference: WFHaltReasonEnum.java:10-16. */
+object HaltReason {
+  val PARENT_STOPPED = "PARENT_STOPPED"
+  val PARENT_INTERRUPTED = "PARENT_INTERRUPTED"
+  val FAILED = "FAILED"
+  val INTERRUPT = "INTERRUPT"
+  val MANUAL_STOP = "MANUAL_STOP"
+}
+
+/** Reference: LHFailureReason.java. */
+object FailureReason {
+  val TASK_FAILURE = "TASK_FAILURE"
+  val VARIABLE_LOOKUP_ERROR = "VARIABLE_LOOKUP_ERROR"
+  val INVALID_WF_SPEC_ERROR = "INVALID_WF_SPEC_ERROR"
+  val TIMEOUT = "TIMEOUT"
+  val SUBTHREAD_FAILURE = "SUBTHREAD_FAILURE"
+  val INTERNAL_LITTLEHORSE_ERROR = "INTERNAL_LITTLEHORSE_ERROR"
+
+  /** Reference: LHUtil.isRetryable (LHUtil.java:300-316). */
+  def isRetryable(reason: String): Boolean = reason match {
+    case TASK_FAILURE | TIMEOUT | INTERNAL_LITTLEHORSE_ERROR => true
+    case _ => false
+  }
+}
+
+/** Reference: TaskRun.java:15-45. Mutable run state of one node
+  * execution attempt. `stdin`/`stdout`/`stderr` hold parsed JSON values
+  * (LHUtil.stringToObj semantics). */
+final class TaskRunState(
+    var position: Int,
+    var number: Int,
+    var threadId: Int,
+    var nodeName: String,
+    var attemptNumber: Int) {
+  var status: String = Status.RUNNING
+  var stdin: Any = null
+  var stdout: Any = null
+  var stderr: Any = null
+  var returnCode: Int = 0
+  var workerId: String = null
+  var taskDefVersionNumber: Int = -1
+  var scheduleTime: Option[Long] = None
+  var startTime: Option[Long] = None
+  var endTime: Option[Long] = None
+  var failureReason: Option[String] = None
+  var failureMessage: Option[String] = None
+
+  def isTerminated: Boolean =
+    status == Status.COMPLETED || status == Status.HALTED
+  def isCompleted: Boolean = isTerminated // mirrors TaskRun.java:52-66
+}
+
+/** One pending edge (reference: UpNextPair.java:6-16 plus the runtime
+  * `alreadyActivated` flag that the reference keeps on the Edge). */
+final class UpNextPair(
+    var attemptNumber: Int,
+    val edge: Edge,
+    var alreadyActivated: Boolean = false)
+
+/** Reference: ExternalEventCorrel.java:7-13. */
+final class EventCorrel(
+    val event: ExternalEventPayload,
+    val arrivalTime: Long,
+    var assignedThreadId: Int = -1,
+    var assignedNodeName: Option[String] = None,
+    var assignedTaskRunExecutionNumber: Int = -1)
+
+/** Reference: ThreadRun.java:50-87. */
+final class ThreadRunState(
+    val id: Int,
+    var threadSpecName: String) {
+  var status: String = Status.RUNNING
+  val taskRuns: mutable.ArrayBuffer[TaskRunState] = mutable.ArrayBuffer.empty
+  var upNext: mutable.ArrayBuffer[UpNextPair] = mutable.ArrayBuffer.empty
+  val variables: mutable.LinkedHashMap[String, Any] = mutable.LinkedHashMap.empty
+  var parentThreadId: Option[Int] = None
+  val childThreadIds: mutable.ArrayBuffer[Int] = mutable.ArrayBuffer.empty
+  val activeInterruptThreadIds: mutable.ArrayBuffer[Int] = mutable.ArrayBuffer.empty
+  val handledInterruptThreadIds: mutable.ArrayBuffer[Int] = mutable.ArrayBuffer.empty
+  var errorMessage: String = ""
+  var isInterruptThread: Boolean = false
+  var exceptionName: Option[String] = None
+  val variableLocks: mutable.HashMap[String, Int] = mutable.HashMap.empty
+  val haltReasons: mutable.LinkedHashSet[String] = mutable.LinkedHashSet.empty
+
+  def isFailed: Boolean =
+    status == Status.HALTED && haltReasons.contains(HaltReason.FAILED)
+  def isCompleted: Boolean = status == Status.COMPLETED
+  /** Reference: ThreadRun.isTerminated (ThreadRun.java:1263-1271). */
+  def isTerminated: Boolean =
+    status != Status.RUNNING && status != Status.SCHEDULED &&
+      (isCompleted || haltReasons.contains(HaltReason.FAILED))
+}
+
+/** Reference: WFRun.java:44-62. One aggregate per workflow run; the
+  * value held in the per-key state store. */
+final class WFRunState(
+    val objectId: String,
+    var wfSpecDigest: String,
+    var wfSpecName: String) {
+  var status: String = Status.RUNNING
+  val threadRuns: mutable.ArrayBuffer[ThreadRunState] = mutable.ArrayBuffer.empty
+  var startTime: Option[Long] = None
+  var endTime: Option[Long] = None
+  var errorCode: Option[String] = None
+  var errorMessage: Option[String] = None
+  val correlatedEvents:
+      mutable.LinkedHashMap[String, mutable.ArrayBuffer[EventCorrel]] =
+    mutable.LinkedHashMap.empty
+
+  /** Reference: WFRun.getAliases (WFRun.java:320-338) — the secondary
+    * index keys: every String-valued variable of every thread. */
+  def aliases: Seq[(String, String)] =
+    threadRuns.flatMap { tr =>
+      tr.variables.collect { case (k, v: String) => (k, v) }
+    }.toSeq
+}
+
+/** JSON snapshot codec for [[WFRunState]] — used both as the Spark
+  * state-store representation and as the queryable `wfrun_state` sink
+  * row. Field names follow the reference's Jackson output so snapshots
+  * look like the reference's WFRun documents. */
+object StateCodec {
+  import LHJson._
+
+  def encode(s: WFRunState): String = render(toJson(s))
+
+  def toJson(s: WFRunState): VectorMap[String, Any] = VectorMap(
+    "objectId" -> s.objectId,
+    "wfSpecDigest" -> s.wfSpecDigest,
+    "wfSpecName" -> s.wfSpecName,
+    "status" -> s.status,
+    "startTime" -> s.startTime.map(x => x: Any).orNull,
+    "endTime" -> s.endTime.map(x => x: Any).orNull,
+    "errorCode" -> s.errorCode.orNull,
+    "errorMessage" -> s.errorMessage.orNull,
+    "threadRuns" -> s.threadRuns.map(threadToJson).toVector,
+    "correlatedEvents" -> VectorMap.from(s.correlatedEvents.map {
+      case (k, correls) => k -> correls.map(correlToJson).toVector
+    }))
+
+  private def threadToJson(t: ThreadRunState): VectorMap[String, Any] = VectorMap(
+    "id" -> t.id,
+    "threadSpecName" -> t.threadSpecName,
+    "status" -> t.status,
+    "variables" -> VectorMap.from(t.variables),
+    "upNext" -> t.upNext.map(upNextToJson).toVector,
+    "taskRuns" -> t.taskRuns.map(taskToJson).toVector,
+    "parentThreadId" -> t.parentThreadId.map(x => x: Any).orNull,
+    "childThreadIds" -> t.childThreadIds.toVector,
+    "activeInterruptThreadIds" -> t.activeInterruptThreadIds.toVector,
+    "handledInterruptThreadIds" -> t.handledInterruptThreadIds.toVector,
+    "errorMessage" -> t.errorMessage,
+    "isInterruptThread" -> t.isInterruptThread,
+    "exceptionName" -> t.exceptionName.orNull,
+    "variableLocks" -> VectorMap.from(
+      t.variableLocks.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }),
+    "haltReasons" -> t.haltReasons.toVector)
+
+  private def upNextToJson(p: UpNextPair): VectorMap[String, Any] = VectorMap(
+    "attemptNumber" -> p.attemptNumber,
+    "alreadyActivated" -> p.alreadyActivated,
+    "edge" -> edgeToJson(p.edge))
+
+  private def edgeToJson(e: Edge): VectorMap[String, Any] = VectorMap(
+    "sourceNodeName" -> e.sourceNodeName,
+    "sinkNodeName" -> e.sinkNodeName,
+    "condition" -> e.condition.map(c => VectorMap(
+      "leftSide" -> assignToJson(c.leftSide),
+      "rightSide" -> assignToJson(c.rightSide),
+      "comparator" -> c.comparator)).orNull)
+
+  private def assignToJson(a: VariableAssignment): VectorMap[String, Any] =
+    VectorMap(
+      "wfRunVariableName" -> a.wfRunVariableName.orNull,
+      "literalValue" -> a.literalValue,
+      "wfRunMetadata" -> a.wfRunMetadata.orNull,
+      "jsonPath" -> a.jsonPath.orNull,
+      "defaultValue" -> a.defaultValue)
+
+  private def taskToJson(t: TaskRunState): VectorMap[String, Any] = VectorMap(
+    "position" -> t.position,
+    "number" -> t.number,
+    "threadId" -> t.threadId,
+    "nodeName" -> t.nodeName,
+    "attemptNumber" -> t.attemptNumber,
+    "status" -> t.status,
+    "stdin" -> t.stdin,
+    "stdout" -> t.stdout,
+    "stderr" -> t.stderr,
+    "returnCode" -> t.returnCode,
+    "workerId" -> t.workerId,
+    "taskDefVersionNumber" -> t.taskDefVersionNumber,
+    "scheduleTime" -> t.scheduleTime.map(x => x: Any).orNull,
+    "startTime" -> t.startTime.map(x => x: Any).orNull,
+    "endTime" -> t.endTime.map(x => x: Any).orNull,
+    "failureReason" -> t.failureReason.orNull,
+    "failureMessage" -> t.failureMessage.orNull)
+
+  // ---- decode (state-store round trip) ----
+
+  def decode(json: String): WFRunState = {
+    val o = asObj(parse(json))
+    val s = new WFRunState(
+      str(o, "objectId"), str(o, "wfSpecDigest"), str(o, "wfSpecName"))
+    s.status = str(o, "status")
+    s.startTime = optLong(o, "startTime")
+    s.endTime = optLong(o, "endTime")
+    s.errorCode = optStr(o, "errorCode")
+    s.errorMessage = optStr(o, "errorMessage")
+    o.get("threadRuns").collect { case xs: Vector[_] =>
+      xs.foreach(t => s.threadRuns += threadFromJson(asObj(t)))
+    }
+    o.get("correlatedEvents").collect { case m: VectorMap[_, _] =>
+      m.asInstanceOf[VectorMap[String, Any]].foreach { case (k, v) =>
+        val buf = mutable.ArrayBuffer.empty[EventCorrel]
+        v match {
+          case xs: Vector[_] => xs.foreach(c => buf += correlFromJson(asObj(c)))
+          case _ => ()
+        }
+        s.correlatedEvents(k) = buf
+      }
+    }
+    s
+  }
+
+  private def threadFromJson(o: VectorMap[String, Any]): ThreadRunState = {
+    val t = new ThreadRunState(int(o, "id"), str(o, "threadSpecName"))
+    t.status = str(o, "status")
+    o.get("variables").collect { case m: VectorMap[_, _] =>
+      m.asInstanceOf[VectorMap[String, Any]].foreach { case (k, v) =>
+        t.variables(k) = v
+      }
+    }
+    o.get("upNext").collect { case xs: Vector[_] =>
+      xs.foreach { p =>
+        val po = asObj(p)
+        t.upNext += new UpNextPair(
+          int(po, "attemptNumber"),
+          edgeFromJson(asObj(po("edge"))),
+          po.get("alreadyActivated").contains(true))
+      }
+    }
+    o.get("taskRuns").collect { case xs: Vector[_] =>
+      xs.foreach(x => t.taskRuns += taskFromJson(asObj(x)))
+    }
+    t.parentThreadId = optInt(o, "parentThreadId")
+    o.get("childThreadIds").collect { case xs: Vector[_] =>
+      xs.foreach(x => t.childThreadIds += toInt(x))
+    }
+    o.get("activeInterruptThreadIds").collect { case xs: Vector[_] =>
+      xs.foreach(x => t.activeInterruptThreadIds += toInt(x))
+    }
+    o.get("handledInterruptThreadIds").collect { case xs: Vector[_] =>
+      xs.foreach(x => t.handledInterruptThreadIds += toInt(x))
+    }
+    t.errorMessage = optStr(o, "errorMessage").getOrElse("")
+    t.isInterruptThread = o.get("isInterruptThread").contains(true)
+    t.exceptionName = optStr(o, "exceptionName")
+    o.get("variableLocks").collect { case m: VectorMap[_, _] =>
+      m.asInstanceOf[VectorMap[String, Any]].foreach { case (k, v) =>
+        t.variableLocks(k) = toInt(v)
+      }
+    }
+    o.get("haltReasons").collect { case xs: Vector[_] =>
+      xs.foreach(x => t.haltReasons += x.asInstanceOf[String])
+    }
+    t
+  }
+
+  private def edgeFromJson(o: VectorMap[String, Any]): Edge =
+    Edge(
+      sourceNodeName = optStr(o, "sourceNodeName").getOrElse(""),
+      sinkNodeName = str(o, "sinkNodeName"),
+      condition = o.get("condition").filter(_ != null).map { c =>
+        val co = asObj(c)
+        EdgeCondition(
+          assignFromJson(asObj(co("leftSide"))),
+          assignFromJson(asObj(co("rightSide"))),
+          str(co, "comparator"))
+      })
+
+  private def assignFromJson(o: VectorMap[String, Any]): VariableAssignment =
+    VariableAssignment(
+      wfRunVariableName = optStr(o, "wfRunVariableName"),
+      literalValue = o.getOrElse("literalValue", null),
+      wfRunMetadata = optStr(o, "wfRunMetadata"),
+      jsonPath = optStr(o, "jsonPath"),
+      defaultValue = o.getOrElse("defaultValue", null))
+
+  private def taskFromJson(o: VectorMap[String, Any]): TaskRunState = {
+    val t = new TaskRunState(
+      int(o, "position"), int(o, "number"), int(o, "threadId"),
+      str(o, "nodeName"), int(o, "attemptNumber"))
+    t.status = str(o, "status")
+    t.stdin = o.getOrElse("stdin", null)
+    t.stdout = o.getOrElse("stdout", null)
+    t.stderr = o.getOrElse("stderr", null)
+    t.returnCode = int(o, "returnCode")
+    t.workerId = optStr(o, "workerId").orNull
+    t.taskDefVersionNumber = int(o, "taskDefVersionNumber", -1)
+    t.scheduleTime = optLong(o, "scheduleTime")
+    t.startTime = optLong(o, "startTime")
+    t.endTime = optLong(o, "endTime")
+    t.failureReason = optStr(o, "failureReason")
+    t.failureMessage = optStr(o, "failureMessage")
+    t
+  }
+
+  private def correlToJson(c: EventCorrel): VectorMap[String, Any] = VectorMap(
+    "event" -> VectorMap(
+      "externalEventDefId" -> c.event.externalEventDefId,
+      "externalEventDefName" -> c.event.externalEventDefName,
+      "content" -> c.event.content,
+      "timestamp" -> c.event.timestamp),
+    "arrivalTime" -> c.arrivalTime,
+    "assignedThreadId" -> c.assignedThreadId,
+    "assignedNodeName" -> c.assignedNodeName.orNull,
+    "assignedTaskRunExecutionNumber" -> c.assignedTaskRunExecutionNumber)
+
+  private def correlFromJson(o: VectorMap[String, Any]): EventCorrel = {
+    val e = asObj(o("event"))
+    val c = new EventCorrel(
+      ExternalEventPayload(
+        optStr(e, "externalEventDefId").getOrElse(""),
+        optStr(e, "externalEventDefName").getOrElse(""),
+        e.getOrElse("content", null),
+        long(e, "timestamp")),
+      long(o, "arrivalTime"))
+    c.assignedThreadId = int(o, "assignedThreadId", -1)
+    c.assignedNodeName = optStr(o, "assignedNodeName")
+    c.assignedTaskRunExecutionNumber =
+      int(o, "assignedTaskRunExecutionNumber", -1)
+    c
+  }
+
+  // ---- helpers ----
+  private def asObj(v: Any): VectorMap[String, Any] =
+    v.asInstanceOf[VectorMap[String, Any]]
+  private def str(o: VectorMap[String, Any], k: String): String =
+    o.get(k) match { case Some(s: String) => s; case _ => null }
+  private def optStr(o: VectorMap[String, Any], k: String): Option[String] =
+    o.get(k) match { case Some(s: String) => Some(s); case _ => None }
+  private def toInt(v: Any): Int = v match {
+    case i: Int => i; case l: Long => l.toInt; case d: Double => d.toInt
+    case _ => throw new VarSubError(s"Expected int, got $v")
+  }
+  private def int(o: VectorMap[String, Any], k: String, dflt: Int = 0): Int =
+    o.get(k) match {
+      case Some(null) | None => dflt
+      case Some(v) => toInt(v)
+    }
+  private def optInt(o: VectorMap[String, Any], k: String): Option[Int] =
+    o.get(k) match {
+      case Some(null) | None => None
+      case Some(v) => Some(toInt(v))
+    }
+  private def long(o: VectorMap[String, Any], k: String, dflt: Long = 0L): Long =
+    o.get(k) match {
+      case Some(i: Int) => i.toLong; case Some(l: Long) => l
+      case Some(d: Double) => d.toLong; case _ => dflt
+    }
+  private def optLong(o: VectorMap[String, Any], k: String): Option[Long] =
+    o.get(k) match {
+      case Some(i: Int) => Some(i.toLong); case Some(l: Long) => Some(l)
+      case _ => None
+    }
+}
