@@ -1,7 +1,7 @@
 package graft.engine
 
 import scala.collection.mutable
-import scala.collection.immutable.VectorMap
+import scala.collection.immutable.ListMap
 
 /** Result of folding one event into a run's state. `state` is None when
   * the event referenced an unknown run (reference drops those with a
@@ -667,7 +667,7 @@ private final class EngineCtx(val spec: WFSpec) {
     tr.scheduleTime = Some(event.timestamp)
     t.taskRuns += tr
 
-    var subs = VectorMap.empty[String, Any]
+    var subs = ListMap.empty[String, Any]
     node.variables.foreach { case (varName, assn) =>
       try subs = subs.updated(varName, assignVariable(t, assn))
       catch { case _: VarSubError => () } // reference swallows (:827-829)
@@ -716,7 +716,7 @@ private final class EngineCtx(val spec: WFSpec) {
     val child = createThread(node.threadSpawnThreadSpecName.get, inputVars, Some(t))
     wfRun.threadRuns += child
 
-    val meta = VectorMap[String, Any](
+    val meta = ListMap[String, Any](
       "threadId" -> child.id,
       "parentThreadId" -> tr.threadId,
       "threadSpecName" -> t.threadSpecName,
@@ -820,7 +820,7 @@ private final class EngineCtx(val spec: WFSpec) {
     if (toWaitFor.isCompleted) {
       t.taskRuns += tr
       completeTask(t, tr, Status.COMPLETED,
-        TaskRunResult(Some(LHJson.render(VectorMap.from(toWaitFor.variables))),
+        TaskRunResult(Some(LHJson.render(ListMap.from(toWaitFor.variables))),
           None, success = true, 0),
         event.timestamp)
       return true

@@ -1,6 +1,6 @@
 package graft.engine
 
-import scala.collection.immutable.VectorMap
+import scala.collection.immutable.ListMap
 
 /** Event + output wire types (reference: the common/events package,
   * FIXTURES.md §1.2/§1.3). Timestamps are epoch millis for determinism.
@@ -28,7 +28,7 @@ case class WFEvent(
 
 /** Reference: WFRunRequest.java:7-11. */
 case class WFRunRequest(
-    variables: VectorMap[String, Any],
+    variables: ListMap[String, Any],
     wfSpecId: String,
     wfRunId: Option[String])
 
@@ -71,27 +71,27 @@ case class TaskScheduleRequest(
     wfSpecName: String,
     threadId: Int,
     taskRunPosition: Int,
-    variableSubstitutions: VectorMap[String, Any],
+    variableSubstitutions: ListMap[String, Any],
     kafkaTopic: String)
 
 /** JSON codecs for the event payloads. */
 object EventCodec {
   import LHJson._
 
-  private def m(v: Any): VectorMap[String, Any] = v match {
-    case mm: VectorMap[_, _] => mm.asInstanceOf[VectorMap[String, Any]]
+  private def m(v: Any): ListMap[String, Any] = v match {
+    case mm: ListMap[_, _] => mm.asInstanceOf[ListMap[String, Any]]
     case other => throw new VarSubError(s"Expected JSON object, got $other")
   }
-  private def str(mm: VectorMap[String, Any], k: String): Option[String] =
+  private def str(mm: ListMap[String, Any], k: String): Option[String] =
     mm.get(k) match { case Some(s: String) => Some(s); case _ => None }
-  private def int(mm: VectorMap[String, Any], k: String, dflt: Int = 0): Int =
+  private def int(mm: ListMap[String, Any], k: String, dflt: Int = 0): Int =
     mm.get(k) match {
       case Some(i: Int) => i
       case Some(l: Long) => l.toInt
       case Some(d: Double) => d.toInt
       case _ => dflt
     }
-  private def long(mm: VectorMap[String, Any], k: String, dflt: Long = 0L): Long =
+  private def long(mm: ListMap[String, Any], k: String, dflt: Long = 0L): Long =
     mm.get(k) match {
       case Some(i: Int) => i.toLong
       case Some(l: Long) => l
@@ -118,7 +118,7 @@ object EventCodec {
   }
 
   def encodeWFEvent(e: WFEvent): String =
-    render(VectorMap(
+    render(ListMap(
       "wfSpecId" -> e.wfSpecId, "wfSpecName" -> e.wfSpecName,
       "wfRunId" -> e.wfRunId, "timestamp" -> e.timestamp,
       "threadId" -> e.threadId, "type" -> e.eventType,
@@ -126,20 +126,20 @@ object EventCodec {
 
   def decodeRunRequest(json: String): WFRunRequest = {
     val o = m(stringToObj(json) match {
-      case s: String => VectorMap.empty[String, Any]
+      case s: String => ListMap.empty[String, Any]
       case other => other
     })
     WFRunRequest(
       variables = o.get("variables") match {
-        case Some(v: VectorMap[_, _]) => v.asInstanceOf[VectorMap[String, Any]]
-        case _ => VectorMap.empty
+        case Some(v: ListMap[_, _]) => v.asInstanceOf[ListMap[String, Any]]
+        case _ => ListMap.empty
       },
       wfSpecId = str(o, "wfSpecId").getOrElse(""),
       wfRunId = str(o, "wfRunId"))
   }
 
   def encodeRunRequest(r: WFRunRequest): String =
-    render(VectorMap(
+    render(ListMap(
       "variables" -> r.variables,
       "wfSpecId" -> r.wfSpecId,
       "wfRunId" -> r.wfRunId.orNull))
@@ -173,15 +173,15 @@ object EventCodec {
   }
 
   def encodeTaskRunEvent(e: TaskRunEvent): String =
-    render(VectorMap(
+    render(ListMap(
       "threadId" -> e.threadId,
       "taskRunPosition" -> e.taskRunPosition,
       "timestamp" -> e.timestamp,
       "taskDefVersionNumber" -> e.taskDefVersionNumber,
-      "startedEvent" -> e.startedEvent.map(s => VectorMap(
+      "startedEvent" -> e.startedEvent.map(s => ListMap(
         "workerId" -> s.workerId, "stdin" -> s.stdin.orNull)).orNull,
-      "endedEvent" -> e.endedEvent.map(en => VectorMap(
-        "result" -> VectorMap(
+      "endedEvent" -> e.endedEvent.map(en => ListMap(
+        "result" -> ListMap(
           "stdout" -> en.result.stdout.orNull,
           "stderr" -> en.result.stderr.orNull,
           "success" -> en.result.success,
@@ -198,7 +198,7 @@ object EventCodec {
   }
 
   def encodeExternalEvent(p: ExternalEventPayload): String =
-    render(VectorMap(
+    render(ListMap(
       "externalEventDefId" -> p.externalEventDefId,
       "externalEventDefName" -> p.externalEventDefName,
       "content" -> p.content,
@@ -215,7 +215,7 @@ object EventCodec {
   }
 
   def encodeTimer(t: WFRunTimer): String =
-    render(VectorMap(
+    render(ListMap(
       "wfRunId" -> t.wfRunId,
       "threadRunId" -> t.threadRunId,
       "taskRunId" -> t.taskRunId,
@@ -223,7 +223,7 @@ object EventCodec {
       "maturationTimestamp" -> t.maturationTimestamp))
 
   def encodeTsr(t: TaskScheduleRequest): String =
-    render(VectorMap(
+    render(ListMap(
       "taskDefId" -> t.taskDefId, "taskDefName" -> t.taskDefName,
       "wfRunId" -> t.wfRunId, "wfSpecId" -> t.wfSpecId,
       "wfSpecName" -> t.wfSpecName, "threadId" -> t.threadId,
@@ -242,8 +242,8 @@ object EventCodec {
       threadId = int(o, "threadId"),
       taskRunPosition = int(o, "taskRunPosition"),
       variableSubstitutions = o.get("variableSubstitutions") match {
-        case Some(v: VectorMap[_, _]) => v.asInstanceOf[VectorMap[String, Any]]
-        case _ => VectorMap.empty
+        case Some(v: ListMap[_, _]) => v.asInstanceOf[ListMap[String, Any]]
+        case _ => ListMap.empty
       },
       kafkaTopic = str(o, "kafkaTopic").getOrElse(""))
   }

@@ -2,7 +2,7 @@ package graft.engine
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, JsonNodeFactory}
-import scala.collection.immutable.VectorMap
+import scala.collection.immutable.ListMap
 import scala.jdk.CollectionConverters._
 
 /** Error raised by variable substitution / mutation / comparison — the
@@ -18,7 +18,7 @@ final class VarSubError(msg: String, cause: Throwable = null)
   * variables, see SURVEY.md §1.3).
   *
   * Encoding: `null | Boolean | Int | Long | Double | String |
-  * Vector[Any] | VectorMap[String, Any]` — immutable, insertion-ordered
+  * Vector[Any] | ListMap[String, Any]` — immutable, insertion-ordered
   * objects. Integer JSON numbers that fit in 32 bits decode to `Int`
   * (mirroring Jackson's Integer), bigger ones to `Long`; decimals to
   * `Double`.
@@ -48,7 +48,7 @@ object LHJson {
     else if (n.isTextual) n.textValue()
     else if (n.isArray) n.elements().asScala.map(fromNode).toVector
     else if (n.isObject) {
-      var out = VectorMap.empty[String, Any]
+      var out = ListMap.empty[String, Any]
       n.properties().asScala.foreach { e =>
         out = out.updated(e.getKey, fromNode(e.getValue))
       }
@@ -93,15 +93,15 @@ object LHJson {
 
   /** Reference `LHUtil.unsplat` (LHUtil.java:113-133): map stays a map;
     * a JSON-object string parses to a map; anything else → {"": value}. */
-  def unsplat(v: Any): VectorMap[String, Any] = v match {
-    case m: VectorMap[_, _] => m.asInstanceOf[VectorMap[String, Any]]
+  def unsplat(v: Any): ListMap[String, Any] = v match {
+    case m: ListMap[_, _] => m.asInstanceOf[ListMap[String, Any]]
     case other =>
       try {
         parse(objToString(other)) match {
-          case m: VectorMap[_, _] => m.asInstanceOf[VectorMap[String, Any]]
-          case _ => VectorMap("" -> other)
+          case m: ListMap[_, _] => m.asInstanceOf[ListMap[String, Any]]
+          case _ => ListMap("" -> other)
         }
-      } catch { case _: Exception => VectorMap("" -> other) }
+      } catch { case _: Exception => ListMap("" -> other) }
   }
 }
 
@@ -178,8 +178,8 @@ object JsonPath {
       }
     compile(path).foldLeft(root) { (cur, step) =>
       (cur, step) match {
-        case (m: VectorMap[_, _], Field(f)) =>
-          m.asInstanceOf[VectorMap[String, Any]].getOrElse(f,
+        case (m: ListMap[_, _], Field(f)) =>
+          m.asInstanceOf[ListMap[String, Any]].getOrElse(f,
             throw new VarSubError(s"No results for path: $path (missing '$f')"))
         case (xs: Vector[_], Index(idx)) =>
           if (idx < 0 || idx >= xs.length)

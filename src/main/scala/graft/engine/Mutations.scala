@@ -1,6 +1,6 @@
 package graft.engine
 
-import scala.collection.immutable.VectorMap
+import scala.collection.immutable.ListMap
 
 /** Variable-mutation semantics (reference: Mutation.java). All pure:
   * `apply` computes the new value of a variable from (lhs, rhs, op,
@@ -91,11 +91,11 @@ object Mutations {
       throw new LHCastError(s"Cannot cast ${typeName(other)} to List")
   }
 
-  def toMap(o: Any): VectorMap[String, Any] = o match {
-    case m: VectorMap[_, _] => m.asInstanceOf[VectorMap[String, Any]]
+  def toMap(o: Any): ListMap[String, Any] = o match {
+    case m: ListMap[_, _] => m.asInstanceOf[ListMap[String, Any]]
     case s: String =>
       try LHJson.parse(s) match {
-        case m: VectorMap[_, _] => m.asInstanceOf[VectorMap[String, Any]]
+        case m: ListMap[_, _] => m.asInstanceOf[ListMap[String, Any]]
         case _ => throw new VarSubError("Failed to convert string to map!")
       }
       catch {
@@ -185,8 +185,8 @@ object Mutations {
     case other => throw new VarSubError(s"Expected list, got ${typeName(other)}")
   }
 
-  private def asMap(v: Any): VectorMap[String, Any] = v match {
-    case m: VectorMap[_, _] => m.asInstanceOf[VectorMap[String, Any]]
+  private def asMap(v: Any): ListMap[String, Any] = v match {
+    case m: ListMap[_, _] => m.asInstanceOf[ListMap[String, Any]]
     case other => throw new VarSubError(s"Expected map, got ${typeName(other)}")
   }
 
@@ -216,7 +216,7 @@ object Mutations {
     * must be a collection; null haystack is an error. */
   def contains(haystack: Any, needle: Any): Boolean = haystack match {
     case xs: Vector[_] => xs.exists(x => x != null && x.equals(needle))
-    case m: VectorMap[_, _] =>
+    case m: ListMap[_, _] =>
       // Java `Collection` cast of a Map fails in the reference; maps are
       // not valid haystacks there either.
       throw new VarSubError(

@@ -1,6 +1,6 @@
 package graft.engine
 
-import scala.collection.immutable.VectorMap
+import scala.collection.immutable.ListMap
 
 /** Workflow-spec metadata model (reference: the common/objects/metadata
   * package). Immutable; decoded from the same JSON document shape the reference's
@@ -72,8 +72,8 @@ case class Node(
     externalEventDefName: Option[String] = None,
     threadSpawnThreadSpecName: Option[String] = None,
     threadWaitThreadId: Option[VariableAssignment] = None,
-    variables: VectorMap[String, VariableAssignment] = VectorMap.empty,
-    variableMutations: VectorMap[String, VariableMutation] = VectorMap.empty,
+    variables: ListMap[String, VariableAssignment] = ListMap.empty,
+    variableMutations: ListMap[String, VariableMutation] = ListMap.empty,
     timeoutSeconds: Option[VariableAssignment] = None,
     numRetries: Int = 0,
     exceptionToThrow: Option[String] = None,
@@ -102,9 +102,9 @@ case class Node(
 case class ThreadSpec(
     name: String,
     entrypointNodeName: String,
-    variableDefs: VectorMap[String, WFRunVariableDef] = VectorMap.empty,
-    interruptDefs: VectorMap[String, InterruptDef] = VectorMap.empty,
-    nodes: VectorMap[String, Node] = VectorMap.empty,
+    variableDefs: ListMap[String, WFRunVariableDef] = ListMap.empty,
+    interruptDefs: ListMap[String, InterruptDef] = ListMap.empty,
+    nodes: ListMap[String, Node] = ListMap.empty,
     edges: Vector[Edge] = Vector.empty) {
 
   def outgoingEdges(nodeName: String): Vector[Edge] =
@@ -120,7 +120,7 @@ case class WFSpec(
     name: String,
     objectId: String,
     entrypointThreadName: String,
-    threadSpecs: VectorMap[String, ThreadSpec]) {
+    threadSpecs: ListMap[String, ThreadSpec]) {
 
   lazy val interruptEvents: Set[String] =
     threadSpecs.values.flatMap(_.interruptDefs.keys).toSet
@@ -155,7 +155,7 @@ object SpecCodec {
     validate(spec)
   }
 
-  private def decodeThread(name: String, t: VectorMap[String, Any]): ThreadSpec = {
+  private def decodeThread(name: String, t: ListMap[String, Any]): ThreadSpec = {
     val nodes = objOrEmpty(t, "nodes").map { case (n, v) =>
       n -> decodeNode(n, obj(v, s"node $n"))
     }
@@ -186,7 +186,7 @@ object SpecCodec {
       edges = edges)
   }
 
-  private def decodeNode(name: String, n: VectorMap[String, Any]): Node = {
+  private def decodeNode(name: String, n: ListMap[String, Any]): Node = {
     val nodeType = str(n, "nodeType").getOrElse(
       throw new SpecValidationError(s"node $name missing nodeType"))
     if (!NodeType.all.contains(nodeType))
@@ -231,7 +231,7 @@ object SpecCodec {
         }.toMap)
   }
 
-  private def decodeAssignment(m: VectorMap[String, Any]): VariableAssignment =
+  private def decodeAssignment(m: ListMap[String, Any]): VariableAssignment =
     VariableAssignment(
       wfRunVariableName = str(m, "wfRunVariableName"),
       literalValue = m.getOrElse("literalValue", null),
@@ -239,7 +239,7 @@ object SpecCodec {
       jsonPath = str(m, "jsonPath"),
       defaultValue = m.getOrElse("defaultValue", null))
 
-  private def decodeMutation(m: VectorMap[String, Any]): VariableMutation =
+  private def decodeMutation(m: ListMap[String, Any]): VariableMutation =
     VariableMutation(
       operation = str(m, "operation").getOrElse(
         throw new SpecValidationError("mutation missing operation")),
@@ -248,7 +248,7 @@ object SpecCodec {
       sourceVariable = m.get("sourceVariable").filter(_ != null).map(v =>
         decodeAssignment(obj(v, "sourceVariable"))))
 
-  private def decodeEdge(m: VectorMap[String, Any]): Edge =
+  private def decodeEdge(m: ListMap[String, Any]): Edge =
     Edge(
       sourceNodeName = str(m, "sourceNodeName").getOrElse(
         throw new SpecValidationError("edge missing sourceNodeName")),
@@ -405,19 +405,19 @@ object SpecCodec {
 
   // ---- tiny typed accessors over the LHJson tree ----
 
-  private def obj(v: Any, what: String): VectorMap[String, Any] = v match {
-    case m: VectorMap[_, _] => m.asInstanceOf[VectorMap[String, Any]]
+  private def obj(v: Any, what: String): ListMap[String, Any] = v match {
+    case m: ListMap[_, _] => m.asInstanceOf[ListMap[String, Any]]
     case other => throw new SpecValidationError(
       s"Expected JSON object for $what, got: $other")
   }
 
-  private def objOrEmpty(m: VectorMap[String, Any], k: String): VectorMap[String, Any] =
+  private def objOrEmpty(m: ListMap[String, Any], k: String): ListMap[String, Any] =
     m.get(k) match {
       case Some(v) if v != null => obj(v, k)
-      case _ => VectorMap.empty
+      case _ => ListMap.empty
     }
 
-  private def str(m: VectorMap[String, Any], k: String): Option[String] =
+  private def str(m: ListMap[String, Any], k: String): Option[String] =
     m.get(k) match {
       case Some(s: String) => Some(s)
       case _ => None

@@ -1,7 +1,7 @@
 package graft.engine
 
 import scala.collection.mutable
-import scala.collection.immutable.VectorMap
+import scala.collection.immutable.ListMap
 
 /** Execution statuses (reference: LHExecutionStatus.java). */
 object Status {
@@ -136,7 +136,7 @@ object StateCodec {
 
   def encode(s: WFRunState): String = render(toJson(s))
 
-  def toJson(s: WFRunState): VectorMap[String, Any] = VectorMap(
+  def toJson(s: WFRunState): ListMap[String, Any] = ListMap(
     "objectId" -> s.objectId,
     "wfSpecDigest" -> s.wfSpecDigest,
     "wfSpecName" -> s.wfSpecName,
@@ -146,15 +146,15 @@ object StateCodec {
     "errorCode" -> s.errorCode.orNull,
     "errorMessage" -> s.errorMessage.orNull,
     "threadRuns" -> s.threadRuns.map(threadToJson).toVector,
-    "correlatedEvents" -> VectorMap.from(s.correlatedEvents.map {
+    "correlatedEvents" -> ListMap.from(s.correlatedEvents.map {
       case (k, correls) => k -> correls.map(correlToJson).toVector
     }))
 
-  private def threadToJson(t: ThreadRunState): VectorMap[String, Any] = VectorMap(
+  private def threadToJson(t: ThreadRunState): ListMap[String, Any] = ListMap(
     "id" -> t.id,
     "threadSpecName" -> t.threadSpecName,
     "status" -> t.status,
-    "variables" -> VectorMap.from(t.variables),
+    "variables" -> ListMap.from(t.variables),
     "upNext" -> t.upNext.map(upNextToJson).toVector,
     "taskRuns" -> t.taskRuns.map(taskToJson).toVector,
     "parentThreadId" -> t.parentThreadId.map(x => x: Any).orNull,
@@ -164,32 +164,32 @@ object StateCodec {
     "errorMessage" -> t.errorMessage,
     "isInterruptThread" -> t.isInterruptThread,
     "exceptionName" -> t.exceptionName.orNull,
-    "variableLocks" -> VectorMap.from(
+    "variableLocks" -> ListMap.from(
       t.variableLocks.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }),
     "haltReasons" -> t.haltReasons.toVector)
 
-  private def upNextToJson(p: UpNextPair): VectorMap[String, Any] = VectorMap(
+  private def upNextToJson(p: UpNextPair): ListMap[String, Any] = ListMap(
     "attemptNumber" -> p.attemptNumber,
     "alreadyActivated" -> p.alreadyActivated,
     "edge" -> edgeToJson(p.edge))
 
-  private def edgeToJson(e: Edge): VectorMap[String, Any] = VectorMap(
+  private def edgeToJson(e: Edge): ListMap[String, Any] = ListMap(
     "sourceNodeName" -> e.sourceNodeName,
     "sinkNodeName" -> e.sinkNodeName,
-    "condition" -> e.condition.map(c => VectorMap(
+    "condition" -> e.condition.map(c => ListMap(
       "leftSide" -> assignToJson(c.leftSide),
       "rightSide" -> assignToJson(c.rightSide),
       "comparator" -> c.comparator)).orNull)
 
-  private def assignToJson(a: VariableAssignment): VectorMap[String, Any] =
-    VectorMap(
+  private def assignToJson(a: VariableAssignment): ListMap[String, Any] =
+    ListMap(
       "wfRunVariableName" -> a.wfRunVariableName.orNull,
       "literalValue" -> a.literalValue,
       "wfRunMetadata" -> a.wfRunMetadata.orNull,
       "jsonPath" -> a.jsonPath.orNull,
       "defaultValue" -> a.defaultValue)
 
-  private def taskToJson(t: TaskRunState): VectorMap[String, Any] = VectorMap(
+  private def taskToJson(t: TaskRunState): ListMap[String, Any] = ListMap(
     "position" -> t.position,
     "number" -> t.number,
     "threadId" -> t.threadId,
@@ -222,8 +222,8 @@ object StateCodec {
     o.get("threadRuns").collect { case xs: Vector[_] =>
       xs.foreach(t => s.threadRuns += threadFromJson(asObj(t)))
     }
-    o.get("correlatedEvents").collect { case m: VectorMap[_, _] =>
-      m.asInstanceOf[VectorMap[String, Any]].foreach { case (k, v) =>
+    o.get("correlatedEvents").collect { case m: ListMap[_, _] =>
+      m.asInstanceOf[ListMap[String, Any]].foreach { case (k, v) =>
         val buf = mutable.ArrayBuffer.empty[EventCorrel]
         v match {
           case xs: Vector[_] => xs.foreach(c => buf += correlFromJson(asObj(c)))
@@ -235,11 +235,11 @@ object StateCodec {
     s
   }
 
-  private def threadFromJson(o: VectorMap[String, Any]): ThreadRunState = {
+  private def threadFromJson(o: ListMap[String, Any]): ThreadRunState = {
     val t = new ThreadRunState(int(o, "id"), str(o, "threadSpecName"))
     t.status = str(o, "status")
-    o.get("variables").collect { case m: VectorMap[_, _] =>
-      m.asInstanceOf[VectorMap[String, Any]].foreach { case (k, v) =>
+    o.get("variables").collect { case m: ListMap[_, _] =>
+      m.asInstanceOf[ListMap[String, Any]].foreach { case (k, v) =>
         t.variables(k) = v
       }
     }
@@ -268,8 +268,8 @@ object StateCodec {
     t.errorMessage = optStr(o, "errorMessage").getOrElse("")
     t.isInterruptThread = o.get("isInterruptThread").contains(true)
     t.exceptionName = optStr(o, "exceptionName")
-    o.get("variableLocks").collect { case m: VectorMap[_, _] =>
-      m.asInstanceOf[VectorMap[String, Any]].foreach { case (k, v) =>
+    o.get("variableLocks").collect { case m: ListMap[_, _] =>
+      m.asInstanceOf[ListMap[String, Any]].foreach { case (k, v) =>
         t.variableLocks(k) = toInt(v)
       }
     }
@@ -279,7 +279,7 @@ object StateCodec {
     t
   }
 
-  private def edgeFromJson(o: VectorMap[String, Any]): Edge =
+  private def edgeFromJson(o: ListMap[String, Any]): Edge =
     Edge(
       sourceNodeName = optStr(o, "sourceNodeName").getOrElse(""),
       sinkNodeName = str(o, "sinkNodeName"),
@@ -291,7 +291,7 @@ object StateCodec {
           str(co, "comparator"))
       })
 
-  private def assignFromJson(o: VectorMap[String, Any]): VariableAssignment =
+  private def assignFromJson(o: ListMap[String, Any]): VariableAssignment =
     VariableAssignment(
       wfRunVariableName = optStr(o, "wfRunVariableName"),
       literalValue = o.getOrElse("literalValue", null),
@@ -299,7 +299,7 @@ object StateCodec {
       jsonPath = optStr(o, "jsonPath"),
       defaultValue = o.getOrElse("defaultValue", null))
 
-  private def taskFromJson(o: VectorMap[String, Any]): TaskRunState = {
+  private def taskFromJson(o: ListMap[String, Any]): TaskRunState = {
     val t = new TaskRunState(
       int(o, "position"), int(o, "number"), int(o, "threadId"),
       str(o, "nodeName"), int(o, "attemptNumber"))
@@ -318,8 +318,8 @@ object StateCodec {
     t
   }
 
-  private def correlToJson(c: EventCorrel): VectorMap[String, Any] = VectorMap(
-    "event" -> VectorMap(
+  private def correlToJson(c: EventCorrel): ListMap[String, Any] = ListMap(
+    "event" -> ListMap(
       "externalEventDefId" -> c.event.externalEventDefId,
       "externalEventDefName" -> c.event.externalEventDefName,
       "content" -> c.event.content,
@@ -329,7 +329,7 @@ object StateCodec {
     "assignedNodeName" -> c.assignedNodeName.orNull,
     "assignedTaskRunExecutionNumber" -> c.assignedTaskRunExecutionNumber)
 
-  private def correlFromJson(o: VectorMap[String, Any]): EventCorrel = {
+  private def correlFromJson(o: ListMap[String, Any]): EventCorrel = {
     val e = asObj(o("event"))
     val c = new EventCorrel(
       ExternalEventPayload(
@@ -346,32 +346,32 @@ object StateCodec {
   }
 
   // ---- helpers ----
-  private def asObj(v: Any): VectorMap[String, Any] =
-    v.asInstanceOf[VectorMap[String, Any]]
-  private def str(o: VectorMap[String, Any], k: String): String =
+  private def asObj(v: Any): ListMap[String, Any] =
+    v.asInstanceOf[ListMap[String, Any]]
+  private def str(o: ListMap[String, Any], k: String): String =
     o.get(k) match { case Some(s: String) => s; case _ => null }
-  private def optStr(o: VectorMap[String, Any], k: String): Option[String] =
+  private def optStr(o: ListMap[String, Any], k: String): Option[String] =
     o.get(k) match { case Some(s: String) => Some(s); case _ => None }
   private def toInt(v: Any): Int = v match {
     case i: Int => i; case l: Long => l.toInt; case d: Double => d.toInt
     case _ => throw new VarSubError(s"Expected int, got $v")
   }
-  private def int(o: VectorMap[String, Any], k: String, dflt: Int = 0): Int =
+  private def int(o: ListMap[String, Any], k: String, dflt: Int = 0): Int =
     o.get(k) match {
       case Some(null) | None => dflt
       case Some(v) => toInt(v)
     }
-  private def optInt(o: VectorMap[String, Any], k: String): Option[Int] =
+  private def optInt(o: ListMap[String, Any], k: String): Option[Int] =
     o.get(k) match {
       case Some(null) | None => None
       case Some(v) => Some(toInt(v))
     }
-  private def long(o: VectorMap[String, Any], k: String, dflt: Long = 0L): Long =
+  private def long(o: ListMap[String, Any], k: String, dflt: Long = 0L): Long =
     o.get(k) match {
       case Some(i: Int) => i.toLong; case Some(l: Long) => l
       case Some(d: Double) => d.toLong; case _ => dflt
     }
-  private def optLong(o: VectorMap[String, Any], k: String): Option[Long] =
+  private def optLong(o: ListMap[String, Any], k: String): Option[Long] =
     o.get(k) match {
       case Some(i: Int) => Some(i.toLong); case Some(l: Long) => Some(l)
       case _ => None

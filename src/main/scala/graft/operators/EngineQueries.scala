@@ -1,0 +1,455 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+import graft.engine._
+import graft.engine.Simulator.{ExternalInput, Fail, NoResponse, Ok, StopResume}
+import graft.sources.Tables
+
+/** Engine-parity queries: each drives the REAL workflow engine
+  * ([[graft.engine.Engine]]) over deterministic per-row workloads
+  * derived from the testdata tables, so the driver's DuckDB oracle can
+  * hash-check the engine's arithmetic, branching, timers, retries,
+  * interrupts, locks and status rollup (SURVEY.md §2.2-§2.5 inventory).
+  *
+  * Scale shape: one workflow run per input row is embarrassingly
+  * parallel — a `Dataset.map` with ZERO shuffles (the engine fold is
+  * per-key state; no cross-key coordination exists in the reference, see
+  * SURVEY §7.1). At 100 TB this plan is a single scan + narrow map +
+  * (optional) final sort; the streaming deployment of the same engine
+  * uses flatMapGroupsWithState instead (graft.streaming).
+  */
+object EngineQueries {
+  import Harnesslets._
+
+  // ===== specs (built once; serialized into task closures) =====
+
+  /** Mutation-chain workflow: INT + FLOAT arithmetic through 4 task
+    * nodes (E3-E8, E12 coercions, R1 fold, N1 scheduling). */
+  private val mutationSpec = wfSpec("mutation_chain", "main",
+    thread("main",
+      Map("x" -> WFRunVariableDef(VarType.INT),
+        "f" -> WFRunVariableDef(VarType.FLOAT)),
+      nodes = Seq(
+        mutate(task("n0", "echo_task", "thing" -> lit("a")),
+          "x" -> mut(Mutations.Op.ADD, literal = 7),
+          "f" -> mut(Mutations.Op.ADD, literal = 1.5)),
+        mutate(task("n1", "echo_task", "thing" -> lit("b")),
+          "x" -> mut(Mutations.Op.MULTIPLY, literal = 3),
+          "f" -> mut(Mutations.Op.SUBTRACT, literal = 100.0)),
+        mutate(task("n2", "echo_task", "thing" -> lit("c")),
+          "x" -> mut(Mutations.Op.DIVIDE, literal = 7),
+          "f" -> mut(Mutations.Op.MULTIPLY, literal = 2.0)),
+        mutate(task("n3", "echo_task", "thing" -> lit("d")),
+          "x" -> mut(Mutations.Op.SUBTRACT, literal = 2),
+          "f" -> mut(Mutations.Op.DIVIDE, literal = 4.0))),
+      edges = Seq(edge("n0", "n1"), edge("n1", "n2"), edge("n2", "n3"))))
+
+  /** Conditional cascade building a path string (E15 comparators incl.
+    * IN/NOT_IN/EQUALS/NOT_EQUALS, E4 string concat). */
+  private val conditionalSpec = {
+    val c = varRef("c")
+    wfSpec("conditional_path", "main",
+      thread("main",
+        Map("c" -> WFRunVariableDef(VarType.INT),
+          "path" -> WFRunVariableDef(VarType.STRING, defaultValue = "")),
+        nodes = Seq(
+          mutate(task("n0", "echo_task", "thing" -> lit("s")),
+            "path" -> mut(Mutations.Op.ADD, literal = "S")),
+          mutate(task("n1", "echo_task", "thing" -> lit("h")),
+            "path" -> mut(Mutations.Op.ADD, literal = "H")),
+          mutate(task("n2", "echo_task", "thing" -> lit("l")),
+            "path" -> mut(Mutations.Op.ADD, literal = "L")),
+          nop("n3"),
+          mutate(task("n4", "echo_task", "thing" -> lit("p")),
+            "path" -> mut(Mutations.Op.ADD, literal = "P")),
+          mutate(task("n5", "echo_task", "thing" -> lit("n")),
+            "path" -> mut(Mutations.Op.ADD, literal = "N")),
+          nop("n6"),
+          mutate(task("n7", "echo_task", "thing" -> lit("e")),
+            "path" -> mut(Mutations.Op.ADD, literal = "E")),
+          mutate(task("n8", "echo_task", "thing" -> lit("x")),
+            "path" -> mut(Mutations.Op.ADD, literal = "X")),
+          nop("n9")),
+        edges = Seq(
+          edge("n0", "n1", cond(c, "GREATER_THAN", lit(12))),
+          edge("n0", "n2", cond(c, "LESS_THAN_EQ", lit(12))),
+          edge("n1", "n3"), edge("n2", "n3"),
+          edge("n3", "n4", cond(c, "IN", lit(Vector(3, 5, 7, 11, 13, 17)))),
+          edge("n3", "n5", cond(c, "NOT_IN", lit(Vector(3, 5, 7, 11, 13, 17)))),
+          edge("n4", "n6"), edge("n5", "n6"),
+          edge("n6", "n7", cond(c, "EQUALS", lit(24))),
+          edge("n6", "n8", cond(c, "NOT_EQUALS", lit(24))),
+          edge("n7", "n9"), edge("n8", "n9"))))
+  }
+
+  /** EXTERNAL_EVENT with a 3 s timeout (N2, M2, R3 timers, R4 rollup). */
+  private val externalEventSpec = wfSpec("external_timeout", "main",
+    thread("main",
+      Map("got" -> WFRunVariableDef(VarType.STRING)),
+      nodes = Seq(
+        mutate(Node(name = "n0", nodeType = NodeType.EXTERNAL_EVENT,
+          externalEventDefName = Some("the-event"),
+          timeoutSeconds = Some(lit(3))),
+          "got" -> mut(Mutations.Op.ASSIGN)),
+        task("n1", "echo_task", "thing" -> varRef("got"))),
+      edges = Seq(edge("n0", "n1"))))
+
+  /** threads_basic shape: 3 children mutate the parent var under locks
+    * (N3, N4, M5), final divide with int truncation. */
+  private val threadsSpec = wfSpec("threads_locks", "main",
+    thread("main",
+      Map(
+        "input_var" -> WFRunVariableDef(VarType.INT),
+        "parent_var" -> WFRunVariableDef(VarType.INT),
+        "temp1" -> WFRunVariableDef(VarType.INT),
+        "temp2" -> WFRunVariableDef(VarType.INT),
+        "temp3" -> WFRunVariableDef(VarType.INT)),
+      nodes = Seq(
+        mutate(task("n0", "increment", "foo" -> varRef("input_var")),
+          "parent_var" -> mut(Mutations.Op.ASSIGN)),
+        mutate(Node(name = "n1", nodeType = NodeType.SPAWN_THREAD,
+          threadSpawnThreadSpecName = Some("subthread")),
+          "temp1" -> mut(Mutations.Op.ASSIGN, jsonPath = "$.threadId")),
+        mutate(Node(name = "n2", nodeType = NodeType.SPAWN_THREAD,
+          threadSpawnThreadSpecName = Some("subthread")),
+          "temp2" -> mut(Mutations.Op.ASSIGN, jsonPath = "$.threadId")),
+        mutate(Node(name = "n3", nodeType = NodeType.SPAWN_THREAD,
+          threadSpawnThreadSpecName = Some("bigger_subthread")),
+          "temp3" -> mut(Mutations.Op.ASSIGN, jsonPath = "$.threadId")),
+        Node(name = "n4", nodeType = NodeType.WAIT_FOR_THREAD,
+          threadWaitThreadId = Some(varRef("temp1"))),
+        Node(name = "n5", nodeType = NodeType.WAIT_FOR_THREAD,
+          threadWaitThreadId = Some(varRef("temp2"))),
+        Node(name = "n6", nodeType = NodeType.WAIT_FOR_THREAD,
+          threadWaitThreadId = Some(varRef("temp3"))),
+        mutate(task("n7", "increment", "foo" -> lit(2)),
+          "parent_var" -> mut(Mutations.Op.DIVIDE))),
+      edges = Seq(
+        edge("n0", "n1"), edge("n1", "n2"), edge("n2", "n3"),
+        edge("n3", "n4"), edge("n4", "n5"), edge("n5", "n6"),
+        edge("n6", "n7"))),
+    thread("subthread", Map.empty,
+      nodes = Seq(
+        mutate(task("s0", "increment", "foo" -> lit(12)),
+          "parent_var" -> mut(Mutations.Op.ADD))),
+      edges = Nil),
+    thread("bigger_subthread", Map.empty,
+      nodes = Seq(
+        task("b0", "increment", "foo" -> lit(123456)),
+        mutate(task("b1", "increment", "foo" -> lit(4)),
+          "parent_var" -> mut(Mutations.Op.SUBTRACT))),
+      edges = Seq(edge("b0", "b1"))))
+
+  /** Flaky task with numRetries=2 (M1 retry bookkeeping). */
+  private val retrySpec = wfSpec("retry_flaky", "main",
+    thread("main", Map.empty,
+      nodes = Seq(
+        Node(name = "n0", nodeType = NodeType.TASK,
+          taskDefName = Some("flaky_task"), numRetries = 2)),
+      edges = Nil))
+
+  /** Sleep workflow with an interrupt handler (M4, N5). */
+  private val interruptSpec = wfSpec("interruptible", "main",
+    thread("main", Map.empty,
+      nodes = Seq(
+        task("n0", "echo_task", "thing" -> lit("first")),
+        Node(name = "n1", nodeType = NodeType.SLEEP,
+          timeoutSeconds = Some(lit(5))),
+        task("n2", "echo_task", "thing" -> lit("third"))),
+      edges = Seq(edge("n0", "n1"), edge("n1", "n2")),
+      interrupts = Map("the-interrupt" -> "handler")),
+    thread("handler", Map.empty,
+      nodes = Seq(task("h0", "hello_there", "name" -> lit("interrupted"))),
+      edges = Nil))
+
+  /** Short-sleep workflow for stop/resume (M6): normal runs finish in
+    * ~2.2 s of virtual time; a stopped run only finishes after the
+    * resume at t=10 s, which the duration flag makes visible. */
+  private val stopResumeSpec = wfSpec("stoppable", "main",
+    thread("main", Map.empty,
+      nodes = Seq(
+        task("n0", "echo_task", "thing" -> lit("a")),
+        Node(name = "n1", nodeType = NodeType.SLEEP,
+          timeoutSeconds = Some(lit(2))),
+        task("n2", "echo_task", "thing" -> lit("b"))),
+      edges = Seq(edge("n0", "n1"), edge("n1", "n2"))))
+
+  /** Carries a STRING variable for index/search parity (Q2/Q3/Q9). */
+  private val searchSpec = wfSpec("search_var", "main",
+    thread("main",
+      Map("segment" -> WFRunVariableDef(VarType.STRING),
+        "spent" -> WFRunVariableDef(VarType.FLOAT)),
+      nodes = Seq(task("n0", "echo_task", "thing" -> varRef("segment"))),
+      edges = Nil))
+
+  // ===== queries =====
+
+  /** R1 + E3-E8 + E12: mutation arithmetic, int truncation + IEEE float
+    * ops — hash-checked against plain SQL arithmetic. */
+  def mutationChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = mutationSpec
+    Tables(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      .as[(Long, Double)]
+      .map { case (ok, price) =>
+        val (st, _) = Simulator.run(spec,
+          Map("x" -> (ok % 1000).toInt, "f" -> price))
+        val vars = st.threadRuns(0).variables
+        (ok, Mutations.toInt(vars("x")).toLong,
+          Mutations.toDouble(vars("f")), st.status)
+      }
+      .toDF("wf_run_id", "x_final", "f_final", "status")
+      .orderBy($"wf_run_id")
+  }
+
+  /** E15 comparators through real edge conditions. */
+  def conditionalPath(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = conditionalSpec
+    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+      .map { ok =>
+        val (st, _) = Simulator.run(spec, Map("c" -> (ok % 25).toInt))
+        (ok, st.threadRuns(0).variables("path").asInstanceOf[String], st.status)
+      }
+      .toDF("wf_run_id", "path", "status")
+      .orderBy($"wf_run_id")
+  }
+
+  /** N2/M2/R3/R4: even keys get the event after 2 s, odd keys time out
+    * after 3 s. */
+  def externalEventTimeout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = externalEventSpec
+    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+      .map { ok =>
+        val externals =
+          if (ok % 2 == 0) Seq(ExternalInput(3000L, "the-event", s"payload-$ok"))
+          else Nil
+        val (st, _) = Simulator.run(spec, externals = externals)
+        val task0 = st.threadRuns(0).taskRuns(0)
+        (ok, st.status, task0.failureReason.orNull)
+      }
+      .toDF("wf_run_id", "status", "failure_reason")
+      .orderBy($"wf_run_id")
+  }
+
+  /** N3/N4/M5: lock-serialized parent-variable arithmetic. */
+  def threadsLocks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = threadsSpec
+    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+      .map { ok =>
+        val input = (ok % 40 - 20).toInt
+        val (st, _) = Simulator.run(spec, Map("input_var" -> input))
+        (ok, Mutations.toInt(st.threadRuns(0).variables("parent_var")).toLong,
+          st.threadRuns.length.toLong, st.status)
+      }
+      .toDF("wf_run_id", "parent_var", "n_threads", "status")
+      .orderBy($"wf_run_id")
+  }
+
+  /** M1: attempts = key%4 failures then success; 3 failures exhaust
+    * numRetries=2 and halt. */
+  def retryFold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = retrySpec
+    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+      .map { ok =>
+        val failures = (ok % 4).toInt
+        val (st, _) = Simulator.run(spec,
+          tasks = (n, in, idx) =>
+            if (n == "flaky_task") {
+              if (idx < failures) Fail("flake") else Ok("finally")
+            } else Simulator.sharedTasks(n, in))
+        (ok, st.status, st.threadRuns(0).taskRuns.length.toLong)
+      }
+      .toDF("wf_run_id", "status", "n_attempts")
+      .orderBy($"wf_run_id")
+  }
+
+  /** M4: every third run is interrupted during its sleep; handler thread
+    * runs and the parent resumes. */
+  def interruptFold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = interruptSpec
+    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+      .map { ok =>
+        val externals =
+          if (ok % 3 == 0)
+            Seq(ExternalInput(3000L, "the-interrupt", s"payload-$ok"))
+          else Nil
+        val (st, _) = Simulator.run(spec, externals = externals)
+        (ok, st.status, st.threadRuns.length.toLong,
+          st.threadRuns(0).taskRuns.length.toLong)
+      }
+      .toDF("wf_run_id", "status", "n_threads", "n_tasks")
+      .orderBy($"wf_run_id")
+  }
+
+  /** M6: odd keys are stopped mid-sleep and resumed at t=10s; the run
+    * still completes but visibly later. */
+  def stopResumeFold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = stopResumeSpec
+    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+      .map { ok =>
+        val sr =
+          if (ok % 2 == 1)
+            Seq(StopResume(1500L, stop = true), StopResume(10000L, stop = false))
+          else Nil
+        val (st, _) = Simulator.run(spec, stopResumes = sr)
+        val duration = st.endTime.getOrElse(0L) - st.startTime.getOrElse(0L)
+        (ok, st.status, duration > 5000L,
+          st.threadRuns(0).taskRuns.length.toLong)
+      }
+      .toDF("wf_run_id", "status", "resumed_late", "n_tasks")
+      .orderBy($"wf_run_id")
+  }
+
+  /** Q2/Q3/Q9 search surface: fold runs carrying a STRING variable, then
+    * query the materialized state by variable value — the engine-side
+    * equivalent of `lhctl search WFRun segment BUILDING`. The variable
+    * comes through the engine's alias extraction (WFRun.getAliases). */
+  def varIndexSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = searchSpec
+    val cust = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val state = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_mktsegment", $"o_totalprice")
+      .as[(Long, String, Double)]
+      .map { case (ok, seg, price) =>
+        val (st, _) = Simulator.run(spec,
+          Map("segment" -> seg, "spent" -> price))
+        val aliases = st.aliases.toMap // String-valued vars only (Q3)
+        (ok, aliases.getOrElse("segment", null), st.status)
+      }
+      .toDF("wf_run_id", "segment", "status")
+    state.filter($"segment" === "BUILDING" && $"status" === "COMPLETED")
+      .select($"wf_run_id")
+      .orderBy($"wf_run_id")
+  }
+
+  /** E2: the engine's jsonpath evaluator exposed over events.props. */
+  def jsonPathProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events").select($"event_id", $"props")
+      .as[(Long, String)]
+      .map { case (id, props) =>
+        (id, Mutations.toInt(JsonPath.read(props, "$.k")).toLong)
+      }
+      .toDF("event_id", "k_value")
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_mutation_chain" -> (mutationChain _),
+    "e15_conditional_path" -> (conditionalPath _),
+    "n2_external_event_timeout" -> (externalEventTimeout _),
+    "n3_threads_locks" -> (threadsLocks _),
+    "m1_retry_fold" -> (retryFold _),
+    "m4_interrupt_fold" -> (interruptFold _),
+    "m6_stop_resume" -> (stopResumeFold _),
+    "q2_var_index_search" -> (varIndexSearch _),
+    "e2_jsonpath_props" -> (jsonPathProps _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "r1_mutation_chain" ->
+      """SELECT o_orderkey AS wf_run_id,
+        | cast(trunc(cast(((o_orderkey % 1000) + 7) * 3 AS DOUBLE) / 7.0)
+        |   AS BIGINT) - 2 AS x_final,
+        | (((o_totalprice + 1.5) - 100.0) * 2.0) / 4.0 AS f_final,
+        | 'COMPLETED' AS status
+        |FROM orders ORDER BY wf_run_id""".stripMargin,
+    "e15_conditional_path" ->
+      """SELECT o_orderkey AS wf_run_id,
+        | 'S' ||
+        | CASE WHEN (o_orderkey % 25) > 12 THEN 'H' ELSE 'L' END ||
+        | CASE WHEN (o_orderkey % 25) IN (3,5,7,11,13,17) THEN 'P' ELSE 'N' END ||
+        | CASE WHEN (o_orderkey % 25) = 24 THEN 'E' ELSE 'X' END AS path,
+        | 'COMPLETED' AS status
+        |FROM orders ORDER BY wf_run_id""".stripMargin,
+    "n2_external_event_timeout" ->
+      """SELECT o_orderkey AS wf_run_id,
+        | CASE WHEN o_orderkey % 2 = 0 THEN 'COMPLETED' ELSE 'HALTED' END
+        |   AS status,
+        | CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE 'TIMEOUT' END
+        |   AS failure_reason
+        |FROM orders ORDER BY wf_run_id""".stripMargin,
+    "n3_threads_locks" ->
+      """SELECT o_orderkey AS wf_run_id,
+        | cast(trunc(cast((o_orderkey % 40 - 20) + 22 AS DOUBLE) / 3.0)
+        |   AS BIGINT) AS parent_var,
+        | cast(4 AS BIGINT) AS n_threads,
+        | 'COMPLETED' AS status
+        |FROM orders ORDER BY wf_run_id""".stripMargin,
+    "m1_retry_fold" ->
+      """SELECT o_orderkey AS wf_run_id,
+        | CASE WHEN o_orderkey % 4 = 3 THEN 'HALTED' ELSE 'COMPLETED' END
+        |   AS status,
+        | cast(CASE WHEN o_orderkey % 4 = 3 THEN 3
+        |      ELSE o_orderkey % 4 + 1 END AS BIGINT) AS n_attempts
+        |FROM orders ORDER BY wf_run_id""".stripMargin,
+    "m4_interrupt_fold" ->
+      """SELECT o_orderkey AS wf_run_id,
+        | 'COMPLETED' AS status,
+        | cast(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |   AS n_threads,
+        | cast(3 AS BIGINT) AS n_tasks
+        |FROM orders ORDER BY wf_run_id""".stripMargin,
+    "m6_stop_resume" ->
+      """SELECT o_orderkey AS wf_run_id,
+        | 'COMPLETED' AS status,
+        | o_orderkey % 2 = 1 AS resumed_late,
+        | cast(3 AS BIGINT) AS n_tasks
+        |FROM orders ORDER BY wf_run_id""".stripMargin,
+    "q2_var_index_search" ->
+      """SELECT o_orderkey AS wf_run_id
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY wf_run_id""".stripMargin,
+    "e2_jsonpath_props" ->
+      """SELECT event_id,
+        | cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k_value
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}
+
+/** Minimal main-scope spec builders (mirrors the test Harness; the SDK
+  * compiler shapes from lhctl/lh_sdk/thread_spec_builder.py). */
+private object Harnesslets {
+  def lit(v: Any): VariableAssignment = VariableAssignment(literalValue = v)
+  def varRef(name: String, jsonPath: String = null): VariableAssignment =
+    VariableAssignment(wfRunVariableName = Some(name), jsonPath = Option(jsonPath))
+  def cond(l: VariableAssignment, cmp: String, r: VariableAssignment): EdgeCondition =
+    EdgeCondition(l, r, cmp)
+  def task(name: String, taskDef: String, vars: (String, VariableAssignment)*): Node =
+    Node(name = name, nodeType = NodeType.TASK, taskDefName = Some(taskDef),
+      variables = ListMap.from(vars))
+  def nop(name: String): Node = Node(name = name, nodeType = NodeType.NOP)
+  def mutate(n: Node, muts: (String, VariableMutation)*): Node =
+    n.copy(variableMutations = ListMap.from(muts))
+  def mut(op: String, jsonPath: String = null, literal: Any = null,
+      source: VariableAssignment = null): VariableMutation =
+    VariableMutation(op, Option(jsonPath), literal, Option(source))
+  def thread(name: String, vars: Map[String, WFRunVariableDef], nodes: Seq[Node],
+      edges: Seq[Edge], interrupts: Map[String, String] = Map.empty): ThreadSpec =
+    ThreadSpec(name = name, entrypointNodeName = null,
+      variableDefs = ListMap.from(vars),
+      interruptDefs = ListMap.from(interrupts.map { case (k, v) =>
+        k -> InterruptDef(v) }),
+      nodes = ListMap.from(nodes.map(n => n.name -> n)),
+      edges = edges.toVector)
+  def wfSpec(name: String, entrypoint: String, threads: ThreadSpec*): WFSpec =
+    SpecCodec.validate(WFSpec(name = name, objectId = s"$name-id",
+      entrypointThreadName = entrypoint,
+      threadSpecs = ListMap.from(threads.map(t => t.name -> t))))
+  def edge(from: String, to: String, c: EdgeCondition = null): Edge =
+    Edge(from, to, Option(c))
+}

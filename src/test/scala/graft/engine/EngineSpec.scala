@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.scalatest.funsuite.AnyFunSuite
-import scala.collection.immutable.VectorMap
+import scala.collection.immutable.ListMap
 import Harness._
 import Mutations.{Op => M}
 
@@ -182,8 +182,8 @@ class EngineSpec extends AnyFunSuite {
     assert(thr.taskRuns.length == 2)
     assert(thr.taskRuns.forall(_.status == Status.COMPLETED))
 
-    val bigBlob = VectorMap[String, Any](
-      "some_blob" -> VectorMap[String, Any](
+    val bigBlob = ListMap[String, Any](
+      "some_blob" -> ListMap[String, Any](
         "some_int" -> 1, "some_float" -> 2.5, "some_bool" -> false),
       "some_list" -> Vector(1, 2, 3, 4),
       "some_str" -> HELLO)
@@ -264,7 +264,7 @@ class EngineSpec extends AnyFunSuite {
           "my_obj" -> mut(M.REMOVE_KEY, literal = 1234))),
       edges = Seq(edge("n0", "n1"), edge("n1", "n2"))))
 
-  private val varMutObj1: VectorMap[String, Any] = VectorMap(
+  private val varMutObj1: ListMap[String, Any] = ListMap(
     "some_thing" -> Vector(1, 2, 3),
     "my_bool" -> true,
     "my_int" -> 50,
@@ -282,7 +282,7 @@ class EngineSpec extends AnyFunSuite {
     assert(vars("my_str") == DUMMY)
     assert(vars("my_float") == 3.2 - 2.5) // 0.7000000000000002
     // Java map.remove(Integer) on string keys: silent no-op — key stays.
-    assert(vars("my_obj").asInstanceOf[VectorMap[String, Any]]
+    assert(vars("my_obj").asInstanceOf[ListMap[String, Any]]
       .contains("1234"))
   }
 
@@ -300,7 +300,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("var_mutations case 3: bad-typed value mentions variable name") {
     val (s, _) = Harness.run(varMutationsSpec,
-      Map("my_obj" -> VectorMap[String, Any]("my_int" -> "not a real int"),
+      Map("my_obj" -> ListMap[String, Any]("my_int" -> "not a real int"),
         "my_list" -> Vector.empty[Any], "my_float" -> 3.2))
     assert(s.status == Status.HALTED)
     val thr = mainThread(s)

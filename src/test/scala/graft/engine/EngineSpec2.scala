@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.scalatest.funsuite.AnyFunSuite
-import scala.collection.immutable.VectorMap
+import scala.collection.immutable.ListMap
 import Harness._
 import Mutations.{Op => M}
 
@@ -234,7 +234,7 @@ class EngineSpec2 extends AnyFunSuite {
         edges = Nil))
     val (s, _) = Harness.run(spec,
       externals = Seq(ExternalInput(3000L, "some-event",
-        VectorMap[String, Any]("some_field" -> "obi-wan"))))
+        ListMap[String, Any]("some_field" -> "obi-wan"))))
     assert(s.status == Status.COMPLETED)
     val handler = s.threadRuns(1)
     assert(handler.variables("some_field") == "obi-wan")
