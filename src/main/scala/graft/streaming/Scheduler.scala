@@ -1,0 +1,237 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.immutable.ListMap
+
+import graft.engine._
+
+/** One output row of the scheduler fold — the Scala mirror of the
+  * reference's `SchedulerOutput` sum type (scheduler/SchedulerOutput
+  * .java:9-12): either a TaskScheduleRequest destined for the per-
+  * TaskDef task queue, or an updated WFRun snapshot destined for the
+  * state sink. Flattened for a stable streaming schema; `kind`
+  * discriminates. */
+case class SchedulerOut(
+    kind: String, // "tsr" | "snapshot"
+    wfRunId: String,
+    wfSpecName: String,
+    taskDefName: String, // == kafka topic for tsr rows (S2 fan-out)
+    threadId: Int,
+    taskRunPosition: Int,
+    status: String, // snapshot rows: run status
+    json: String) // tsr json | full WFRun snapshot json
+
+object SchedulerOut {
+  val TSR = "tsr"
+  val SNAPSHOT = "snapshot"
+}
+
+/** Streaming state value: the WFRun aggregate plus its pending timers,
+  * JSON-encoded (the reference keeps these in two RocksDB stores —
+  * SchedulerTopology.java:130-146; per-key state subsumes the timer
+  * store because timers only ever target their own wfRunId,
+  * WFRunTimer.java:5-11). */
+case class SchedulerState(wfRunJson: String, timersJson: String)
+
+/** The streaming deployment of the engine (SURVEY.md §7.1): one
+  * multiplexed `flatMapGroupsWithState` over the union WFEvent stream
+  * covering every deployed WFSpec — the Spark-native equivalent of the
+  * reference's one-Kafka-Streams-app-per-WFSpec scheduler
+  * (scheduler/SchedulerProcessor.java).
+  *
+  * Scale notes: state is partitioned by `wfRunId` (the only key the
+  * reference ever shards on); use the RocksDB state store provider +
+  * checkpointing for large cardinalities; `spark.sql.shuffle.partitions`
+  * sizes the state RDD. Timer parity (R3) comes from
+  * ProcessingTimeTimeout re-armed to the earliest pending timer each
+  * invocation, with a ~1 s trigger interval mirroring the reference's
+  * punctuator (Constants.java:36).
+  */
+object Scheduler {
+
+  /** Core stateful transform: WFEvent stream → scheduler outputs.
+    * `specs` maps wfSpecName → spec (broadcast with the closure). */
+  def apply(events: Dataset[WFEvent], specs: Map[String, WFSpec])
+      : Dataset[SchedulerOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.wfRunId)
+      .flatMapGroupsWithState[SchedulerState, SchedulerOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        stateFn(specs))
+  }
+
+  /** Per-key fold. Events within the group iterator are sorted by
+    * timestamp — Spark does not guarantee intra-group order across
+    * source partitions (SURVEY.md §7.4-6). */
+  def stateFn(specs: Map[String, WFSpec])(
+      wfRunId: String,
+      eventsIter: Iterator[WFEvent],
+      groupState: GroupState[SchedulerState]): Iterator[SchedulerOut] = {
+
+    val out = Vector.newBuilder[SchedulerOut]
+
+    var state: Option[WFRunState] = groupState.getOption
+      .filter(_.wfRunJson.nonEmpty).map(s => StateCodec.decode(s.wfRunJson))
+    var timers: Vector[WFRunTimer] = groupState.getOption
+      .map(s => decodeTimers(s.timersJson)).getOrElse(Vector.empty)
+    var specName: String = state.map(_.wfSpecName).getOrElse("")
+
+    def specFor(name: String): Option[WFSpec] = specs.get(name)
+
+    def emit(r: StepResult): Unit = {
+      r.toSchedule.foreach { tsr =>
+        out += SchedulerOut(SchedulerOut.TSR, tsr.wfRunId, tsr.wfSpecName,
+          tsr.taskDefName, tsr.threadId, tsr.taskRunPosition, "",
+          EventCodec.encodeTsr(tsr))
+      }
+      timers ++= r.timers
+      r.state.foreach { st =>
+        state = Some(st)
+        specName = st.wfSpecName
+        out += SchedulerOut(SchedulerOut.SNAPSHOT, st.objectId, st.wfSpecName,
+          "", -1, -1, st.status, StateCodec.encode(st))
+      }
+    }
+
+    def fireMatured(now: Long): Unit = {
+      var matured = timers.filter(_.maturationTimestamp <= now)
+        .sortBy(_.maturationTimestamp)
+      while (matured.nonEmpty) {
+        timers = timers.filterNot(_.maturationTimestamp <= now)
+        matured.foreach { t =>
+          specFor(specName).foreach { spec =>
+            val ev = WFEvent(spec.objectId, spec.name, t.wfRunId,
+              t.maturationTimestamp, t.threadRunId, WFEventType.TIMER_EVENT,
+              EventCodec.encodeTimer(t))
+            emit(Engine.processEvent(spec, state, ev))
+          }
+        }
+        matured = timers.filter(_.maturationTimestamp <= now)
+      }
+    }
+
+    if (groupState.hasTimedOut) {
+      fireMatured(System.currentTimeMillis())
+    } else {
+      val sorted = eventsIter.toArray.sortBy(_.timestamp)
+      sorted.foreach { ev =>
+        fireMatured(ev.timestamp)
+        specFor(if (ev.wfSpecName.nonEmpty) ev.wfSpecName else specName) match {
+          case Some(spec) => emit(Engine.processEvent(spec, state, ev))
+          case None => () // unknown spec: drop, mirroring unknown-run drops
+        }
+      }
+    }
+
+    // persist + re-arm the timeout to the earliest pending timer (R3)
+    groupState.update(SchedulerState(
+      state.map(StateCodec.encode).getOrElse(""), encodeTimers(timers)))
+    if (timers.nonEmpty) {
+      val next = timers.map(_.maturationTimestamp).min
+      val delay = math.max(1L, next - System.currentTimeMillis())
+      groupState.setTimeoutDuration(delay)
+    }
+    out.result().iterator
+  }
+
+  private def encodeTimers(ts: Vector[WFRunTimer]): String =
+    LHJson.render(ts.map(t => LHJson.parse(EventCodec.encodeTimer(t))))
+
+  private def decodeTimers(json: String): Vector[WFRunTimer] =
+    if (json.isEmpty) Vector.empty
+    else LHJson.parse(json) match {
+      case xs: Vector[_] =>
+        xs.map(x => EventCodec.decodeTimer(LHJson.render(x)))
+      case _ => Vector.empty
+    }
+
+  // ===== Kafka wiring (S1, S2, S3) =====
+  // The connector is resolved by name at runtime
+  // (`--packages org.apache.spark:spark-sql-kafka-0-10_2.13` on a real
+  // cluster); nothing here links against Kafka classes.
+
+  /** S1: per-WFSpec event topics `wfEvents__{name}` consumed as one
+    * union stream, key = wfRunId (WFSpec.java:375-381). */
+  def kafkaEventSource(
+      spark: SparkSession, bootstrap: String, topicPattern: String)
+      : Dataset[WFEvent] = {
+    import spark.implicits._
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribePattern", topicPattern)
+      .option("startingOffsets", "earliest")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS v")
+      .as[String]
+      .map(EventCodec.decodeWFEvent)
+  }
+
+  /** S2: task-queue fan-out — a single kafka sink with a computed
+    * `topic` column replaces the reference's one-filter-processor-per-
+    * TaskDef topology (SchedulerTopology.java:89-107). */
+  def kafkaTaskQueueSink(
+      outputs: Dataset[SchedulerOut], bootstrap: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[_] = {
+    outputs.filter(col("kind") === SchedulerOut.TSR)
+      .select(
+        col("taskDefName").as("topic"),
+        col("wfRunId").cast("binary").as("key"),
+        col("json").cast("binary").as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("checkpointLocation", checkpoint)
+  }
+
+  /** S3: WFRun snapshot sink → parquet state table (the reference
+    * forwards snapshots to the WFRun ID topic for the API layer,
+    * SchedulerTopology.java:110-127). At scale this becomes a Delta
+    * MERGE; with plain parquet we append every snapshot and query the
+    * latest per run via [[StateTable.latest]]. */
+  def parquetStateSink(
+      outputs: Dataset[SchedulerOut], dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[_] = {
+    outputs.filter(col("kind") === SchedulerOut.SNAPSHOT)
+      .writeStream.format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+  }
+}
+
+/** The query surface over materialized snapshots (SURVEY.md §2.5):
+  * point lookup (Q1), variable search (Q2/Q9), scan (Q4), name-or-id
+  * (Q8). */
+object StateTable {
+
+  /** Latest snapshot per run (append-log compaction at read time). */
+  def latest(snapshots: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("wfRunId"))
+      .orderBy(col("seq").desc)
+    snapshots.withColumn("seq", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "seq")
+  }
+
+  /** Q2/Q9: `search WFRun <varName> <value>` — every String-valued
+    * variable of every thread is an index alias (WFRun.getAliases,
+    * WFRun.java:320-338). */
+  def searchByVariable(
+      latestSnapshots: DataFrame, varName: String, value: String): DataFrame = {
+    val spark = latestSnapshots.sparkSession
+    import spark.implicits._
+    latestSnapshots.select($"wfRunId", $"json").as[(String, String)]
+      .filter { case (_, json) =>
+        val st = StateCodec.decode(json)
+        st.aliases.exists { case (k, v) => k == varName && v == value }
+      }
+      .toDF("wfRunId", "json").select($"wfRunId")
+  }
+
+  /** Q1: point lookup by run id. */
+  def byId(latestSnapshots: DataFrame, id: String): DataFrame =
+    latestSnapshots.filter(col("wfRunId") === id)
+}
