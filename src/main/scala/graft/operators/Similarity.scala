@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]` column).
+  *
+  * Scale design (100 TB):
+  *  - brute force: broadcast the (small) query set against the full
+  *    corpus — one scan, no shuffle on the corpus side; per-partition
+  *    top-k via window. The exactness baseline.
+  *  - LSH (random hyperplanes): corpus is bucketed by sign-bit sketch;
+  *    queries probe only their bucket (and could multi-probe neighbors)
+  *    so the join touches corpus/2^bits instead of everything. The
+  *    recall/latency dial is the sketch width.
+  *  - IVF shape falls out the same way with k-means centroids as the
+  *    bucketing function; hyperplane LSH is used here because it is
+  *    deterministic without a training pass.
+  *
+  * Dot products use codegen'd higher-order functions (zip_with +
+  * aggregate) in double precision with sequential fold order so the
+  * DuckDB oracle's double cosine is bit-identical.
+  */
+object Similarity {
+
+  private val K = 5
+  private val N_QUERIES = 10
+  private val LSH_BITS = 8
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", sqrt(aggregate(
+      col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+
+  private def cosine = {
+    val dot = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    dot / (col("a.norm") * col("b.norm"))
+  }
+
+  /** Exact top-k cosine neighbors for the first 10 vectors. */
+  def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = withNorm(Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+    val queries = emb.filter($"vec_id" < N_QUERIES)
+    val scored = queries.as("a")
+      .join(broadcast(emb).as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
+        cosine.as("cos"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** LSH-bucketed ANN: 8 deterministic random hyperplanes (components
+    * derived from xxhash64 of (plane, dim)), sign bits form the bucket;
+    * queries rerank only within their bucket. Approximate by design →
+    * rows-only check; quality is asserted in the ScalaTest spec against
+    * the brute-force baseline. */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = withNorm(Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+
+    // deterministic pseudo-random hyperplane component for (plane, dim):
+    // xxhash64 mapped to [-0.5, 0.5)
+    def planeComponent(plane: Int) =
+      transform(sequence(lit(0), size($"v") - 1),
+        d => (pmod(xxhash64(lit(plane), d), lit(1000000L)) / 1000000.0d) - 0.5d)
+    val sketchBits = (0 until LSH_BITS).map { p =>
+      val dot = aggregate(
+        zip_with($"v", planeComponent(p), (x, h) => x * h),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    val sketched = emb.withColumn("bucket", sketchBits.reduce(_ + _))
+
+    val queries = sketched.filter($"vec_id" < N_QUERIES)
+    val scored = queries.as("a")
+      .join(sketched.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
+        cosine.as("cos"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_force_topk" -> (bruteForceTopK _),
+    "ann_lsh_topk" -> (lshTopK _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_force_topk" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    cast(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) DESC,
+        |      b.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // ann_lsh_topk: approximate by design — rows-only.
+  )
+}
