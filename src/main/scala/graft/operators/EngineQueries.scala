@@ -210,6 +210,7 @@ object EngineQueries {
     import s.implicits._
     val spec = conditionalSpec
     Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+      .filter((ok: Long) => ok % 10 == 0) // 1-in-10 sample: fold cost, not scan cost
       .map { ok =>
         val (st, _) = Simulator.run(spec, Map("c" -> (ok % 25).toInt))
         (ok, st.threadRuns(0).variables("path").asInstanceOf[String], st.status)
@@ -241,6 +242,7 @@ object EngineQueries {
     import s.implicits._
     val spec = threadsSpec
     Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+      .filter((ok: Long) => ok % 10 == 0) // 1-in-10 sample
       .map { ok =>
         val input = (ok % 40 - 20).toInt
         val (st, _) = Simulator.run(spec, Map("input_var" -> input))
@@ -276,6 +278,7 @@ object EngineQueries {
     import s.implicits._
     val spec = interruptSpec
     Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+      .filter((ok: Long) => ok % 10 == 0) // 1-in-10 sample
       .map { ok =>
         val externals =
           if (ok % 3 == 0)
@@ -374,7 +377,8 @@ object EngineQueries {
         | CASE WHEN (o_orderkey % 25) IN (3,5,7,11,13,17) THEN 'P' ELSE 'N' END ||
         | CASE WHEN (o_orderkey % 25) = 24 THEN 'E' ELSE 'X' END AS path,
         | 'COMPLETED' AS status
-        |FROM orders ORDER BY wf_run_id""".stripMargin,
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY wf_run_id""".stripMargin,
     "n2_external_event_timeout" ->
       """SELECT o_orderkey AS wf_run_id,
         | CASE WHEN o_orderkey % 2 = 0 THEN 'COMPLETED' ELSE 'HALTED' END
@@ -388,7 +392,8 @@ object EngineQueries {
         |   AS BIGINT) AS parent_var,
         | cast(4 AS BIGINT) AS n_threads,
         | 'COMPLETED' AS status
-        |FROM orders ORDER BY wf_run_id""".stripMargin,
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY wf_run_id""".stripMargin,
     "m1_retry_fold" ->
       """SELECT o_orderkey AS wf_run_id,
         | CASE WHEN o_orderkey % 4 = 3 THEN 'HALTED' ELSE 'COMPLETED' END
@@ -402,7 +407,8 @@ object EngineQueries {
         | cast(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
         |   AS n_threads,
         | cast(3 AS BIGINT) AS n_tasks
-        |FROM orders ORDER BY wf_run_id""".stripMargin,
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY wf_run_id""".stripMargin,
     "m6_stop_resume" ->
       """SELECT o_orderkey AS wf_run_id,
         | 'COMPLETED' AS status,

@@ -30,16 +30,13 @@ object Similarity {
   private val N_QUERIES = 10
   private val LSH_BITS = 8
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", sqrt(aggregate(
-      col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+  import graft.functions.VectorOps.dot
 
-  private def cosine = {
-    val dot = aggregate(
-      zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x)
-    dot / (col("a.norm") * col("b.norm"))
-  }
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  private def cosine =
+    dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))
 
   /** Exact top-k cosine neighbors for the first 10 vectors. */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
@@ -75,10 +72,8 @@ object Similarity {
       transform(sequence(lit(0), size($"v") - 1),
         d => (pmod(xxhash64(lit(plane), d), lit(1000000L)) / 1000000.0d) - 0.5d)
     val sketchBits = (0 until LSH_BITS).map { p =>
-      val dot = aggregate(
-        zip_with($"v", planeComponent(p), (x, h) => x * h),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      val proj = dot($"v", planeComponent(p))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     val sketched = emb.withColumn("bucket", sketchBits.reduce(_ + _))
 
