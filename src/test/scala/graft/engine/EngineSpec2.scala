@@ -241,6 +241,78 @@ class EngineSpec2 extends AnyFunSuite {
     assert(handler.taskRuns(0).stdout == "Hello there, obi-wan!")
   }
 
+  // ===== interrupts_multiple.py =====
+
+  private val interruptsMultipleSpec = wfSpec("interrupts_multiple", "main",
+    thread("main", Map.empty,
+      nodes = Seq(
+        task("n0", "hello_there", "name" -> lit("R2-D2")),
+        Node(name = "n1", nodeType = NodeType.SLEEP,
+          timeoutSeconds = Some(lit(5)))),
+      edges = Seq(edge("n0", "n1")),
+      interrupts = Map(
+        "some-event" -> "some_event_handler",
+        "another-event" -> "another_event_handler")),
+    thread("some_event_handler", Map.empty,
+      nodes = Seq(task("h0", "hello_there", "name" -> lit("General Kenobi"))),
+      edges = Nil),
+    thread("another_event_handler", Map.empty,
+      nodes = Seq(task("a0", "hello_there", "name" -> lit("Padawan"))),
+      edges = Nil))
+
+  test("interrupts_multiple: each registered event routes to its handler") {
+    for ((event, expect) <- Seq(
+      ("some-event", "Hello there, General Kenobi!"),
+      ("another-event", "Hello there, Padawan!"))) {
+      val (s, _) = Harness.run(interruptsMultipleSpec,
+        externals = Seq(ExternalInput(3000L, event, "hola")))
+      assert(s.status == Status.COMPLETED, event)
+      assert(s.threadRuns.length == 2, event)
+      val main = mainThread(s)
+      assert(main.taskRuns.length == 2) // hello + sleep
+      assert(main.taskRuns(0).stdout == "Hello there, R2-D2!")
+      assert(main.taskRuns.forall(_.status == Status.COMPLETED))
+      val handler = s.threadRuns(1)
+      assert(handler.status == Status.COMPLETED, event)
+      assert(handler.taskRuns.length == 1)
+      assert(handler.taskRuns(0).stdout == expect, event)
+    }
+    // note: the reference cannot stack two interrupts on one run — its
+    // own interrupts_multiple_2 case is commented out as unsupported.
+  }
+
+  // ===== E1 metadata variable sources =====
+
+  test("wfRunMetadata assignments: WF_RUN_GUID/WF_SPEC_NAME/THREAD_ID/defaults") {
+    def meta(name: String) = VariableAssignment(wfRunMetadata = Some(name))
+    val spec = wfSpec("meta_vars", "main",
+      thread("main",
+        Map(
+          "run_guid" -> WFRunVariableDef(VarType.STRING),
+          "spec_name" -> WFRunVariableDef(VarType.STRING),
+          "thread_id" -> WFRunVariableDef(VarType.INT),
+          "fallback" -> WFRunVariableDef(VarType.STRING)),
+        nodes = Seq(
+          mutate(task("n0", "echo_task", "thing" -> lit("x")),
+            "run_guid" -> mut(Mutations.Op.ASSIGN).copy(
+              sourceVariable = Some(meta("WF_RUN_GUID"))),
+            "spec_name" -> mut(Mutations.Op.ASSIGN).copy(
+              sourceVariable = Some(meta("WF_SPEC_NAME"))),
+            "thread_id" -> mut(Mutations.Op.ASSIGN).copy(
+              sourceVariable = Some(meta("THREAD_ID"))),
+            "fallback" -> mut(Mutations.Op.ASSIGN).copy(
+              sourceVariable = Some(VariableAssignment(
+                defaultValue = "the-default"))))),
+        edges = Nil))
+    val (s, _) = Harness.run(spec)
+    assert(s.status == Status.COMPLETED)
+    val vars = mainThread(s).variables
+    assert(vars("run_guid") == "run-1")
+    assert(vars("spec_name") == "meta_vars")
+    assert(vars("thread_id") == 0)
+    assert(vars("fallback") == "the-default")
+  }
+
   // ===== retries_task.py =====
 
   private def retriesSpec(numRetries: Int) = wfSpec("retries_task", "main",
