@@ -15,16 +15,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-operators-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
-  override def afterAll(): Unit = spark.stop()
-
-  test("simhash finds the planted near-duplicate pairs") {
+    test("simhash finds the planted near-duplicate pairs") {
     val simhash = Dedup.simhashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.ngramJaccardPairs(spark, dir).collect()

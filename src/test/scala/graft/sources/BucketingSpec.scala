@@ -12,22 +12,19 @@ import org.scalatest.BeforeAndAfterAll
   */
 class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val warehouse =
-    java.nio.file.Files.createTempDirectory("graft-wh").toString
+  private lazy val spark = graft.TestSpark.session
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.warehouse.dir", warehouse)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-    // AQE off so executedPlan holds plain ShuffleExchangeExec nodes the
-    // assertions can count (bucketing semantics are unaffected)
-    .config("spark.sql.adaptive.enabled", "false")
-    .config("spark.sql.ui.explainMode", "formatted")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // force SMJ + AQE off (so executedPlan holds countable
+  // ShuffleExchangeExec nodes); restored after the suite
+  override protected def beforeAll(): Unit = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 
   private val dir = "/root/testdata/sf0.001"
 

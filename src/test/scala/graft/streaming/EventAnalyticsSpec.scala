@@ -14,15 +14,9 @@ import EventAnalytics.Event
   * the watermark is dropped). */
 class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
-  override def afterAll(): Unit = spark.stop()
-
-  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+    private def ts(sec: Long) = new Timestamp(sec * 1000L)
 
   /** Wait until at least one further microbatch with data committed, so
     * the watermark from the previous adds takes effect. */

@@ -9,19 +9,13 @@ import graft.engine.SpecValidationError
 /** CRUD + validation surface (Q1/Q4/Q6/Q8, S4 compaction semantics). */
 class MetadataStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
   private lazy val root =
     java.nio.file.Files.createTempDirectory("graft-meta").toString
   private lazy val store = new MetadataStore(spark, root)
 
-  override def afterAll(): Unit = spark.stop()
-
-  private val goodSpec =
+    private val goodSpec =
     """{"name": "meta_basic", "entrypointThreadName": "main",
       | "threadSpecs": {"main": {"nodes": {
       |   "n0": {"nodeType": "TASK", "taskDefName": "echo_task",

@@ -19,15 +19,9 @@ import graft.engine.Harness._
   */
 class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
-  override def afterAll(): Unit = spark.stop()
-
-  // Tasks carry a 2 s timeout + retries: a TSR emitted in a committed
+    // Tasks carry a 2 s timeout + retries: a TSR emitted in a committed
   // batch is NOT replayed after restart (at-least-once sink), so a
   // worker-missed task must be recovered by the timeout timer
   // rescheduling it — the same story as the reference's worker-crash
@@ -119,7 +113,8 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     q2.stop()
     assert(done, s"run did not complete after restart; " +
-      s"snapshots=${snapshots.values.map(_._1)}, tsrs=${tsrSeen.get()}")
+      s"snapshots=${snapshots.values.map(_._1)}, tsrs=${tsrSeen.get()}, " +
+      s"lastState=${snapshots.toVector.sortBy(_._1).lastOption.map(_._2._2)}")
 
     val finalState = StateCodec.decode(
       snapshots.toVector.maxBy(_._1)._2._2)

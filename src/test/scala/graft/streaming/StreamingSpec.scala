@@ -19,16 +19,9 @@ import graft.engine.Harness._
   */
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-streaming-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session
 
-  override def afterAll(): Unit = spark.stop()
-
-  private def now(): Long = System.currentTimeMillis()
+    private def now(): Long = System.currentTimeMillis()
 
   /** Drive one run through the streaming scheduler with a loopback
     * worker; returns the snapshot log (status history) and final state. */
