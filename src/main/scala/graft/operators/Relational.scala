@@ -250,7 +250,27 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Skew-safe aggregation: event_type has only 5 values, so a naive
+    * groupBy concentrates each key on one reducer. Salting fans each
+    * hot key across 16 partial groups, then a second (tiny) aggregation
+    * merges the partials — the standard two-phase treatment for skewed
+    * keys at scale (counts and 2-decimal sums recombine exactly, so the
+    * oracle is the plain GROUP BY). */
+  def q17SaltedSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val salted = t(s, dir, "events")
+      .withColumn("salt", pmod($"event_id", lit(16)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"),
+        sum($"value".cast("decimal(18,2)")).as("psum"))
+    salted.groupBy($"event_type")
+      .agg(sum($"pn").as("n"),
+        r2(sum($"psum").cast("double")).as("total"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_salted_skew_agg" -> (q17SaltedSkewAgg _),
     "q1_pricing_agg" -> (q1Pricing _),
     "q2_filter_pushdown" -> (q2FilterPushdown _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -270,6 +290,10 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_salted_skew_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | round(cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

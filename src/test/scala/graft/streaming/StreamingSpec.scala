@@ -162,6 +162,80 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(elapsed >= 2000L, s"completed too fast: ${elapsed}ms")
   }
 
+  test("streaming: one multiplexed query serves multiple specs and runs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val specA = wfSpec("mux_a", "main",
+      thread("main", Map("who" -> WFRunVariableDef(VarType.STRING)),
+        nodes = Seq(
+          mutate(task("a0", "hello_there", "name" -> varRef("who")),
+            "who" -> mut(Mutations.Op.ADD, literal = "!"))),
+        edges = Nil))
+    val specB = wfSpec("mux_b", "main",
+      thread("main", Map.empty,
+        nodes = Seq(
+          task("b0", "echo_task", "thing" -> lit("one")),
+          task("b1", "echo_task", "thing" -> lit("two"))),
+        edges = Seq(edge("b0", "b1"))))
+
+    val input = MemoryStream[WFEvent]
+    val outputs = Scheduler(input.toDS(),
+      Map(specA.name -> specA, specB.name -> specB))
+    val finals = TrieMap.empty[String, String] // runId -> final snapshot json
+
+    val query = outputs.writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SchedulerOut], _: Long) =>
+        batch.collect().foreach {
+          case r if r.kind == SchedulerOut.TSR =>
+            val tsr = EventCodec.decodeTsr(r.json)
+            Simulator.sharedTasks(tsr.taskDefName, tsr.variableSubstitutions) match {
+              case Simulator.Ok(v, _) =>
+                val t = now()
+                input.addData(WFEvent(tsr.wfSpecId, tsr.wfSpecName,
+                  tsr.wfRunId, t, tsr.threadId, WFEventType.TASK_EVENT,
+                  EventCodec.encodeTaskRunEvent(TaskRunEvent(
+                    tsr.threadId, tsr.taskRunPosition, t, 0, None,
+                    Some(TaskRunEndedPayload(TaskRunResult(
+                      Some(LHJson.render(v)), None, success = true, 0)))))))
+              case other => fail(s"unexpected behavior $other")
+            }
+          case r if r.status == Status.COMPLETED =>
+            finals.put(r.wfRunId, r.json)
+          case _ => ()
+        }
+      }
+      .start()
+
+    try {
+      val runs = Seq(
+        ("a-1", specA, Map[String, Any]("who" -> "Obi-Wan")),
+        ("a-2", specA, Map[String, Any]("who" -> "Grievous")),
+        ("b-1", specB, Map.empty[String, Any]),
+        ("b-2", specB, Map.empty[String, Any]))
+      runs.foreach { case (id, sp, vars) =>
+        input.addData(WFEvent(sp.objectId, sp.name, id, now(), 0,
+          WFEventType.WF_RUN_STARTED,
+          EventCodec.encodeRunRequest(WFRunRequest(
+            ListMap.from(vars), sp.objectId, Some(id)))))
+      }
+      val deadline = now() + 30000
+      while (finals.size < 4 && now() < deadline) Thread.sleep(150)
+      assert(finals.keySet == Set("a-1", "a-2", "b-1", "b-2"),
+        s"completed: ${finals.keySet}")
+
+      // per-key isolation: each run folded against its own spec + vars
+      val a1 = StateCodec.decode(finals("a-1"))
+      assert(a1.threadRuns(0).variables("who") == "Obi-Wan!")
+      assert(a1.threadRuns(0).taskRuns(0).stdout == "Hello there, Obi-Wan!")
+      val a2 = StateCodec.decode(finals("a-2"))
+      assert(a2.threadRuns(0).variables("who") == "Grievous!")
+      val b1 = StateCodec.decode(finals("b-1"))
+      assert(b1.threadRuns(0).taskRuns.map(_.stdout).toSeq == Seq("one", "two"))
+    } finally query.stop()
+  }
+
   test("streaming: external-event timeout halts the run") {
     val spec = wfSpec("ee_timeout_stream", "main",
       thread("main",
