@@ -100,15 +100,24 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!snapshots.values.exists(_._1 == Status.COMPLETED),
       "run should not be complete yet")
 
-    // second incarnation: recover state from the checkpoint and finish
+    // second incarnation: recover state from the checkpoint and finish.
+    // The lost third task comes back through the timeout-retry path; we
+    // nudge the key with harmless RESUME events because any event for a
+    // key fires its matured timers synchronously in the state function —
+    // under full-suite load, waiting on Spark's own processing-time
+    // timeout invocation alone is timing-flaky.
     respondToTasks = true
     val q2 = startQuery()
-    // nudge with a re-delivered third-task request if it was lost:
-    // at-least-once is acceptable — the engine ignores duplicate results
     val deadline2 = now() + 30000
     var done = false
+    var lastNudge = 0L
     while (!done && now() < deadline2) {
       Thread.sleep(150)
+      if (now() - lastNudge > 2000) {
+        lastNudge = now()
+        input.addData(WFEvent(spec.objectId, spec.name, "rec-run-1", now(), 0,
+          WFEventType.WF_RUN_RESUME_REQUEST, ""))
+      }
       done = snapshots.values.exists(_._1 == Status.COMPLETED)
     }
     q2.stop()
