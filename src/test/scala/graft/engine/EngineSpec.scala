@@ -310,6 +310,54 @@ class EngineSpec extends AnyFunSuite {
     assert(tr.failureReason.contains(FailureReason.VARIABLE_LOOKUP_ERROR))
   }
 
+  test("SpecCodec decodes the full SDK document shape (FIXTURES.md §1.1)") {
+    val json =
+      """{
+        | "name": "basic", "entrypointThreadName": "basic",
+        | "threadSpecs": {
+        |  "basic": {
+        |   "name": "basic",
+        |   "entrypointNodeName": "0-task-echo-ab12c",
+        |   "variableDefs": {
+        |     "my_name_var": {"type": "STRING", "defaultValue": null},
+        |     "my_int": {"type": "INT", "defaultValue": 5}},
+        |   "interruptDefs": {
+        |     "some-event": {"handlerThreadName": "interrupt_handler_thread"}},
+        |   "nodes": {
+        |    "0-task-echo-ab12c": {
+        |      "nodeType": "TASK", "taskDefName": "echo_task",
+        |      "numRetries": 2,
+        |      "timeoutSeconds": {"literalValue": 3},
+        |      "variables": {"thing": {"literalValue": "Hello, there!"}},
+        |      "variableMutations": {
+        |        "my_name_var": {"operation": "ASSIGN", "jsonPath": null}}},
+        |    "1-next": {"nodeType": "NOP"}},
+        |   "edges": [
+        |     {"sourceNodeName": "0-task-echo-ab12c", "sinkNodeName": "1-next",
+        |      "condition": {
+        |        "leftSide": {"wfRunVariableName": "my_int"},
+        |        "rightSide": {"literalValue": 10},
+        |        "comparator": "GREATER_THAN"}}]},
+        |  "interrupt_handler_thread": {
+        |   "nodes": {"h0": {"nodeType": "TASK", "taskDefName": "echo_task",
+        |     "variables": {"thing": {"literalValue": "hi"}}}},
+        |   "edges": []}}}""".stripMargin
+    val spec = SpecCodec.decode(json)
+    val t = spec.threadSpecs("basic")
+    assert(t.entrypointNodeName == "0-task-echo-ab12c")
+    assert(t.variableDefs("my_int").defaultValue == 5)
+    assert(t.interruptDefs("some-event").handlerThreadName ==
+      "interrupt_handler_thread")
+    assert(spec.interruptEvents == Set("some-event"))
+    val n0 = t.nodes("0-task-echo-ab12c")
+    assert(n0.numRetries == 2)
+    assert(n0.timeoutSeconds.get.literalValue == 3)
+    assert(n0.variableMutations("my_name_var").operation == "ASSIGN")
+    val e = t.edges.head
+    assert(e.condition.get.comparator == "GREATER_THAN")
+    assert(e.condition.get.leftSide.wfRunVariableName.contains("my_int"))
+  }
+
   // ===== state snapshot codec round trip =====
 
   test("StateCodec round-trips a completed run") {

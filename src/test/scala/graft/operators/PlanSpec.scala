@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-property regressions: the things `.explain` review verified
+  * once must stay true — filters and pruned schemas reach the parquet
+  * scan, dimension joins broadcast, the top-N sort uses
+  * TakeOrderedAndProject instead of a global sort.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  // formatted mode: untruncated node details + codegen-id annotations
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q2: filter and projection are pushed to the parquet scan") {
+    val plan = planOf(Relational.q2FilterPushdown(spark, dir))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("EqualTo(o_orderstatus,F)"), plan.take(2000))
+    assert(plan.contains("GreaterThan(o_totalprice,200000.0)"))
+    // pruned read schema: only the 4 needed columns, not the whole table
+    assert(plan.contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+        "o_orderstatus:string,o_totalprice:double>"))
+    assert(!plan.contains("o_orderdate"), "unpruned column read")
+  }
+
+  test("q3: dimension side broadcasts; fact filters pushed") {
+    val plan = planOf(Relational.q3ShippingPriority(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(plan.contains("GreaterThan(l_shipdate,"))
+  }
+
+  test("q8: sort+limit plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Relational.q8TopOrders(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q5: every dimension in the chain broadcasts") {
+    val plan = planOf(Relational.q5LocalSupplier(spark, dir))
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GraftFunctions
+    // a bare projection (no sort/AQE boundary) must produce exactly one
+    // WholeStageCodegen subtree containing the generated static calls —
+    // i.e. neither expression falls back to interpreted eval
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.rolling_hash64(col("text")).as("r"),
+        GraftFunctions.simhash64(col("text")).as("s"))
+    val codegen = docs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.startsWith("Found 1 WholeStageCodegen subtrees"),
+      codegen.linesIterator.take(1).mkString)
+    assert(codegen.contains("graft.functions.TextHashes.rollingHashUtf8"))
+    assert(codegen.contains("graft.functions.TextHashes.simhash64Utf8"))
+  }
+}
