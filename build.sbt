@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Streaming suites are wall-clock sensitive (task timeouts, triggers)
+// and share one SparkSession; running suites in parallel makes batch
+// latency exceed in-test timeouts. Run them serially.
+Test / parallelExecution := false
