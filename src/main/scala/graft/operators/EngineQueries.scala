@@ -193,7 +193,7 @@ object EngineQueries {
     import s.implicits._
     val spec = mutationSpec
     Tables(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
-      .as[(Long, Double)]
+      .repartition(col("o_orderkey")).as[(Long, Double)]
       .map { case (ok, price) =>
         val (st, _) = Simulator.run(spec,
           Map("x" -> (ok % 1000).toInt, "f" -> price))
@@ -209,7 +209,8 @@ object EngineQueries {
   def conditionalPath(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spec = conditionalSpec
-    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+    Tables(s, dir, "orders").select($"o_orderkey")
+      .repartition(col("o_orderkey")).as[Long]
       .filter((ok: Long) => ok % 10 == 0) // 1-in-10 sample: fold cost, not scan cost
       .map { ok =>
         val (st, _) = Simulator.run(spec, Map("c" -> (ok % 25).toInt))
@@ -224,7 +225,8 @@ object EngineQueries {
   def externalEventTimeout(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spec = externalEventSpec
-    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+    Tables(s, dir, "orders").select($"o_orderkey")
+      .repartition(col("o_orderkey")).as[Long]
       .map { ok =>
         val externals =
           if (ok % 2 == 0) Seq(ExternalInput(3000L, "the-event", s"payload-$ok"))
@@ -241,7 +243,8 @@ object EngineQueries {
   def threadsLocks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spec = threadsSpec
-    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+    Tables(s, dir, "orders").select($"o_orderkey")
+      .repartition(col("o_orderkey")).as[Long]
       .filter((ok: Long) => ok % 10 == 0) // 1-in-10 sample
       .map { ok =>
         val input = (ok % 40 - 20).toInt
@@ -258,7 +261,8 @@ object EngineQueries {
   def retryFold(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spec = retrySpec
-    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+    Tables(s, dir, "orders").select($"o_orderkey")
+      .repartition(col("o_orderkey")).as[Long]
       .map { ok =>
         val failures = (ok % 4).toInt
         val (st, _) = Simulator.run(spec,
@@ -277,7 +281,8 @@ object EngineQueries {
   def interruptFold(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spec = interruptSpec
-    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+    Tables(s, dir, "orders").select($"o_orderkey")
+      .repartition(col("o_orderkey")).as[Long]
       .filter((ok: Long) => ok % 10 == 0) // 1-in-10 sample
       .map { ok =>
         val externals =
@@ -297,7 +302,8 @@ object EngineQueries {
   def stopResumeFold(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spec = stopResumeSpec
-    Tables(s, dir, "orders").select($"o_orderkey").as[Long]
+    Tables(s, dir, "orders").select($"o_orderkey")
+      .repartition(col("o_orderkey")).as[Long]
       .map { ok =>
         val sr =
           if (ok % 2 == 1)
@@ -325,7 +331,7 @@ object EngineQueries {
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", $"c_mktsegment", $"o_totalprice")
-      .as[(Long, String, Double)]
+      .repartition(col("o_orderkey")).as[(Long, String, Double)]
       .map { case (ok, seg, price) =>
         val (st, _) = Simulator.run(spec,
           Map("segment" -> seg, "spent" -> price))
@@ -342,7 +348,7 @@ object EngineQueries {
   def jsonPathProps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "events").select($"event_id", $"props")
-      .as[(Long, String)]
+      .repartition(col("event_id")).as[(Long, String)]
       .map { case (id, props) =>
         (id, Mutations.toInt(JsonPath.read(props, "$.k")).toLong)
       }
