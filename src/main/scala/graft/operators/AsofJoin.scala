@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** As-of join — an operator Spark lacks natively, re-expressed as a
+  * composition of existing operators (the preferred path from the
+  * custom-operator ladder: compose > Expression > Strategy): for each
+  * left row, attach the latest right row with the same key whose time
+  * is ≤ the left time.
+  *
+  * Plan shape: tag + union both sides, ONE shuffle on the key, one
+  * per-key sort, `last_value(..., ignoreNulls)` over an unbounded-
+  * preceding window, then filter back to left rows. At 100 TB this is
+  * the minimal-movement formulation: no per-row range probing, no
+  * broadcast of a time index, and AQE handles key skew on the single
+  * exchange. Right rows sort before left rows at equal timestamps, so
+  * the join is inclusive (right.time ≤ left.time).
+  */
+object AsofJoin {
+
+  /** Generic composition. `rightCols` are the columns carried from the
+    * right side (they appear null when no right row precedes). */
+  def asof(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__pri", lit(1))
+    val carried = rightCols.map(c => col(c))
+    val r = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
+      .withColumn("__pri", lit(0))
+    val lAll = l.columns.filterNot(_.startsWith("__")).toSeq
+    val unioned =
+      l.select((lAll.map(col) ++ Seq(col("__k"), col("__t"), col("__pri")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+        .unionByName(
+          r.select((lAll.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+            Seq(col("__k"), col("__t"), col("__pri")) ++ carried): _*))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__pri"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__pri") === 1).drop("__k", "__t", "__pri")
+  }
+
+  /** Query: each event joined to the customer's latest order at event
+    * time. Orders are first deduped to one per (customer, date) with a
+    * deterministic winner so the as-of tie-break is well-defined in
+    * both engines. */
+  def eventsAsofOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables(s, dir, "orders")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+    asof(events, orders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightCols = Seq("o_orderkey"))
+      .select($"event_id", $"user_id", $"o_orderkey".as("asof_orderkey"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_asof_join" -> (eventsAsofOrders _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q18_asof_join" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate) o
+        | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+  )
+}
