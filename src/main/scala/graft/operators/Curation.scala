@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The end-to-end training-data curation pipeline, composed from the
+  * individual operators: quality-score filter → near-dup removal (keep
+  * the lowest doc_id of each Jaccard ≥ 0.8 pair) → per-doc token stats.
+  * One narrow scan + a broadcast anti-join against the (tiny) dup-loser
+  * set — the shape this pipeline keeps at 100 TB, with the loser set
+  * coming from the LSH path instead of the exact one.
+  */
+object Curation {
+
+  def curatedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ")
+    val alphaRatio =
+      length(regexp_replace($"text", "[^a-z]", "")) / length($"text")
+    val stopRatio = size(filter(words, w => w.isInCollection(Seq(
+      "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as")))) / size(words)
+    val meanWordLen = (length($"text") - size(words) + 1) / size(words)
+    val quality = alphaRatio * 0.5d + stopRatio * 0.3d +
+      (lit(1.0d) / (meanWordLen + 1.0d)) * 0.2d
+
+    // losers: the higher doc_id of every near-dup pair (exact ground
+    // truth here; minhashLshPairs yields the identical set — see Dedup)
+    val losers = Dedup.ngramJaccardPairs(s, dir).select($"db".as("loser"))
+
+    Tables(s, dir, "documents")
+      .withColumn("quality", quality)
+      .filter($"quality" >= 0.46)
+      .join(broadcast(losers), $"doc_id" === $"loser", "left_anti")
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).cast("long").as("ws_tokens"),
+        round($"quality", 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curation" -> (curatedDocs _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_curation" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS s
+        |  FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT db AS loser FROM pairs
+        |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |   (length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |      * 1.0 / length(text)) * 0.5
+        |   + (len(list_filter(string_split(text, ' '), w -> w IN
+        |      ('the','a','an','and','or','of','to','in','is','it','that',
+        |       'for','on','with','as')))
+        |      * 1.0 / len(string_split(text, ' '))) * 0.3
+        |   + (1.0 / ((length(text) - len(string_split(text, ' ')) + 1)
+        |      * 1.0 / len(string_split(text, ' ')) + 1.0)) * 0.2 AS quality
+        |  FROM documents)
+        |SELECT doc_id,
+        | cast(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | round(quality, 4) AS quality
+        |FROM scored
+        |WHERE quality >= 0.46
+        |  AND doc_id NOT IN (SELECT loser FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}
