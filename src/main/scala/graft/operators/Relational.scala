@@ -269,8 +269,24 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** The spark.sql surface: the same ANSI SQL the DuckDB oracle runs,
+    * executed verbatim through `spark.sql` over registered views — an
+    * EXISTS correlated subquery exercising Catalyst's subquery
+    * decorrelation (rewritten to a semi join; see PlanSpec). */
+  def q19SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE c_acctbal > 0 AND EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_salted_skew_agg" -> (q17SaltedSkewAgg _),
+    "q19_sql_exists_subquery" -> (q19SqlSurface _),
     "q1_pricing_agg" -> (q1Pricing _),
     "q2_filter_pushdown" -> (q2FilterPushdown _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -290,6 +306,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q19_sql_exists_subquery" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE c_acctbal > 0 AND EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
     "q17_salted_skew_agg" ->
       """SELECT event_type, count(*) AS n,
         | round(cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
