@@ -25,9 +25,10 @@ object Curation {
     val quality = alphaRatio * 0.5d + stopRatio * 0.3d +
       (lit(1.0d) / (meanWordLen + 1.0d)) * 0.2d
 
-    // losers: the higher doc_id of every near-dup pair (exact ground
-    // truth here; minhashLshPairs yields the identical set — see Dedup)
-    val losers = Dedup.ngramJaccardPairs(s, dir).select($"db".as("loser"))
+    // losers: the higher doc_id of every near-dup pair, via the
+    // MinHash+LSH scale path (verified identical to the exact pair set
+    // at this threshold — both share the same oracle in Dedup)
+    val losers = Dedup.minhashLshPairs(s, dir).select($"db".as("loser"))
 
     Tables(s, dir, "documents")
       .withColumn("quality", quality)

@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.immutable.ListMap
+import scala.util.Random
+import Harness._
+import Mutations.{Op => M}
+
+/** Property-style fuzz: random (bounded) workflow DAGs, inputs, and
+  * worker behaviors must never escape the engine's error containment —
+  * every fold terminates (virtual time), ends in a consistent terminal
+  * or waiting state, and state snapshots always round-trip through the
+  * codec. 200 seeds, deterministic.
+  */
+class EngineFuzzSpec extends AnyFunSuite {
+
+  private def randomSpec(rnd: Random): WFSpec = {
+    val nNodes = 1 + rnd.nextInt(6)
+    val types = Vector(NodeType.TASK, NodeType.TASK, NodeType.NOP,
+      NodeType.SLEEP, NodeType.THROW_EXCEPTION, NodeType.EXTERNAL_EVENT)
+    val nodes = (0 until nNodes).map { i =>
+      val t = types(rnd.nextInt(types.length))
+      val base = Node(name = s"n$i", nodeType = t)
+      val node = t match {
+        case NodeType.TASK => base.copy(
+          taskDefName = Some("echo_task"),
+          numRetries = rnd.nextInt(3),
+          timeoutSeconds =
+            if (rnd.nextBoolean()) Some(lit(1 + rnd.nextInt(3))) else None,
+          variables = ListMap("thing" -> lit(s"v$i")),
+          variableMutations =
+            if (rnd.nextBoolean())
+              ListMap("counter" -> mut(M.ADD, literal = 1))
+            else ListMap.empty)
+        case NodeType.SLEEP => base.copy(timeoutSeconds = Some(lit(1)))
+        case NodeType.THROW_EXCEPTION => base.copy(
+          exceptionToThrow = Some("fuzz-exc"))
+        case NodeType.EXTERNAL_EVENT => base.copy(
+          externalEventDefName = Some("fuzz-event"),
+          timeoutSeconds = Some(lit(2)))
+        case _ => base
+      }
+      node
+    }
+    // random forward-only edges keep the graph acyclic; node 0 stays the
+    // unique entrypoint by always chaining i-1 -> i
+    val chain = (1 until nNodes).map(i => edge(s"n${i - 1}", s"n$i"))
+    val extra = (0 until rnd.nextInt(3)).flatMap { _ =>
+      val a = rnd.nextInt(nNodes); val b = rnd.nextInt(nNodes)
+      if (a < b) {
+        val c = if (rnd.nextBoolean())
+          cond(varRef("counter"), "LESS_THAN", lit(rnd.nextInt(5))) else null
+        Some(edge(s"n$a", s"n$b", c))
+      } else None
+    }
+    wfSpec(s"fuzz", "main",
+      thread("main",
+        Map("counter" -> WFRunVariableDef(VarType.INT, defaultValue = 0)),
+        nodes = nodes, edges = chain ++ extra))
+  }
+
+  test("random workflows terminate in consistent states (200 seeds)") {
+    val terminal = Set(Status.COMPLETED, Status.HALTED, Status.HALTING,
+      Status.RUNNING) // RUNNING = legitimately waiting (e.g. no event sent)
+    for (seed <- 0 until 200) {
+      val rnd = new Random(seed)
+      val spec =
+        try randomSpec(rnd)
+        catch { case _: SpecValidationError => null } // invalid shape: fine
+      if (spec != null) {
+        val sendEvent = rnd.nextBoolean()
+        val failTasks = rnd.nextInt(4) // 0 = never, else fail 1-in-n
+        val (st, tsrs) = Harness.run(spec,
+          externals =
+            if (sendEvent) Seq(ExternalInput(2500L, "fuzz-event", "payload"))
+            else Nil,
+          tasks = (n, in, idx) =>
+            if (failTasks > 0 && idx % failTasks == 0) Fail("fuzz flake")
+            else sharedTasks(n, in))
+
+        assert(terminal.contains(st.status), s"seed=$seed status=${st.status}")
+        // every task belongs to a known node and has a sane status
+        st.threadRuns.foreach { tr =>
+          tr.taskRuns.foreach { t =>
+            assert(spec.threadSpecs(tr.threadSpecName).nodes.contains(t.nodeName),
+              s"seed=$seed unknown node ${t.nodeName}")
+            assert(Set(Status.RUNNING, Status.SCHEDULED, Status.COMPLETED,
+              Status.HALTED).contains(t.status), s"seed=$seed ${t.status}")
+          }
+          // a COMPLETED thread has no pending work
+          if (tr.status == Status.COMPLETED)
+            assert(tr.upNext.isEmpty, s"seed=$seed completed with upNext")
+        }
+        // no run ends HALTED without a reason somewhere
+        if (st.status == Status.HALTED)
+          assert(st.threadRuns.exists(_.haltReasons.nonEmpty) ||
+            st.errorCode.isDefined, s"seed=$seed HALTED without reason")
+        // snapshot codec round-trips whatever state the fuzz produced
+        val json = StateCodec.encode(st)
+        assert(StateCodec.encode(StateCodec.decode(json)) == json,
+          s"seed=$seed codec round-trip")
+        // TSR output is well-formed
+        tsrs.foreach(t => assert(t.taskDefName.nonEmpty && t.wfRunId == "run-1"))
+      }
+    }
+  }
+}
