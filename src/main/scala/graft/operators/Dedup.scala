@@ -52,17 +52,22 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, text) =>
         val words = text.split(' ')
-        val set = new java.util.TreeSet[java.lang.Long]()
+        val n = math.max(words.length - 1, 0)
+        val raw = new Array[Long](n)
         var i = 0
-        while (i + 1 < words.length) {
-          set.add(TextHashes.hash64(words(i) + " " + words(i + 1), 0L))
+        while (i < n) {
+          raw(i) = TextHashes.hash64(words(i) + " " + words(i + 1), 0L)
           i += 1
         }
-        val arr = new Array[Long](set.size)
-        val it = set.iterator()
-        var j = 0
-        while (it.hasNext) { arr(j) = it.next(); j += 1 }
-        (id, arr)
+        java.util.Arrays.sort(raw)
+        // dedup in place on the sorted array (distinct + sorted output)
+        var w = 0
+        var r = 0
+        while (r < n) {
+          if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+          r += 1
+        }
+        (id, java.util.Arrays.copyOf(raw, w))
       }
       .filter(_._2.nonEmpty)
   }
