@@ -102,9 +102,43 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  case class Frame(
+      doc_id: Long, frame_idx: Int, offset_ms: Long,
+      width: Int, height: Int, thumb: Array[Byte])
+
+  /** Frame sampling: videos explode into one row per sampled frame
+    * (every ~1 s of fake duration), stills pass through as a single
+    * frame — the one-to-many batched transform shape (mapInPandas with
+    * different output cardinality). "Resize" is the stubbed thumbnail:
+    * deterministic 8-byte digest standing in for resized pixels. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    binaryPayloads(s, dir)
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(BATCH_SIZE).flatMap { batch =>
+          FakeDecoder.decodeBatch(batch).flatMap { m =>
+            (0 until m.n_frames).map { f =>
+              val h = graft.functions.TextHashes.mix64(m.doc_id * 31L + f)
+              val thumb = new Array[Byte](8)
+              var i = 0
+              while (i < 8) { thumb(i) = ((h >>> (8 * i)) & 0xff).toByte; i += 1 }
+              Frame(m.doc_id, f, f * 1000L,
+                math.max(16, m.width / 4), math.max(16, m.height / 4), thumb)
+            }
+          }
+        }
+      }
+      .toDF()
+      .select($"doc_id", $"frame_idx", $"offset_ms", $"width", $"height",
+        hex(col("thumb")).as("thumb_hex"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> (binaryStats _),
     "mm_feature_extract" -> (featureExtract _),
+    "mm_frame_sample" -> (frameSample _),
   )
 
   val oracles: Map[String, String] = Map(

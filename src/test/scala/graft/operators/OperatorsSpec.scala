@@ -83,6 +83,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("frame sampling explodes videos, passes stills through") {
+    val frames = Multimodal.frameSample(spark, dir).collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    val features = Multimodal.featureExtract(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(5))).toMap
+    assert(byDoc.size == 500)
+    byDoc.foreach { case (doc, fs) =>
+      val (modality, nFrames) = features(doc)
+      assert(fs.length == nFrames, s"doc $doc: ${fs.length} vs $nFrames")
+      if (modality != "video") assert(fs.length == 1)
+      // frame indexes are dense and offsets are 1s apart
+      assert(fs.map(_.getInt(1)).sorted.toSeq == (0 until fs.length))
+      fs.foreach(f => assert(f.getLong(2) == f.getInt(1) * 1000L))
+      // thumbnails are deterministic non-empty hex
+      fs.foreach(f => assert(f.getString(5).length == 16))
+    }
+  }
+
   test("native expressions are SQL-registered and codegen-compatible") {
     GraftFunctions.register(spark)
     graft.sources.Tables.registerViews(spark, dir)
