@@ -284,9 +284,27 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Date/time scalar surface: extraction, truncation, arithmetic —
+    * with explicit casts where Spark and DuckDB output types differ. */
+  def q20DatetimeFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"),
+        dayofmonth($"o_orderdate").cast("long").as("dom"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        date_add($"o_orderdate".cast("date"), 30).as("due_date"),
+        datediff(lit("2000-01-01").cast("date"),
+          $"o_orderdate".cast("date")).cast("long").as("days_to_y2k"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_salted_skew_agg" -> (q17SaltedSkewAgg _),
     "q19_sql_exists_subquery" -> (q19SqlSurface _),
+    "q20_datetime_funcs" -> (q20DatetimeFuncs _),
     "q1_pricing_agg" -> (q1Pricing _),
     "q2_filter_pushdown" -> (q2FilterPushdown _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -313,6 +331,16 @@ object Relational {
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
+    "q20_datetime_funcs" ->
+      """SELECT o_orderkey,
+        | cast(year(o_orderdate) AS BIGINT) AS yr,
+        | cast(month(o_orderdate) AS BIGINT) AS mo,
+        | cast(day(o_orderdate) AS BIGINT) AS dom,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | cast(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+        | cast(datediff('day', cast(o_orderdate AS DATE), DATE '2000-01-01')
+        |   AS BIGINT) AS days_to_y2k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q17_salted_skew_agg" ->
       """SELECT event_type, count(*) AS n,
         | round(cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
