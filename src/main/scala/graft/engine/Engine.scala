@@ -730,7 +730,7 @@ private final class EngineCtx(val spec: WFSpec) {
   }
 
   /** Reference: activateExternalEventNode (:898-978) — per-key buffered
-    * stream-stream join: first unassigned buffered event wins; the
+    * stream-stream join: the LAST unassigned buffered event wins; the
     * timeout timer is armed exactly once per edge activation. */
   private def activateExternalEventNode(
       t: ThreadRunState, node: Node, event: WFEvent, pair: UpNextPair): Boolean = {
@@ -759,7 +759,9 @@ private final class EngineCtx(val spec: WFSpec) {
 
     val relevantEvents = wfRun.correlatedEvents.getOrElseUpdate(
       node.externalEventDefName.get, mutable.ArrayBuffer.empty)
-    val correl = relevantEvents.find(c =>
+    // the reference's candidate loop has no break (ThreadRun.java:
+    // 950-957), so the LAST unassigned buffered event wins
+    val correl = relevantEvents.findLast(c =>
       c.event != null && c.assignedNodeName.isEmpty).orNull
     if (correl == null) return false // still waiting
 

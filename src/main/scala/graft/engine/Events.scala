@@ -107,7 +107,9 @@ object EventCodec {
       wfRunId = str(o, "wfRunId").getOrElse(
         throw new VarSubError("WFEvent missing wfRunId")),
       timestamp = long(o, "timestamp"),
-      threadId = int(o, "threadId", -1),
+      // Jackson deserializes a missing Java int field to 0 (reference
+      // WFEvent.threadId); -1 ("broadcast") must be explicit on the wire
+      threadId = int(o, "threadId", 0),
       eventType = str(o, "type").getOrElse(
         throw new VarSubError("WFEvent missing type")),
       content = o.get("content") match {

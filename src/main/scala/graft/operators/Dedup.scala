@@ -98,9 +98,13 @@ object Dedup {
     * Broadcast all-pairs with merge-intersection (see class doc). */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ds = shingleSets(s, dir)
-    val corpus = ds.collect().sortBy(_._1) // bounded ground-truth table
+    val corpus = shingleSets(s, dir).collect().sortBy(_._1) // one job
     val bc = s.sparkContext.broadcast(corpus)
+    // left side rebuilt by index from the already-collected corpus —
+    // re-running the shingling scan a second time doubled the query cost
+    val ds = s.createDataset(corpus.indices.toSeq)
+      .repartition(col("value")).as[Int]
+      .map(i => bc.value(i))
     ds.flatMap { case (ida, va) =>
       val all = bc.value
       val out = Vector.newBuilder[(Long, Long)]

@@ -43,9 +43,11 @@ object Similarity {
     import s.implicits._
     val emb = withNorm(Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+    // broadcast the SMALL query set; the corpus side streams through
+    // (broadcasting the corpus would cap out at real sizes)
     val queries = emb.filter($"vec_id" < N_QUERIES)
-    val scored = queries.as("a")
-      .join(broadcast(emb).as("b"), $"a.vec_id" =!= $"b.vec_id")
+    val scored = broadcast(queries).as("a")
+      .join(emb.as("b"), $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
         cosine.as("cos"))
     val w = Window.partitionBy($"query_id")

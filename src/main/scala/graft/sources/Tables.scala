@@ -28,7 +28,10 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division: `/` would go through DOUBLE, whose 53-bit
+      // mantissa cannot hold epoch nanos — rounding flips ~half of all
+      // values by 1 µs vs DuckDB's exact integer division
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -21,7 +21,8 @@ case class SchedulerOut(
     threadId: Int,
     taskRunPosition: Int,
     status: String, // snapshot rows: run status
-    json: String) // tsr json | full WFRun snapshot json
+    json: String, // tsr json | full WFRun snapshot json
+    seq: Long) // per-key monotonic emit sequence (latest-snapshot order)
 
 object SchedulerOut {
   val TSR = "tsr"
@@ -33,7 +34,8 @@ object SchedulerOut {
   * SchedulerTopology.java:130-146; per-key state subsumes the timer
   * store because timers only ever target their own wfRunId,
   * WFRunTimer.java:5-11). */
-case class SchedulerState(wfRunJson: String, timersJson: String)
+case class SchedulerState(
+    wfRunJson: String, timersJson: String, emitSeq: Long)
 
 /** The streaming deployment of the engine (SURVEY.md §7.1): one
   * multiplexed `flatMapGroupsWithState` over the union WFEvent stream
@@ -77,40 +79,44 @@ object Scheduler {
       .filter(_.wfRunJson.nonEmpty).map(s => StateCodec.decode(s.wfRunJson))
     var timers: Vector[WFRunTimer] = groupState.getOption
       .map(s => decodeTimers(s.timersJson)).getOrElse(Vector.empty)
+    var emitSeq: Long = groupState.getOption.map(_.emitSeq).getOrElse(0L)
     var specName: String = state.map(_.wfSpecName).getOrElse("")
 
     def specFor(name: String): Option[WFSpec] = specs.get(name)
 
     def emit(r: StepResult): Unit = {
       r.toSchedule.foreach { tsr =>
+        emitSeq += 1
         out += SchedulerOut(SchedulerOut.TSR, tsr.wfRunId, tsr.wfSpecName,
           tsr.taskDefName, tsr.threadId, tsr.taskRunPosition, "",
-          EventCodec.encodeTsr(tsr))
+          EventCodec.encodeTsr(tsr), emitSeq)
       }
       timers ++= r.timers
       r.state.foreach { st =>
         state = Some(st)
         specName = st.wfSpecName
+        emitSeq += 1
         out += SchedulerOut(SchedulerOut.SNAPSHOT, st.objectId, st.wfSpecName,
-          "", -1, -1, st.status, StateCodec.encode(st))
+          "", -1, -1, st.status, StateCodec.encode(st), emitSeq)
       }
     }
 
-    def fireMatured(now: Long): Unit = {
-      var matured = timers.filter(_.maturationTimestamp <= now)
-        .sortBy(_.maturationTimestamp)
-      while (matured.nonEmpty) {
-        timers = timers.filterNot(_.maturationTimestamp <= now)
-        matured.foreach { t =>
-          specFor(specName).foreach { spec =>
+    def fireMatured(now: Long): Unit = specFor(specName) match {
+      case None => () // spec not deployed right now: KEEP the timers so
+                      // a redeploy can still fire them later
+      case Some(spec) =>
+        var matured = timers.filter(_.maturationTimestamp <= now)
+          .sortBy(_.maturationTimestamp)
+        while (matured.nonEmpty) {
+          timers = timers.filterNot(_.maturationTimestamp <= now)
+          matured.foreach { t =>
             val ev = WFEvent(spec.objectId, spec.name, t.wfRunId,
               t.maturationTimestamp, t.threadRunId, WFEventType.TIMER_EVENT,
               EventCodec.encodeTimer(t))
             emit(Engine.processEvent(spec, state, ev))
           }
+          matured = timers.filter(_.maturationTimestamp <= now)
         }
-        matured = timers.filter(_.maturationTimestamp <= now)
-      }
     }
 
     if (groupState.hasTimedOut) {
@@ -128,7 +134,8 @@ object Scheduler {
 
     // persist + re-arm the timeout to the earliest pending timer (R3)
     groupState.update(SchedulerState(
-      state.map(StateCodec.encode).getOrElse(""), encodeTimers(timers)))
+      state.map(StateCodec.encode).getOrElse(""), encodeTimers(timers),
+      emitSeq))
     if (timers.nonEmpty) {
       val next = timers.map(_.maturationTimestamp).min
       val delay = math.max(1L, next - System.currentTimeMillis())
@@ -205,12 +212,19 @@ object Scheduler {
   * (Q8). */
 object StateTable {
 
-  /** Latest snapshot per run (append-log compaction at read time). */
+  /** Latest snapshot per run (append-log compaction at read time).
+    * Orders by the scheduler's per-key emit sequence when present —
+    * parquet file read order is NOT write order, so a positional id
+    * would pick stale snapshots; the fallback only serves ad-hoc
+    * frames that carry no seq column. */
   def latest(snapshots: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val withSeq =
+      if (snapshots.columns.contains("seq")) snapshots
+      else snapshots.withColumn("seq", monotonically_increasing_id())
     val w = Window.partitionBy(col("wfRunId"))
       .orderBy(col("seq").desc)
-    snapshots.withColumn("seq", monotonically_increasing_id())
+    withSeq
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "seq")
