@@ -65,6 +65,49 @@ class EngineSpec2 extends AnyFunSuite {
     assert(mainThread(s).variables("my_name") == PAYLOAD)
   }
 
+  test("two buffered events: the LAST unassigned one is consumed") {
+    // reference's candidate loop has no break (ThreadRun.java:950-957)
+    val spec = wfSpec("ee_last_wins", "main",
+      thread("main", Map("got" -> WFRunVariableDef(VarType.STRING)),
+        nodes = Seq(
+          task("n0", "echo_task", "thing" -> lit("first")),
+          mutate(Node(name = "n1", nodeType = NodeType.EXTERNAL_EVENT,
+            externalEventDefName = Some("my-name")),
+            "got" -> mut(M.ASSIGN))),
+        edges = Seq(edge("n0", "n1"))))
+    // both events arrive while n0 is still running (worker takes 60ms)
+    val (s, _) = Harness.run(spec,
+      externals = Seq(
+        ExternalInput(1020L, "my-name", "EARLY"),
+        ExternalInput(1030L, "my-name", "LATE")))
+    assert(s.status == Status.COMPLETED)
+    assert(mainThread(s).variables("got") == "LATE")
+    // the early event stays buffered and unassigned
+    val correls = s.correlatedEvents("my-name")
+    assert(correls.count(_.assignedNodeName.isEmpty) == 1)
+    assert(correls.find(_.assignedNodeName.isEmpty).get
+      .event.content == "EARLY")
+  }
+
+  test("STOP/RESUME wire events without threadId default to thread 0") {
+    val e = EventCodec.decodeWFEvent(
+      """{"wfRunId": "r", "type": "WF_RUN_STOP_REQUEST",
+        | "timestamp": 5000}""".stripMargin)
+    assert(e.threadId == 0) // Jackson's missing-int default in the reference
+    val spec = wfSpec("stop_wire", "main",
+      thread("main", Map.empty,
+        nodes = Seq(
+          task("n0", "echo_task", "thing" -> lit("a")),
+          Node(name = "n1", nodeType = NodeType.SLEEP,
+            timeoutSeconds = Some(lit(5)))),
+        edges = Seq(edge("n0", "n1"))))
+    // drive a run then apply the wire-decoded stop: run-level status
+    // must move to HALTING/HALTED (was wedged RUNNING with default -1)
+    val (st1, _) = Harness.run(spec,
+      stopResumes = Seq(StopResume(1500L, stop = true)))
+    assert(st1.status == Status.HALTED)
+  }
+
   // ===== SLEEP node =====
 
   test("sleep node completes after timer fires") {
