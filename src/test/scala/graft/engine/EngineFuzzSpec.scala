@@ -59,6 +59,64 @@ class EngineFuzzSpec extends AnyFunSuite {
         nodes = nodes, edges = chain ++ extra))
   }
 
+  test("random multi-thread workflows (spawn/wait/locks) stay consistent (100 seeds)") {
+    for (seed <- 0 until 100) {
+      val rnd = new Random(1000 + seed)
+      val nSpawns = 1 + rnd.nextInt(3)
+      val childMutates = rnd.nextBoolean()
+
+      val childNodes = Seq(
+        if (childMutates)
+          mutate(task("c0", "increment", "foo" -> lit(rnd.nextInt(10))),
+            "shared" -> mut(M.ADD))
+        else task("c0", "echo_task", "thing" -> lit("kid")))
+      val spawnNodes = (0 until nSpawns).flatMap { i =>
+        Seq(
+          mutate(Node(name = s"sp$i", nodeType = NodeType.SPAWN_THREAD,
+            threadSpawnThreadSpecName = Some("kid")),
+            s"temp$i" -> mut(M.ASSIGN, jsonPath = "$.threadId")),
+          Node(name = s"w$i", nodeType = NodeType.WAIT_FOR_THREAD,
+            threadWaitThreadId = Some(varRef(s"temp$i"))))
+      }
+      val allNodes =
+        task("n0", "echo_task", "thing" -> lit("start")) +: spawnNodes
+      val chain = allNodes.sliding(2).map(p =>
+        edge(p(0).name, p(1).name)).toSeq
+      val vars = Map("shared" -> WFRunVariableDef(VarType.INT, defaultValue = 0)) ++
+        (0 until nSpawns).map(i => s"temp$i" -> WFRunVariableDef(VarType.INT))
+      val spec = wfSpec("fuzz_threads", "main",
+        thread("main", vars, nodes = allNodes, edges = chain),
+        thread("kid", Map.empty, nodes = childNodes, edges = Nil))
+
+      val failEvery = rnd.nextInt(5) // 0 = never
+      val (st, _) = Harness.run(spec,
+        tasks = (n, in, idx) =>
+          if (failEvery > 0 && (idx + 1) % failEvery == 0) Fail("flake")
+          else sharedTasks(n, in))
+
+      assert(Set(Status.COMPLETED, Status.HALTED, Status.HALTING,
+        Status.RUNNING).contains(st.status), s"seed=$seed ${st.status}")
+      assert(st.threadRuns.length <= 1 + nSpawns, s"seed=$seed thread count")
+      // lock invariant: no variable remains locked once every thread
+      // has terminated
+      if (st.threadRuns.forall(_.isTerminated))
+        st.threadRuns.foreach(tr =>
+          assert(tr.variableLocks.isEmpty, s"seed=$seed leaked lock"))
+      // happy path: everything completed and the shared counter moved
+      // once per successful mutating child
+      if (failEvery == 0) {
+        assert(st.status == Status.COMPLETED, s"seed=$seed")
+        if (childMutates) {
+          val shared = Mutations.toInt(st.threadRuns(0).variables("shared"))
+          assert(shared > 0 && shared == nSpawns * (Mutations.toInt(
+            st.threadRuns(1).taskRuns(0).stdout)), s"seed=$seed shared=$shared")
+        }
+      }
+      val json = StateCodec.encode(st)
+      assert(StateCodec.encode(StateCodec.decode(json)) == json, s"seed=$seed")
+    }
+  }
+
   test("random workflows terminate in consistent states (200 seeds)") {
     val terminal = Set(Status.COMPLETED, Status.HALTED, Status.HALTING,
       Status.RUNNING) // RUNNING = legitimately waiting (e.g. no event sent)
