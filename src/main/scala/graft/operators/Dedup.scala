@@ -188,7 +188,7 @@ object Dedup {
       .join(chunks.as("b"),
         $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
-        bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"))
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("long").as("hamming"))
       .distinct()
       .filter($"hamming" <= 6)
       .orderBy($"da", $"db")
@@ -251,6 +251,39 @@ object Dedup {
         |WHERE list_cosine_similarity(
         |  CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY va, vb""".stripMargin,
-    // dedup_simhash: fingerprint family is engine-defined — rows-only.
+    // dedup_simhash: DuckDB recomputes the engine's bigram-FNV SimHash
+    // bit-exactly (OracleSql), then checks ALL pairs at Hamming ≤ 6 —
+    // a true semantic oracle that also proves the 2-of-8-chunk blocking
+    // loses nothing (pigeonhole: ≤6 differing bits leave ≥2 of the 8
+    // 8-bit chunks untouched).
+    "dedup_simhash" -> {
+      val bigramHash = OracleSql.fnv1a64("bigram")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM toks WHERE len(t) >= 2),
+         |bh AS (SELECT doc_id, $bigramHash AS h FROM bg),
+         |votes AS (
+         |  SELECT doc_id, b.b AS bit,
+         |    sum(CASE WHEN (h >> CAST(b.b AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM bh, (SELECT unnest(range(64)) AS b) b
+         |  GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)
+         |        ELSE CAST(0 AS HUGEINT) END) AS s
+         |  FROM votes GROUP BY 1),
+         |sigall AS (
+         |  SELECT d.doc_id, ${OracleSql.toSigned("COALESCE(sig.s, 0)")} AS s
+         |  FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sigall a JOIN sigall b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 6
+         |ORDER BY da, db""".stripMargin
+    },
   )
 }

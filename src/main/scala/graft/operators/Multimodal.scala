@@ -36,26 +36,36 @@ object Multimodal {
 
   /** STUB decoder: a real deployment would call an image/audio codec
     * here (per batch, amortizing model/codec init). This fake derives
-    * deterministic pseudo-metadata and an 8-dim feature from payload
-    * bytes so the pipeline is testable end to end. */
+    * deterministic pseudo-metadata and an 8-dim feature from the MD5 of
+    * the payload bytes — a hash DuckDB can recompute, so the whole
+    * batched-decode pipeline is ORACLE-checked end to end (the point is
+    * the plumbing: binary column in, typed features out, per-batch
+    * init amortization). */
   object FakeDecoder {
+    def md5Hex(bytes: Array[Byte]): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
     def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
       // codec/model init would happen once per batch here
       batch.map { m =>
-        val h = graft.functions.TextHashes.mix64(
-          java.util.Arrays.hashCode(m.payload).toLong)
+        val hex = md5Hex(m.payload)
+        // 60-bit positive metadata seed = first 15 hex chars
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        // feature i = hex byte 8+i scaled to [0,1) — exact in Float
         val feature = Array.tabulate(8) { i =>
-          val hi = graft.functions.TextHashes.mix64(h + i)
-          ((hi % 1000L).toFloat) / 1000.0f
+          Integer.parseInt(hex.substring(16 + 2 * i, 18 + 2 * i), 16) / 256.0f
         }
         MediaFeatures(
           doc_id = m.doc_id,
           modality = m.modality,
           byte_len = m.payload.length.toLong,
-          width = (16 + math.floorMod(h, 240L)).toInt,
-          height = (16 + math.floorMod(h >> 8, 240L)).toInt,
+          width = (16 + h % 240L).toInt,
+          height = (16 + (h >> 8) % 240L).toInt,
           n_frames = if (m.modality == "video")
-            (1 + math.floorMod(h >> 16, 32L)).toInt else 1,
+            (1 + (h >> 16) % 32L).toInt else 1,
           feature = feature)
       }
     }
@@ -86,7 +96,9 @@ object Multimodal {
   }
 
   /** Batched decode/feature-extract over the binary column — the
-    * mapInPandas-shaped stage (rows-only check: decoder is a stub). */
+    * mapInPandas-shaped stage (oracle: DuckDB re-derives the stub's
+    * md5-based metadata/features). feature_sum is a sum of exact binary
+    * fractions (k/256), so the unrounded double matches bit-for-bit. */
   def featureExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     binaryPayloads(s, dir)
@@ -95,10 +107,12 @@ object Multimodal {
         it.grouped(BATCH_SIZE).flatMap(batch => FakeDecoder.decodeBatch(batch))
       }
       .toDF()
-      .select($"doc_id", $"modality", $"byte_len", $"width", $"height",
-        $"n_frames",
-        round(aggregate($"feature".cast("array<double>"), lit(0.0d),
-          (acc, x) => acc + x), 4).as("feature_sum"))
+      .select($"doc_id", $"modality", $"byte_len",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"n_frames".cast("long").as("n_frames"),
+        aggregate($"feature".cast("array<double>"), lit(0.0d),
+          (acc, x) => acc + x).as("feature_sum"))
       .orderBy($"doc_id")
   }
 
@@ -110,7 +124,8 @@ object Multimodal {
     * (every ~1 s of fake duration), stills pass through as a single
     * frame — the one-to-many batched transform shape (mapInPandas with
     * different output cardinality). "Resize" is the stubbed thumbnail:
-    * deterministic 8-byte digest standing in for resized pixels. */
+    * the first 8 MD5 bytes of "docId:frameIdx" standing in for resized
+    * pixels — md5-derived so DuckDB recomputes it for the oracle. */
   def frameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     binaryPayloads(s, dir)
@@ -119,18 +134,22 @@ object Multimodal {
         it.grouped(BATCH_SIZE).flatMap { batch =>
           FakeDecoder.decodeBatch(batch).flatMap { m =>
             (0 until m.n_frames).map { f =>
-              val h = graft.functions.TextHashes.mix64(m.doc_id * 31L + f)
-              val thumb = new Array[Byte](8)
-              var i = 0
-              while (i < 8) { thumb(i) = ((h >>> (8 * i)) & 0xff).toByte; i += 1 }
+              val digest = java.security.MessageDigest.getInstance("MD5")
+                .digest(s"${m.doc_id}:$f"
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
               Frame(m.doc_id, f, f * 1000L,
-                math.max(16, m.width / 4), math.max(16, m.height / 4), thumb)
+                math.max(16, m.width / 4), math.max(16, m.height / 4),
+                java.util.Arrays.copyOf(digest, 8))
             }
           }
         }
       }
       .toDF()
-      .select($"doc_id", $"frame_idx", $"offset_ms", $"width", $"height",
+      .select($"doc_id",
+        $"frame_idx".cast("long").as("frame_idx"),
+        $"offset_ms",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
         hex(col("thumb")).as("thumb_hex"))
       .orderBy($"doc_id", $"frame_idx")
   }
@@ -149,6 +168,39 @@ object Multimodal {
         | cast(octet_length(encode(text)) AS BIGINT) AS byte_len,
         | md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // mm_feature_extract: stubbed decoder → rows-only.
+    // The stub decoder's outputs are md5-derived, so DuckDB recomputes
+    // them exactly: h = first 15 md5 hex chars as a 60-bit int,
+    // features = hex bytes 8..15 scaled by 1/256 (exact doubles).
+    "mm_feature_extract" ->
+      s"""WITH d AS (SELECT doc_id, text, md5(text) AS hx,
+         |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |  CAST(16 + h % 240 AS BIGINT) AS width,
+         |  CAST(16 + (h // 256) % 240 AS BIGINT) AS height,
+         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + (h // 65536) % 32
+         |       ELSE 1 END AS BIGINT) AS n_frames,
+         |  (${(0 until 8).map(i =>
+              s"CAST(concat('0x', substr(hx, ${17 + 2 * i}, 2)) AS BIGINT)")
+              .mkString(" + ")}) / 256.0 AS feature_sum
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |meta AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 1 + (h // 65536) % 32 ELSE 1 END AS n_frames,
+        |  16 + h % 240 AS w, 16 + (h // 256) % 240 AS ht
+        |  FROM d),
+        |f AS (SELECT doc_id, unnest(range(n_frames)) AS frame_idx, w, ht FROM meta)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * 1000 AS BIGINT) AS offset_ms,
+        |  CAST(greatest(16, w // 4) AS BIGINT) AS width,
+        |  CAST(greatest(16, ht // 4) AS BIGINT) AS height,
+        |  upper(substr(md5(doc_id || ':' || frame_idx), 1, 16)) AS thumb_hex
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

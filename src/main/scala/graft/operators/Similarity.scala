@@ -20,9 +20,11 @@ import graft.sources.Tables
   *    bucketing function; hyperplane LSH is used here because it is
   *    deterministic without a training pass.
   *
-  * Dot products use codegen'd higher-order functions (zip_with +
-  * aggregate) in double precision with sequential fold order so the
-  * DuckDB oracle's double cosine is bit-identical.
+  * Dot products use the native codegen'd [[graft.functions.VectorOps.dot]]
+  * expression (NOT zip_with/aggregate — Spark higher-order-function
+  * lambdas are interpreted, measured 15× slower) in double precision
+  * with sequential fold order so the DuckDB oracle's double cosine is
+  * bit-identical.
   */
 object Similarity {
 
@@ -58,23 +60,34 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  /** LSH-bucketed ANN: 8 deterministic random hyperplanes (components
-    * derived from xxhash64 of (plane, dim)), sign bits form the bucket;
-    * queries rerank only within their bucket. Approximate by design →
-    * rows-only check; quality is asserted in the ScalaTest spec against
-    * the brute-force baseline. */
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * splitmix64 of (plane*4096 + dim) mapped to [-0.5, 0.5). Computed
+    * ONCE on the driver and shipped as literal arrays — constants never
+    * belong in per-row expressions (the previous per-row HOF rebuild of
+    * the planes was interpreted, not codegen'd), and the mix64 family
+    * lets the DuckDB oracle recompute the buckets bit-exactly. */
+  private[operators] def planeVec(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      // UNSIGNED remainder: the oracle mods the hash as a uint64, and
+      // 2^64 is not a multiple of 10^6, so floorMod would diverge
+      java.lang.Long.remainderUnsigned(
+        graft.functions.TextHashes.mix64(p * 4096L + d),
+        1000000L) / 1000000.0d - 0.5d
+    }
+
+  /** LSH-bucketed ANN: 8 deterministic random hyperplanes, sign bits
+    * form the bucket; queries rerank only within their bucket.
+    * Approximate by design, but fully deterministic — the DuckDB oracle
+    * recomputes planes, buckets, and rerank from first principles. */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = withNorm(Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v")))
 
-    // deterministic pseudo-random hyperplane component for (plane, dim):
-    // xxhash64 mapped to [-0.5, 0.5)
-    def planeComponent(plane: Int) =
-      transform(sequence(lit(0), size($"v") - 1),
-        d => (pmod(xxhash64(lit(plane), d), lit(1000000L)) / 1000000.0d) - 0.5d)
+    val dim = Tables(s, dir, "embeddings")
+      .select(size($"embedding")).as[Int].first()
     val sketchBits = (0 until LSH_BITS).map { p =>
-      val proj = dot($"v", planeComponent(p))
+      val proj = dot($"v", typedlit(planeVec(p, dim)))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     val sketched = emb.withColumn("bucket", sketchBits.reduce(_ + _))
@@ -109,6 +122,36 @@ object Similarity {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 10) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    // ann_lsh_topk: approximate by design — rows-only.
+    // ann_lsh_topk: DuckDB re-derives the mix64 hyperplanes, the
+    // sequential-fold projections, and the bucket sketch bit-exactly
+    // (OracleSql machinery), then reranks within buckets — same
+    // semantics as the Spark plan, independently computed.
+    "ann_lsh_topk" -> {
+      val comp = OracleSql.mix64("CAST(p * 4096 + d AS HUGEINT)")
+      val proj =
+        s"""list_reduce(
+           |  list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(range(0, len(v)), d ->
+           |      v[CAST(d AS INTEGER) + 1] *
+           |      (CAST(($comp) % 1000000 AS DOUBLE) / 1000000.0 - 0.5))),
+           |  (a, x) -> a + x)""".stripMargin
+      val bucket =
+        s"""list_reduce(
+           |  list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(0, 8), p ->
+           |      CASE WHEN ($proj) >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER)
+           |           ELSE CAST(0 AS BIGINT) END)),
+           |  (a, x) -> a + x)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM e)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_cosine_similarity(a.v, bb.v) DESC, bb.vec_id) AS BIGINT) AS rank
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+         |  WHERE a.vec_id < 10) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
   )
 }

@@ -92,7 +92,8 @@ object TextAnalysis {
   }
 
   /** Engine-native 64-bit rolling-hash fingerprint (codegen'd Catalyst
-    * expression; rows-only check — the hash family is engine-defined). */
+    * expression; oracle recomputes the full hash in DuckDB SQL via
+    * [[OracleSql.rollingHash]]). */
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
@@ -141,6 +142,27 @@ object TextAnalysis {
         | md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |   ' +', ' ', 'g')) AS md5_fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // text_langid / text_rolling_fingerprint: engine-defined → rows-only.
+    // argmax via list_max over (hits, lang) structs — DuckDB struct
+    // ordering is lexicographic by field, identical to Spark's
+    // greatest() over struct(hits, lang).
+    "text_langid" -> {
+      def hits(ws: Seq[String]) =
+        s"len(list_filter(w, x -> x IN (${ws.map("'" + _ + "'").mkString(",")})))"
+      val structs = Seq(
+        "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+        "en" -> Seq("the", "a", "and", "of", "to", "is"),
+        "es" -> Seq("el", "la", "y", "de", "que", "es"),
+        "fr" -> Seq("le", "la", "et", "de", "est", "un"))
+        .map { case (l, ws) => s"{'hits': ${hits(ws)}, 'lang': '$l'}" }
+        .mkString(", ")
+      s"""WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id, lang, list_max([$structs]) AS best FROM s)
+         |SELECT doc_id, lang AS labeled_lang, best.lang AS predicted_lang,
+         |  CAST(best.hits AS BIGINT) AS hits
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "text_rolling_fingerprint" ->
+      s"""SELECT doc_id, ${OracleSql.toSigned(OracleSql.rollingHash("text"))} AS rolling_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -77,7 +77,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mods == Set("image", "audio", "video"))
     // videos have multi-frame metadata, stills exactly one frame
     a.foreach { r =>
-      val frames = r.getInt(5)
+      val frames = r.getLong(5)
       if (r.getString(1) == "video") assert(frames >= 1 && frames <= 32)
       else assert(frames == 1)
     }
@@ -87,15 +87,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val frames = Multimodal.frameSample(spark, dir).collect()
     val byDoc = frames.groupBy(_.getLong(0))
     val features = Multimodal.featureExtract(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(5))).toMap
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(5))).toMap
     assert(byDoc.size == 500)
     byDoc.foreach { case (doc, fs) =>
       val (modality, nFrames) = features(doc)
       assert(fs.length == nFrames, s"doc $doc: ${fs.length} vs $nFrames")
       if (modality != "video") assert(fs.length == 1)
       // frame indexes are dense and offsets are 1s apart
-      assert(fs.map(_.getInt(1)).sorted.toSeq == (0 until fs.length))
-      fs.foreach(f => assert(f.getLong(2) == f.getInt(1) * 1000L))
+      assert(fs.map(_.getLong(1)).sorted.toSeq ==
+        (0 until fs.length).map(_.toLong))
+      fs.foreach(f => assert(f.getLong(2) == f.getLong(1) * 1000L))
       // thumbnails are deterministic non-empty hex
       fs.foreach(f => assert(f.getString(5).length == 16))
     }
