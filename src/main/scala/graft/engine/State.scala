@@ -125,6 +125,17 @@ final class WFRunState(
     threadRuns.flatMap { tr =>
       tr.variables.collect { case (k, v: String) => (k, v) }
     }.toSeq
+
+  /** [[aliases]] grouped per name (threads may bind the same variable),
+    * the shape materialized as the snapshot sink's `aliases` map column
+    * for columnar Q2/Q9 search. */
+  def aliasMap: Map[String, Seq[String]] = {
+    val m = mutable.LinkedHashMap.empty[String, Vector[String]]
+    aliases.foreach { case (k, v) =>
+      m.update(k, m.getOrElse(k, Vector.empty) :+ v)
+    }
+    m.toMap
+  }
 }
 
 /** JSON snapshot codec for [[WFRunState]] — used both as the Spark

@@ -318,16 +318,20 @@ object EngineQueries {
       .orderBy($"wf_run_id")
   }
 
-  /** Q2/Q3/Q9 search surface: fold runs carrying a STRING variable, then
-    * query the materialized state by variable value — the engine-side
-    * equivalent of `lhctl search WFRun segment BUILDING`. The variable
-    * comes through the engine's alias extraction (WFRun.getAliases). */
+  /** Q2/Q3/Q9 search surface: fold runs carrying a STRING variable into
+    * snapshot-shaped rows (status + the `aliases` map column the
+    * streaming sink materializes), then answer the search through the
+    * REAL query path — [[graft.streaming.StateTable.latest]] +
+    * [[graft.streaming.StateTable.searchByVariable]] — the engine-side
+    * equivalent of `lhctl search WFRun segment BUILDING`. The alias
+    * predicate is a columnar map lookup, never a snapshot-JSON decode. */
   def varIndexSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.streaming.StateTable
     val spec = searchSpec
     val cust = Tables(s, dir, "customer")
       .select($"c_custkey", $"c_mktsegment")
-    val state = Tables(s, dir, "orders")
+    val snapshots = Tables(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", $"c_mktsegment", $"o_totalprice")
@@ -335,12 +339,13 @@ object EngineQueries {
       .map { case (ok, seg, price) =>
         val (st, _) = Simulator.run(spec,
           Map("segment" -> seg, "spent" -> price))
-        val aliases = st.aliases.toMap // String-valued vars only (Q3)
-        (ok, aliases.getOrElse("segment", null), st.status)
+        (ok, st.status, 1L, st.aliasMap)
       }
-      .toDF("wf_run_id", "segment", "status")
-    state.filter($"segment" === "BUILDING" && $"status" === "COMPLETED")
-      .select($"wf_run_id")
+      .toDF("wfRunId", "status", "seq", "aliases")
+    val completed = StateTable.latest(snapshots)
+      .filter($"status" === "COMPLETED")
+    StateTable.searchByVariable(completed, "segment", "BUILDING")
+      .select($"wfRunId".as("wf_run_id"))
       .orderBy($"wf_run_id")
   }
 

@@ -22,7 +22,12 @@ case class SchedulerOut(
     taskRunPosition: Int,
     status: String, // snapshot rows: run status
     json: String, // tsr json | full WFRun snapshot json
-    seq: Long) // per-key monotonic emit sequence (latest-snapshot order)
+    seq: Long, // per-key monotonic emit sequence (latest-snapshot order)
+    // Q2/Q3 secondary-index aliases (WFRun.getAliases) materialized as
+    // a queryable map column AT SINK TIME, so variable search is a
+    // columnar predicate instead of a per-row snapshot-JSON decode.
+    // Multi-valued: several threads may bind the same variable name.
+    aliases: Map[String, Seq[String]])
 
 object SchedulerOut {
   val TSR = "tsr"
@@ -89,7 +94,7 @@ object Scheduler {
         emitSeq += 1
         out += SchedulerOut(SchedulerOut.TSR, tsr.wfRunId, tsr.wfSpecName,
           tsr.taskDefName, tsr.threadId, tsr.taskRunPosition, "",
-          EventCodec.encodeTsr(tsr), emitSeq)
+          EventCodec.encodeTsr(tsr), emitSeq, Map.empty)
       }
       timers ++= r.timers
       r.state.foreach { st =>
@@ -97,7 +102,8 @@ object Scheduler {
         specName = st.wfSpecName
         emitSeq += 1
         out += SchedulerOut(SchedulerOut.SNAPSHOT, st.objectId, st.wfSpecName,
-          "", -1, -1, st.status, StateCodec.encode(st), emitSeq)
+          "", -1, -1, st.status, StateCodec.encode(st), emitSeq,
+          st.aliasMap)
       }
     }
 
@@ -232,17 +238,28 @@ object StateTable {
 
   /** Q2/Q9: `search WFRun <varName> <value>` — every String-valued
     * variable of every thread is an index alias (WFRun.getAliases,
-    * WFRun.java:320-338). */
+    * WFRun.java:320-338). Served by the `aliases` map column written at
+    * sink time: the predicate is columnar (map lookup + array_contains,
+    * both codegen'd), so the scan prunes to (wfRunId, aliases) and no
+    * snapshot JSON is ever decoded — a full-corpus JSON parse per query
+    * would not survive 100× state cardinality. The decode fallback only
+    * serves ad-hoc frames that predate the aliases column. */
   def searchByVariable(
       latestSnapshots: DataFrame, varName: String, value: String): DataFrame = {
-    val spark = latestSnapshots.sparkSession
-    import spark.implicits._
-    latestSnapshots.select($"wfRunId", $"json").as[(String, String)]
-      .filter { case (_, json) =>
-        val st = StateCodec.decode(json)
-        st.aliases.exists { case (k, v) => k == varName && v == value }
-      }
-      .toDF("wfRunId", "json").select($"wfRunId")
+    if (latestSnapshots.columns.contains("aliases")) {
+      latestSnapshots
+        .filter(array_contains(col("aliases")(varName), value))
+        .select(col("wfRunId"))
+    } else {
+      val spark = latestSnapshots.sparkSession
+      import spark.implicits._
+      latestSnapshots.select($"wfRunId", $"json").as[(String, String)]
+        .filter { case (_, json) =>
+          val st = StateCodec.decode(json)
+          st.aliases.exists { case (k, v) => k == varName && v == value }
+        }
+        .toDF("wfRunId", "json").select($"wfRunId")
+    }
   }
 
   /** Q1: point lookup by run id. */

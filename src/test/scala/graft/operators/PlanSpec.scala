@@ -47,6 +47,35 @@ class PlanSpec extends AnyFunSuite {
     assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
   }
 
+  test("Q2 variable search is columnar: no JSON decode, pruned scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // snapshot-shaped parquet table as the streaming sink writes it
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-plan-snap").toString
+    Seq(
+      ("wf1", "COMPLETED", "{\"big\":\"json\"}", 1L,
+        Map("who" -> Seq("Obi-Wan"))),
+      ("wf2", "RUNNING", "{\"big\":\"json\"}", 1L,
+        Map("who" -> Seq("Grievous"))))
+      .toDF("wfRunId", "status", "json", "seq", "aliases")
+      .write.mode("overwrite").parquet(tmp)
+    val snaps = spark.read.parquet(tmp)
+    val search = graft.streaming.StateTable
+      .searchByVariable(snaps, "who", "Obi-Wan")
+    val plan = planOf(search)
+    // columnar path: no object deserialization anywhere in the plan
+    assert(!plan.contains("DeserializeToObject"), plan.take(2000))
+    assert(!plan.contains("MapElements"), plan.take(2000))
+    // and the scan must NOT read the (fat) snapshot json column
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("wfRunId") && readSchema.contains("aliases"),
+      readSchema)
+    assert(!readSchema.contains("json"), s"fat column read: $readSchema")
+    assert(search.collect().map(_.getString(0)).toSeq == Seq("wf1"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.GraftFunctions
