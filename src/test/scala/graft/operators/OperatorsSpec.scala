@@ -31,6 +31,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"simhash precision collapsed: ${simhash.size} vs exact ${exact.size}")
   }
 
+  test("simhash multi-index candidates stay near-linear, not quadratic") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sig"))
+    val n = docs.count()
+    val cands = Dedup.simhashCandidates(docs, Dedup.SIMHASH_MAX_BUCKET).count()
+    val allPairs = n * (n - 1) / 2
+    // 28 indexes over 2^16 buckets: candidates ~ O(n · E[bucket]) —
+    // assert well under the quadratic all-pairs count AND a small
+    // linear multiple of n
+    assert(cands < allPairs / 10, s"$cands of $allPairs pairs — quadratic")
+    assert(cands <= n * 20, s"$cands candidates for $n docs")
+  }
+
   test("LSH ANN: top-1 recall vs brute force is usable") {
     def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.collect().filter(_.getLong(1) == 1L)
