@@ -105,19 +105,25 @@ object LHJson {
   }
 }
 
-/** Minimal jayway-compatible JSONPath evaluator covering the definite
-  * paths the reference's workflows use: `$`, `.field`, `['field']`,
-  * `[index]` (reference: LHUtil.jsonPath, LHUtil.java:184-193 wraps
-  * jayway `JsonPath.parse(json).read(path)`).
+/** Jayway-compatible JSONPath evaluator (reference: LHUtil.jsonPath,
+  * LHUtil.java:184-193 wraps jayway `JsonPath.parse(json).read(path)`):
+  * definite steps `$`, `.field`, `['field']`, `[index]`, plus the
+  * indefinite forms `$..field` (deep scan), `[*]` and `.*` (wildcard).
   *
-  * Matches jayway's error-on-miss behavior: a missing field, bad index,
-  * or scalar dereference throws (→ VARIABLE_LOOKUP_ERROR in the engine),
-  * unlike Spark's `get_json_object` which returns null.
+  * Jayway list semantics: a path containing any indefinite step returns
+  * a LIST of matches; per-branch misses after the fan-out are silently
+  * skipped, and a deep scan that matches nothing returns the empty list
+  * rather than erroring. Purely definite paths keep jayway's
+  * error-on-miss behavior: a missing field, bad index, or scalar
+  * dereference throws (→ VARIABLE_LOOKUP_ERROR in the engine), unlike
+  * Spark's `get_json_object` which returns null.
   */
 object JsonPath {
   sealed private trait Step
   private case class Field(name: String) extends Step
   private case class Index(i: Int) extends Step
+  private case object Wildcard extends Step
+  private case class DeepScan(name: String) extends Step
 
   private def compile(path: String): List[Step] = {
     if (path.isEmpty || path.charAt(0) != '$')
@@ -128,13 +134,28 @@ object JsonPath {
       path.charAt(i) match {
         case '.' =>
           i += 1
-          if (i < path.length && path.charAt(i) == '.')
-            throw new VarSubError(s"Recursive descent not supported: $path")
-          val start = i
-          while (i < path.length && path.charAt(i) != '.' && path.charAt(i) != '[')
+          if (i < path.length && path.charAt(i) == '.') {
+            // deep scan: `$..field` (jayway ScanPathToken)
             i += 1
-          if (i == start) throw new VarSubError(s"Empty field name in $path")
-          steps += Field(path.substring(start, i))
+            val start = i
+            while (i < path.length && path.charAt(i) != '.' && path.charAt(i) != '[')
+              i += 1
+            if (i == start)
+              throw new VarSubError(s"Deep scan needs a field name: $path")
+            val name = path.substring(start, i)
+            if (name == "*")
+              throw new VarSubError(s"'$$..*' not supported: $path")
+            steps += DeepScan(name)
+          } else if (i < path.length && path.charAt(i) == '*') {
+            steps += Wildcard
+            i += 1
+          } else {
+            val start = i
+            while (i < path.length && path.charAt(i) != '.' && path.charAt(i) != '[')
+              i += 1
+            if (i == start) throw new VarSubError(s"Empty field name in $path")
+            steps += Field(path.substring(start, i))
+          }
         case '[' =>
           i += 1
           if (i < path.length && (path.charAt(i) == '\'' || path.charAt(i) == '"')) {
@@ -148,6 +169,11 @@ object JsonPath {
             if (i >= path.length || path.charAt(i) != ']')
               throw new VarSubError(s"Expected ']' in $path")
             i += 1
+          } else if (i < path.length && path.charAt(i) == '*') {
+            if (i + 1 >= path.length || path.charAt(i + 1) != ']')
+              throw new VarSubError(s"Expected ']' after '*' in $path")
+            steps += Wildcard
+            i += 2
           } else {
             val start = i
             while (i < path.length && path.charAt(i) != ']') i += 1
@@ -168,7 +194,27 @@ object JsonPath {
     steps.result()
   }
 
-  /** Evaluate `path` against JSON text; throws VarSubError on any miss. */
+  /** Jayway ScanPathToken walk: at every OBJECT node (preorder,
+    * insertion order) emit its `f` value if present, then descend into
+    * every value; array elements are walked in index order. */
+  private def deepScan(node: Any, f: String): Vector[Any] = node match {
+    case m: ListMap[_, _] =>
+      val mm = m.asInstanceOf[ListMap[String, Any]]
+      mm.get(f).toVector ++ mm.values.toVector.flatMap(deepScan(_, f))
+    case xs: Vector[_] => xs.flatMap(deepScan(_, f))
+    case _ => Vector.empty
+  }
+
+  private def children(node: Any): Vector[Any] = node match {
+    case m: ListMap[_, _] => m.values.toVector
+    case xs: Vector[_] => xs
+    case _ => Vector.empty
+  }
+
+  /** Evaluate `path` against JSON text. Definite paths return the
+    * single match and throw VarSubError on any miss; indefinite paths
+    * (any `..`/`*` step) return a Vector of matches, skipping branch
+    * misses — jayway's list semantics. */
   def read(json: String, path: String): Any = {
     val root =
       try LHJson.parse(json)
@@ -176,19 +222,52 @@ object JsonPath {
         case e: Exception =>
           throw new VarSubError(s"Failed parsing JSON for path $path", e)
       }
-    compile(path).foldLeft(root) { (cur, step) =>
-      (cur, step) match {
-        case (m: ListMap[_, _], Field(f)) =>
-          m.asInstanceOf[ListMap[String, Any]].getOrElse(f,
-            throw new VarSubError(s"No results for path: $path (missing '$f')"))
-        case (xs: Vector[_], Index(idx)) =>
-          if (idx < 0 || idx >= xs.length)
-            throw new VarSubError(s"Index $idx out of bounds for path: $path")
-          else xs(idx)
-        case (_, s) =>
-          throw new VarSubError(
-            s"Cannot apply ${s} to non-container while reading $path")
+    var nodes: Vector[Any] = Vector(root)
+    var indefinite = false
+    compile(path).foreach { step =>
+      step match {
+        case Field(f) =>
+          if (!indefinite) nodes = Vector(nodes.head match {
+            case m: ListMap[_, _] =>
+              m.asInstanceOf[ListMap[String, Any]].getOrElse(f,
+                throw new VarSubError(
+                  s"No results for path: $path (missing '$f')"))
+            case _ => throw new VarSubError(
+              s"Cannot apply ${step} to non-container while reading $path")
+          })
+          else nodes = nodes.collect {
+            case m: ListMap[_, _]
+                if m.asInstanceOf[ListMap[String, Any]].contains(f) =>
+              m.asInstanceOf[ListMap[String, Any]](f)
+          }
+        case Index(idx) =>
+          if (!indefinite) nodes = Vector(nodes.head match {
+            case xs: Vector[_] =>
+              if (idx < 0 || idx >= xs.length)
+                throw new VarSubError(
+                  s"Index $idx out of bounds for path: $path")
+              else xs(idx)
+            case _ => throw new VarSubError(
+              s"Cannot apply ${step} to non-container while reading $path")
+          })
+          else nodes = nodes.collect {
+            case xs: Vector[_] if idx >= 0 && idx < xs.length => xs(idx)
+          }
+        case Wildcard =>
+          if (!indefinite) {
+            nodes.head match {
+              case _: ListMap[_, _] | _: Vector[_] => ()
+              case _ => throw new VarSubError(
+                s"Cannot apply wildcard to scalar while reading $path")
+            }
+            indefinite = true
+          }
+          nodes = nodes.flatMap(children)
+        case DeepScan(f) =>
+          indefinite = true
+          nodes = nodes.flatMap(deepScan(_, f))
       }
     }
+    if (indefinite) nodes else nodes.head
   }
 }

@@ -361,8 +361,38 @@ object EngineQueries {
       .orderBy($"event_id")
   }
 
+  /** E2 (indefinite paths): jayway deep-scan (`$..k`) and wildcard
+    * (`[*]`) list semantics over JSON synthesized from order rows; the
+    * oracle recomputes the expected aggregates relationally, so this
+    * pins the evaluator's fan-out/skip behavior end to end. */
+  def jsonPathIndefinite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .repartition(col("o_orderkey")).as[(Long, Long)]
+      .map { case (ok, ck) =>
+        val json = s"""{"a":{"k":$ok,"noise":[1,2]},""" +
+          s""""rest":[{"k":$ck},{"other":true}],"empty":{}}"""
+        val kSum = JsonPath.read(json, "$..k")
+          .asInstanceOf[Vector[Any]]
+          .map {
+            case i: Int => i.toLong
+            case l: Long => l
+            case other => throw new IllegalStateException(other.toString)
+          }.sum
+        val restLen = JsonPath.read(json, "$.rest[*]")
+          .asInstanceOf[Vector[Any]].length.toLong
+        val misses = JsonPath.read(json, "$..zzz")
+          .asInstanceOf[Vector[Any]].length.toLong
+        (ok, kSum, restLen, misses)
+      }
+      .toDF("wf_run_id", "k_sum", "rest_len", "zzz_hits")
+      .orderBy($"wf_run_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_mutation_chain" -> (mutationChain _),
+    "e2b_jsonpath_indefinite" -> (jsonPathIndefinite _),
     "e15_conditional_path" -> (conditionalPath _),
     "n2_external_event_timeout" -> (externalEventTimeout _),
     "n3_threads_locks" -> (threadsLocks _),
@@ -435,6 +465,12 @@ object EngineQueries {
       """SELECT event_id,
         | cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "e2b_jsonpath_indefinite" ->
+      """SELECT o_orderkey AS wf_run_id,
+        | o_orderkey + o_custkey AS k_sum,
+        | cast(2 AS BIGINT) AS rest_len,
+        | cast(0 AS BIGINT) AS zzz_hits
+        |FROM orders ORDER BY wf_run_id""".stripMargin,
   )
 }
 

@@ -128,6 +128,27 @@ class ExprSpec extends AnyFunSuite {
     intercept[VarSubError](JsonPath.read("not json", "$.a"))
   }
 
+  test("jsonpath deep scan and wildcard follow jayway list semantics") {
+    val json = """{"k":1,"a":{"k":2,"b":[{"k":3},4]},"c":[[{"k":5}]]}"""
+    // preorder walk: object's own match first, then descend in order
+    assert(JsonPath.read(json, "$..k") == Vector(1, 2, 3, 5))
+    // deep scan that matches nothing → empty list, NOT an error
+    assert(JsonPath.read(json, "$..nope") == Vector())
+    assert(JsonPath.read(json, "$.a.b[*]") ==
+      Vector(ListMap("k" -> 3), 4))
+    // object wildcard yields values in insertion order
+    assert(JsonPath.read(json, "$.a.*") ==
+      Vector(2, Vector(ListMap("k" -> 3), 4)))
+    // branch misses after the fan-out are skipped, not errors
+    assert(JsonPath.read(json, "$.a.b[*].k") == Vector(3))
+    assert(JsonPath.read(json, "$..b") == Vector(Vector(ListMap("k" -> 3), 4)))
+    // indexing into each fanned-out branch
+    assert(JsonPath.read(json, "$.c[*][0]") == Vector(ListMap("k" -> 5)))
+    // wildcard on a scalar in a DEFINITE context still errors
+    intercept[VarSubError](JsonPath.read(json, "$.k[*]"))
+    intercept[VarSubError](JsonPath.read(json, "$..*"))
+  }
+
   // ===== E17 unsplat + objToString =====
 
   test("unsplat: map stays, JSON-object string parses, scalar wraps") {
