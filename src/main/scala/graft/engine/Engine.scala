@@ -828,20 +828,23 @@ private final class EngineCtx(val spec: WFSpec) {
       return true
     }
 
+    // Parity quirk: the reference only adds the TaskRun to taskRuns on
+    // the COMPLETED and invalid-spec branches; on subthread-failure
+    // branches the TaskRun is mutated but never recorded
+    // (ThreadRun.java:1044-1070 — completeTask doesn't add), so failed
+    // waits leave no TaskRun in the snapshot. Mirrored exactly.
     node.handlerSpec(toWaitFor.exceptionName) match {
       case None =>
         val msg = s"Tried to wait for thread ${toWaitFor.id} but it failed " +
           "rather than succeeded!"
         tr.stdout = ""
         tr.stderr = msg
-        t.taskRuns += tr
         completeTask(t, tr, Status.HALTED,
           TaskRunResult(None, Some(msg), success = false, 1),
           event.timestamp, FailureReason.SUBTHREAD_FAILURE)
       case Some(hspec) =>
         val msg = s"TaskRun on ${tr.nodeName} Failed with exception " +
           s"${hspec.handlerThreadSpecName}, so we are handling it."
-        t.taskRuns += tr
         completeTask(t, tr, Status.HALTED,
           TaskRunResult(None, Some(msg), success = false, 1),
           event.timestamp)

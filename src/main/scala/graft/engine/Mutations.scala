@@ -202,8 +202,10 @@ object Mutations {
   def compare(left: Any, right: Any): Int = (left, right) match {
     case (a: Int, b: Int) => java.lang.Integer.compare(a, b)
     case (a: Long, b: Long) => java.lang.Long.compare(a, b)
-    case (a: Int, b: Long) => java.lang.Long.compare(a.toLong, b)
-    case (a: Long, b: Int) => java.lang.Long.compare(a, b.toLong)
+    // NO Int↔Long bridge: the reference's Integer.compareTo((Comparable)
+    // Long) throws ClassCastException → VarSubOrzDash, and LHJson decodes
+    // >2^31 JSON integers as Long, so comparing a large parsed value
+    // against an Int literal must FAIL the thread, not silently coerce.
     case (a: Double, b: Double) => java.lang.Double.compare(a, b)
     case (a: String, b: String) => a.compareTo(b)
     case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
@@ -215,7 +217,17 @@ object Mutations {
   /** Reference `Mutation.contains` (Mutation.java:313-332): haystack
     * must be a collection; null haystack is an error. */
   def contains(haystack: Any, needle: Any): Boolean = haystack match {
-    case xs: Vector[_] => xs.exists(x => x != null && x.equals(needle))
+    case xs: Vector[_] =>
+      // in-order scan; a null element NPEs in the reference's
+      // `thing.equals(right)` loop → VarSubOrzDash, unless a match was
+      // already found earlier in the list (Mutation.java:314-330)
+      xs.exists { x =>
+        if (x == null)
+          throw new VarSubError(
+            "Failed determing whether the left contains the right " +
+              "(null element in haystack)")
+        x.equals(needle)
+      }
     case m: ListMap[_, _] =>
       // Java `Collection` cast of a Map fails in the reference; maps are
       // not valid haystacks there either.

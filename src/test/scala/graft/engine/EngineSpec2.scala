@@ -218,9 +218,15 @@ class EngineSpec2 extends AnyFunSuite {
       tasks = (n, in, _) =>
         if (n == "boom") Fail("kablam") else sharedTasks(n, in))
     assert(s.status == Status.HALTED)
-    val waitTask = mainThread(s).taskRuns.last
-    assert(waitTask.status == Status.HALTED)
-    assert(waitTask.failureReason.contains(FailureReason.SUBTHREAD_FAILURE))
+    // Parity quirk: the reference mutates the wait TaskRun but never
+    // adds it to taskRuns on the subthread-failure branch
+    // (ThreadRun.java:1044-1056 — completeTask doesn't add), so the
+    // snapshot's last recorded task is the SPAWN node and the failed
+    // wait leaves no TaskRun behind.
+    val main = mainThread(s)
+    assert(!main.taskRuns.exists(_.nodeName == "n1"))
+    assert(main.taskRuns.last.nodeName == "n0")
+    assert(main.haltReasons.contains(HaltReason.FAILED))
   }
 
   // ===== interrupts.py =====

@@ -102,6 +102,12 @@ class ExprSpec extends AnyFunSuite {
     assert(Mutations.compare("b", "a") > 0)
     intercept[VarSubError](Mutations.compare("10", 10))
     intercept[VarSubError](Mutations.compare(1, 1.5))
+    // Int↔Long: reference Integer.compareTo((Comparable)Long) throws
+    // ClassCastException → VarSubOrzDash; LHJson decodes >2^31 JSON ints
+    // as Long, so this edge must fail the thread, not coerce
+    intercept[VarSubError](Mutations.compare(1, 4000000000L))
+    intercept[VarSubError](Mutations.compare(4000000000L, 1))
+    assert(Mutations.compare(4000000000L, 5000000000L) < 0)
   }
 
   test("IN/NOT_IN: haystack must be a collection; strict element equality") {
@@ -109,6 +115,11 @@ class ExprSpec extends AnyFunSuite {
     assert(!Mutations.contains(Vector(1, 2, 3), 2.0)) // 2 != 2.0
     intercept[VarSubError](Mutations.contains("not a list", 1))
     intercept[VarSubError](Mutations.contains(null, 1))
+    // null element hit during the scan NPEs in the reference's
+    // thing.equals(right) loop → VarSubOrzDash; a match found BEFORE
+    // the null short-circuits, mirroring the in-order Java loop
+    intercept[VarSubError](Mutations.contains(Vector(1, null, 3), 3))
+    assert(Mutations.contains(Vector(1, null, 3), 1))
   }
 
   // ===== E2 jsonpath =====
