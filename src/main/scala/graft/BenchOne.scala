@@ -1,18 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Times individual queries from the CLI (iteration aid). */
+
+/** Targeted benchmark: time selected queries in isolation (fresh-ish
+  * session, chosen order), for regression triage and scaling curves —
+  * `Bench` times everything in map order, so a heavy query's GC/shuffle
+  * pressure can bleed into whoever runs next; this main isolates that.
+  *
+  * Usage: runMain graft.BenchOne <sfDir> <repeats> <query> [query ...]
+  * Prints one JSON line per (query, repeat).
+  */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val sfDir = args(0)
+    val repeats = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"BENCHONE $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to repeats).foreach { r =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"query":"$name","repeat":$r,"rows":$n,"sec":$sec%.3f}""")
+      }
     }
     spark.stop()
   }
