@@ -236,6 +236,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("read-your-writes: writes are visible after the offset barrier, no polling") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val spec = wfSpec("ryw_wf", "main",
+      thread("main", Map.empty,
+        nodes = Seq(task("n0", "echo_task", "thing" -> lit("hi"))),
+        edges = Nil))
+
+    val input = MemoryStream[WFEvent]
+    val outputs = Scheduler(input.toDS(), Map(spec.name -> spec))
+    val snapshots = TrieMap.empty[Long, String] // seq -> status
+    val query = outputs.writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SchedulerOut], _: Long) =>
+        batch.collect().foreach { r =>
+          if (r.kind == SchedulerOut.SNAPSHOT) snapshots.put(r.seq, r.status)
+        }
+      }
+      .start()
+
+    try {
+      // write 1: start the run; the barrier alone must make the RUNNING
+      // snapshot visible — the reference blocks POSTs exactly this way
+      // (APIStreamsContext.waitForProcessing)
+      val off1 = input.addData(
+        WFEvent(spec.objectId, spec.name, "ryw-1", now(), 0,
+          WFEventType.WF_RUN_STARTED,
+          EventCodec.encodeRunRequest(WFRunRequest(
+            ListMap.empty, spec.objectId, Some("ryw-1")))))
+      ReadYourWrites.awaitProcessed(query, off1.json().toLong)
+      assert(snapshots.nonEmpty, "snapshot not visible after barrier")
+      assert(snapshots(snapshots.keys.min) == Status.RUNNING)
+
+      // write 2: complete the task; after the barrier the COMPLETED
+      // snapshot must already be there — no sleep, no retry loop
+      val t = now()
+      val off2 = input.addData(
+        WFEvent(spec.objectId, spec.name, "ryw-1", t, 0,
+          WFEventType.TASK_EVENT,
+          EventCodec.encodeTaskRunEvent(TaskRunEvent(
+            0, 0, t, 0, None,
+            Some(TaskRunEndedPayload(TaskRunResult(
+              Some("hi"), None, success = true, 0)))))))
+      ReadYourWrites.awaitProcessed(query, off2.json().toLong)
+      assert(snapshots(snapshots.keys.max) == Status.COMPLETED,
+        s"statuses=${snapshots.toVector.sortBy(_._1)}")
+    } finally query.stop()
+  }
+
   test("streaming: external-event timeout halts the run") {
     val spec = wfSpec("ee_timeout_stream", "main",
       thread("main",
