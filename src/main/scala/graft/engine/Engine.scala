@@ -340,12 +340,25 @@ private final class EngineCtx(val spec: WFSpec) {
   }
 
   /** Reference: ThreadRun.incorporateEvent (:271-301) + handleTaskEnded
-    * (:374-398) incl. the ignore-after-TIMEOUT race check. */
+    * (:374-398) incl. the ignore-after-TIMEOUT race check.
+    *
+    * DELIBERATE DELTA — at-least-once idempotency (SURVEY §7.4-4): the
+    * reference's worker commits the consumed TSR offset and the emitted
+    * TASK_EVENT in one Kafka transaction (TaskWorker.java:102-145), so
+    * it never sees duplicates and its handlers fall through on them.
+    * This deployment is at-least-once (no producer txns from Spark
+    * sinks), so redelivered task events — keyed by (wfRunId, threadId,
+    * taskRunPosition); each retry attempt occupies its own position —
+    * are DROPPED here: a started-event for a task no longer SCHEDULED,
+    * or an ended-event for a task already terminal, is a duplicate.
+    * Under exactly-once delivery the guards never fire, so reference
+    * parity holds on every non-duplicated history. */
   private def incorporateTaskEvent(t: ThreadRunState, wfEvent: WFEvent): Unit = {
     val event = EventCodec.decodeTaskRunEvent(wfEvent.content)
     event.startedEvent match {
       case Some(started) =>
         val tr = t.taskRuns(event.taskRunPosition)
+        if (tr.status != Status.SCHEDULED) return // duplicate delivery
         tr.status = Status.RUNNING
         tr.startTime = Some(event.timestamp)
         tr.workerId = started.workerId
@@ -353,13 +366,10 @@ private final class EngineCtx(val spec: WFSpec) {
         tr.stdin = started.stdin.orNull
       case None => event.endedEvent.foreach { ended =>
         val tr = t.taskRuns(event.taskRunPosition)
+        if (tr.status == Status.COMPLETED || tr.status == Status.HALTED)
+          return // duplicate delivery (incl. the reference's
+                 // late-result-after-TIMEOUT ignore)
         tr.taskDefVersionNumber = event.taskDefVersionNumber
-        if (tr.status != Status.SCHEDULED && tr.status != Status.RUNNING) {
-          if (tr.status == Status.HALTED &&
-            tr.failureReason.contains(FailureReason.TIMEOUT)) {
-            return // late result after timeout: ignored
-          }
-        }
         val taskStatus =
           if (ended.result.success) Status.COMPLETED else Status.HALTED
         completeTask(t, tr, taskStatus, ended.result, event.timestamp)

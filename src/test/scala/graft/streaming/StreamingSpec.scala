@@ -29,7 +29,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spec: WFSpec,
       inputVars: Map[String, Any] = Map.empty,
       externalAfterTsrs: Option[(Int, String, Any)] = None,
-      timeoutMs: Long = 30000L): (Vector[String], WFRunState) = {
+      timeoutMs: Long = 30000L,
+      duplicateDeliveries: Boolean = false): (Vector[String], WFRunState) = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
@@ -53,7 +54,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
             Simulator.sharedTasks(tsr.taskDefName, tsr.variableSubstitutions) match {
               case Simulator.Ok(v, _) =>
                 val t = now()
-                input.addData(
+                val pair = Seq(
                   WFEvent(spec.objectId, spec.name, tsr.wfRunId, t,
                     tsr.threadId, WFEventType.TASK_EVENT,
                     EventCodec.encodeTaskRunEvent(TaskRunEvent(
@@ -65,6 +66,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
                       tsr.threadId, tsr.taskRunPosition, t + 1, 0, None,
                       Some(TaskRunEndedPayload(TaskRunResult(
                         Some(LHJson.render(v)), None, success = true, 0)))))))
+                // at-least-once simulation: the whole started+ended pair
+                // is redelivered, as if the worker re-consumed the TSR
+                val events = if (duplicateDeliveries) pair ++ pair else pair
+                input.addData(events)
               case other => fail(s"unexpected behavior $other")
             }
             externalAfterTsrs.foreach { case (afterN, defName, content) =>
@@ -234,6 +239,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val b1 = StateCodec.decode(finals("b-1"))
       assert(b1.threadRuns(0).taskRuns.map(_.stdout).toSeq == Seq("one", "two"))
     } finally query.stop()
+  }
+
+  test("at-least-once: duplicated task-event deliveries fold idempotently") {
+    // every started+ended pair delivered twice — the consumer-side
+    // dedupe keyed (wfRunId, threadId, taskRunPosition) must make the
+    // outcome identical to exactly-once delivery (reference gets this
+    // from worker Kafka txns, TaskWorker.java:102-145; SURVEY §7.4-4)
+    val (statuses, finalState) = driveStreaming(
+      basicWf,
+      externalAfterTsrs = Some((1, "my-name", "Obi-Wan")),
+      duplicateDeliveries = true)
+    assert(statuses.last == Status.COMPLETED)
+    val thr = finalState.threadRuns(0)
+    assert(thr.variables("my_name_var") == "Obi-Wan")
+    assert(thr.taskRuns.length == 3, s"duplicated folds: ${thr.taskRuns.length}")
+    assert(thr.taskRuns(2).stdout == "Hello there, Obi-Wan!")
   }
 
   test("read-your-writes: writes are visible after the offset barrier, no polling") {
