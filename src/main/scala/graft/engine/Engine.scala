@@ -358,7 +358,16 @@ private final class EngineCtx(val spec: WFSpec) {
     event.startedEvent match {
       case Some(started) =>
         val tr = t.taskRuns(event.taskRunPosition)
-        if (tr.status != Status.SCHEDULED) return // duplicate delivery
+        // duplicate-delivery guard — but a started-event for a
+        // TIMEOUT-halted task must still apply: the reference's
+        // handleTaskStarted has no guard, so a worker answering after
+        // a timeout RESURRECTS the task to RUNNING and its result then
+        // lands (that is how runs recover when the scheduler was down
+        // past the task timeout). Only a genuinely terminal non-timeout
+        // task marks the event as a redelivery.
+        if (tr.status == Status.COMPLETED ||
+          (tr.status == Status.HALTED &&
+            !tr.failureReason.contains(FailureReason.TIMEOUT))) return
         tr.status = Status.RUNNING
         tr.startTime = Some(event.timestamp)
         tr.workerId = started.workerId

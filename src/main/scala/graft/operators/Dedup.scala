@@ -160,11 +160,13 @@ object Dedup {
       .distinct()
 
     // exact verification of candidates only: re-attach the (sorted)
-    // shingle arrays via broadcast and intersect in place
-    val sets = broadcast(docs.select($"doc_id", $"shingle_set",
-      size($"shingle_set").as("n")))
-    candidates
+    // shingle arrays. The CANDIDATE side is the small one — broadcast
+    // it, never the full shingle-set corpus (which grows with the data)
+    val sets = docs.select($"doc_id", $"shingle_set",
+      size($"shingle_set").as("n"))
+    val withA = broadcast(candidates)
       .join(sets.as("za"), $"da" === $"za.doc_id")
+    broadcast(withA)
       .join(sets.as("zb"), $"db" === $"zb.doc_id")
       .withColumn("inter",
         size(array_intersect($"za.shingle_set", $"zb.shingle_set")))

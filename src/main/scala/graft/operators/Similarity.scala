@@ -30,7 +30,13 @@ object Similarity {
 
   private val K = 5
   private val N_QUERIES = 10
-  private val LSH_BITS = 8
+  // 16-bit sketch (65536 buckets) + Hamming ≤ 2 multi-probe: queries
+  // probe 1 + 16 + 120 = 137 buckets. vs the old single-probe 8-bit
+  // sketch this is ~2× less join volume at scale (137/65536 of the
+  // corpus vs 1/256) AND higher recall — multi-probe is how you shrink
+  // buckets without giving up neighbors that straddle a plane.
+  private val LSH_BITS = 16
+  private val PROBE_HAMMING = 2
 
   import graft.functions.VectorOps.dot
 
@@ -75,10 +81,11 @@ object Similarity {
         1000000L) / 1000000.0d - 0.5d
     }
 
-  /** LSH-bucketed ANN: 8 deterministic random hyperplanes, sign bits
-    * form the bucket; queries rerank only within their bucket.
-    * Approximate by design, but fully deterministic — the DuckDB oracle
-    * recomputes planes, buckets, and rerank from first principles. */
+  /** LSH-bucketed ANN: 16 deterministic random hyperplanes, sign bits
+    * form the bucket; queries rerank within every bucket at Hamming ≤ 2
+    * of their own (multi-probe). Approximate by design, but fully
+    * deterministic — the DuckDB oracle recomputes planes, buckets, and
+    * the probe relation from first principles. */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = withNorm(Tables(s, dir, "embeddings")
@@ -92,12 +99,23 @@ object Similarity {
     }
     val sketched = emb.withColumn("bucket", sketchBits.reduce(_ + _))
 
+    // multi-probe: the query fans out to every bucket within
+    // PROBE_HAMMING bit-flips of its own; the corpus side joins on its
+    // single bucket key, so corpus shuffle volume stays O(N)
+    val probeExprs =
+      Seq($"bucket") ++
+        (0 until LSH_BITS).map(j => $"bucket".bitwiseXOR(lit(1L << j))) ++
+        (for { j <- 0 until LSH_BITS; kk <- j + 1 until LSH_BITS }
+          yield $"bucket"
+            .bitwiseXOR(lit(1L << j)).bitwiseXOR(lit(1L << kk)))
     val queries = sketched.filter($"vec_id" < N_QUERIES)
-    val scored = queries.as("a")
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"),
+        explode(array(probeExprs: _*)).as("probe"))
+    val scored = queries
       .join(sketched.as("b"),
-        $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
-      .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
-        cosine.as("cos"))
+        $"probe" === $"b.bucket" && $"qid" =!= $"b.vec_id")
+      .select($"qid".as("query_id"), $"b.vec_id".as("neighbor_id"),
+        (dot($"qv", $"b.v") / ($"qnorm" * $"b.norm")).as("cos"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -124,8 +142,10 @@ object Similarity {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // ann_lsh_topk: DuckDB re-derives the mix64 hyperplanes, the
     // sequential-fold projections, and the bucket sketch bit-exactly
-    // (OracleSql machinery), then reranks within buckets — same
-    // semantics as the Spark plan, independently computed.
+    // (OracleSql machinery), then applies the multi-probe relation as
+    // its semantic equivalent — Hamming(query bucket, corpus bucket)
+    // ≤ PROBE_HAMMING — and reranks. Same answer as the Spark plan's
+    // probe-fan-out join, independently computed.
     "ann_lsh_topk" -> {
       val comp = OracleSql.mix64("CAST(p * 4096 + d AS HUGEINT)")
       val proj =
@@ -138,7 +158,7 @@ object Similarity {
       val bucket =
         s"""list_reduce(
            |  list_prepend(CAST(0 AS BIGINT),
-           |    list_transform(range(0, 8), p ->
+           |    list_transform(range(0, 16), p ->
            |      CASE WHEN ($proj) >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER)
            |           ELSE CAST(0 AS BIGINT) END)),
            |  (a, x) -> a + x)""".stripMargin
@@ -149,7 +169,9 @@ object Similarity {
          |  SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
          |    CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
          |      list_cosine_similarity(a.v, bb.v) DESC, bb.vec_id) AS BIGINT) AS rank
-         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+         |  FROM b a JOIN b bb
+         |    ON bit_count(xor(a.bucket, bb.bucket)) <= 2
+         |    AND a.vec_id <> bb.vec_id
          |  WHERE a.vec_id < 10) t
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
