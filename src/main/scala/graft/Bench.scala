@@ -18,9 +18,11 @@ object Bench {
     // exactly what a cross-round "regression" looked like. Queries then
     // run in sorted name order so per-query times are comparable
     // across rounds.
-    try SparkEntry.queries("m1_retry_fold")(spark, "/root/testdata/sf0.001")
-      .count()
-    catch { case _: Throwable => () }
+    try SparkEntry.queries("m1_retry_fold")(spark, sfDir).count()
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -53,7 +53,7 @@ object BenchScale {
           val tagged =
             if (i == 0) text
             else text.split(' ').map(w => w + "_" + i).mkString(" ")
-          (id + i * 10000000L, tagged, lang, source, n)
+          (id + i * 10000000L, tagged, lang, source, tagged.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
     }.reduce(_ unionAll _)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")

@@ -358,7 +358,9 @@ private final class EngineCtx(val spec: WFSpec) {
     event.startedEvent match {
       case Some(started) =>
         val tr = t.taskRuns(event.taskRunPosition)
-        // duplicate-delivery guard — but a started-event for a
+        // duplicate-delivery guard (backstop — the scheduler's
+        // recentEventHashes window drops byte-identical redeliveries
+        // before they get here) — but a started-event for a
         // TIMEOUT-halted task must still apply: the reference's
         // handleTaskStarted has no guard, so a worker answering after
         // a timeout RESURRECTS the task to RUNNING and its result then
@@ -375,10 +377,13 @@ private final class EngineCtx(val spec: WFSpec) {
         tr.stdin = started.stdin.orNull
       case None => event.endedEvent.foreach { ended =>
         val tr = t.taskRuns(event.taskRunPosition)
+        // reference order: the version field updates BEFORE the ignore
+        // check (handleTaskEnded:379-386), so ignored late results
+        // still leave it on the snapshot
+        tr.taskDefVersionNumber = event.taskDefVersionNumber
         if (tr.status == Status.COMPLETED || tr.status == Status.HALTED)
           return // duplicate delivery (incl. the reference's
                  // late-result-after-TIMEOUT ignore)
-        tr.taskDefVersionNumber = event.taskDefVersionNumber
         val taskStatus =
           if (ended.result.success) Status.COMPLETED else Status.HALTED
         completeTask(t, tr, taskStatus, ended.result, event.timestamp)

@@ -107,16 +107,21 @@ object Dedup {
     * pair — near-linear on natural corpora at any scale. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val t = JACCARD_THRESHOLD
+    val t = JACCARD_THRESHOLD // 4/5 — prefix/length math uses the exact
+    // rational: floor(n·(1-t))+1 via doubles under-counts by one
+    // whenever 0.2·n is an integer (1-0.8 = 0.19999…96 in binary),
+    // silently losing qualifying pairs from the GROUND-TRUTH output
     val sets = shingleSets(s, dir).toDF("doc_id", "ss")
       .select($"doc_id", $"ss", size($"ss").as("n"))
+    // prefix length = n - ceil(t·n) + 1 = n - ((4n+4) div 5) + 1, exact
     val pref = sets.select($"doc_id", $"n",
-      explode(slice($"ss", lit(1),
-        (floor($"n" * (1 - t)) + 1).cast("int"))).as("sh"))
+      explode(expr(
+        "slice(ss, 1, cast(n - ((4*n + 4) div 5) + 1 as int))")).as("sh"))
     val cands = pref.as("a")
       .join(pref.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
-          $"a.n" >= $"b.n" * t && $"b.n" >= $"a.n" * t)
+          // length prune n_a ≥ t·n_b, again in exact integers
+          $"a.n" * 5 >= $"b.n" * 4 && $"b.n" * 5 >= $"a.n" * 4)
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
       .distinct()
     cands
@@ -160,13 +165,13 @@ object Dedup {
       .distinct()
 
     // exact verification of candidates only: re-attach the (sorted)
-    // shingle arrays. The CANDIDATE side is the small one — broadcast
-    // it, never the full shingle-set corpus (which grows with the data)
+    // shingle arrays. Broadcast ONLY the bare (da,db) id pairs — the
+    // small side; once shingle arrays are attached the rows are KBs
+    // each and must stay distributed (second attach is a shuffle join)
     val sets = docs.select($"doc_id", $"shingle_set",
       size($"shingle_set").as("n"))
-    val withA = broadcast(candidates)
+    broadcast(candidates)
       .join(sets.as("za"), $"da" === $"za.doc_id")
-    broadcast(withA)
       .join(sets.as("zb"), $"db" === $"zb.doc_id")
       .withColumn("inter",
         size(array_intersect($"za.shingle_set", $"zb.shingle_set")))
@@ -329,7 +334,10 @@ object Dedup {
     // bit-exactly (OracleSql), then checks ALL pairs at Hamming ≤ 6 —
     // a true semantic oracle that also proves the 2-of-8-chunk blocking
     // loses nothing (pigeonhole: ≤6 differing bits leave ≥2 of the 8
-    // 8-bit chunks untouched).
+    // 8-bit chunks untouched). Known regime limit: SIMHASH_MAX_BUCKET
+    // only binds on >4096-deep identical-slice floods, which the
+    // documented exact-dedup-first pipeline removes; inside that
+    // contract (and at every test SF) blocked output == all-pairs.
     "dedup_simhash" -> {
       val bigramHash = OracleSql.fnv1a64("bigram")
       s"""WITH toks AS (

@@ -20,19 +20,16 @@ object Tables {
   /** Dimension tables small enough to broadcast at any scale factor. */
   val broadcastable: Set[String] = Set("region", "nation", "supplier")
 
-  // Sessions whose nanosAsLong flag we've already ensured — the flag is
-  // session-global, so it is set ONCE per session (ideally by the
-  // session builder; this is the idempotent fallback), never flipped
-  // per-read where concurrent queries would race on shared conf.
-  private val nanosFlagEnsured =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
-
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-      // default. Read it as a long (nanos since epoch) and truncate to
-      // the microsecond timestamp DuckDB produces for the same column.
-      if (nanosFlagEnsured.add(spark))
+      // default. The flag belongs at session construction (Verify/
+      // Bench/TestSpark all set it); this fallback only writes when a
+      // caller-built session lacks it, so concurrent readers on a
+      // properly-built session never touch shared conf — and a racing
+      // pair here both write the same constant before their own read.
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+          != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._

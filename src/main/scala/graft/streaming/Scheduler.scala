@@ -40,7 +40,14 @@ object SchedulerOut {
   * store because timers only ever target their own wfRunId,
   * WFRunTimer.java:5-11). */
 case class SchedulerState(
-    wfRunJson: String, timersJson: String, emitSeq: Long)
+    wfRunJson: String, timersJson: String, emitSeq: Long,
+    // bounded window of recently-processed event digests — the
+    // consumer-side dedupe that stands in for the reference worker's
+    // exactly-once Kafka txns (SURVEY §7.4-4): a redelivered event is
+    // byte-identical and dropped HERE, before the engine, so even the
+    // timeout-resurrection path (which must stay open for genuinely
+    // late worker results) can't double-apply a duplicated pair.
+    recentEventHashes: Seq[Long])
 
 /** The streaming deployment of the engine (SURVEY.md §7.1): one
   * multiplexed `flatMapGroupsWithState` over the union WFEvent stream
@@ -57,6 +64,11 @@ case class SchedulerState(
   * punctuator (Constants.java:36).
   */
 object Scheduler {
+
+  /** Size of the per-run duplicate-detection window. Redeliveries are
+    * near-in-time, so a small window suffices; a duplicate older than
+    * the window falls back to the engine's own terminal-status guards. */
+  val DEDUPE_WINDOW = 64
 
   /** Core stateful transform: WFEvent stream → scheduler outputs.
     * `specs` maps wfSpecName → spec (broadcast with the closure). */
@@ -85,6 +97,8 @@ object Scheduler {
     var timers: Vector[WFRunTimer] = groupState.getOption
       .map(s => decodeTimers(s.timersJson)).getOrElse(Vector.empty)
     var emitSeq: Long = groupState.getOption.map(_.emitSeq).getOrElse(0L)
+    var recent: Vector[Long] = groupState.getOption
+      .map(_.recentEventHashes.toVector).getOrElse(Vector.empty)
     var specName: String = state.map(_.wfSpecName).getOrElse("")
 
     def specFor(name: String): Option[WFSpec] = specs.get(name)
@@ -130,10 +144,18 @@ object Scheduler {
     } else {
       val sorted = eventsIter.toArray.sortBy(_.timestamp)
       sorted.foreach { ev =>
-        fireMatured(ev.timestamp)
-        specFor(if (ev.wfSpecName.nonEmpty) ev.wfSpecName else specName) match {
-          case Some(spec) => emit(Engine.processEvent(spec, state, ev))
-          case None => () // unknown spec: drop, mirroring unknown-run drops
+        val digest = graft.functions.TextHashes.hash64(
+          s"${ev.eventType}|${ev.threadId}|${ev.timestamp}|${ev.content}", 0L)
+        if (recent.contains(digest)) {
+          // at-least-once redelivery: byte-identical event already
+          // folded — drop before it reaches the engine
+        } else {
+          recent = (recent :+ digest).takeRight(DEDUPE_WINDOW)
+          fireMatured(ev.timestamp)
+          specFor(if (ev.wfSpecName.nonEmpty) ev.wfSpecName else specName) match {
+            case Some(spec) => emit(Engine.processEvent(spec, state, ev))
+            case None => () // unknown spec: drop, mirroring unknown-run drops
+          }
         }
       }
     }
@@ -141,7 +163,7 @@ object Scheduler {
     // persist + re-arm the timeout to the earliest pending timer (R3)
     groupState.update(SchedulerState(
       state.map(StateCodec.encode).getOrElse(""), encodeTimers(timers),
-      emitSeq))
+      emitSeq, recent))
     if (timers.nonEmpty) {
       val next = timers.map(_.maturationTimestamp).min
       val delay = math.max(1L, next - System.currentTimeMillis())
