@@ -291,12 +291,52 @@ object Dedup {
       .orderBy($"va", $"vb")
   }
 
+  /** Near-dup CLUSTERING: connected components over the verified
+    * near-dup pair graph, cluster id = min doc_id of the component —
+    * what a curation pipeline actually does with pairwise dup hits
+    * (keep one canonical doc per cluster, not per pair, so A~B~C
+    * collapses to one keeper even when A~C wasn't itself a pair).
+    *
+    * Iterative min-label propagation to fixpoint: O(component
+    * diameter) rounds, and near-dup components are tiny (pairs/
+    * triples), so 2-3 rounds converge; each round is one join + one
+    * map-side-combined min. `localCheckpoint` truncates the iterative
+    * lineage. At extreme scale the loop body swaps for the
+    * large-star/small-star contraction — same DataFrame ops, fewer
+    * rounds on high-diameter graphs (which near-dup graphs are not). */
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLshPairs(s, dir)
+    val edges = pairs.select($"da".as("a"), $"db".as("b"))
+      .union(pairs.select($"db".as("a"), $"da".as("b")))
+      .localCheckpoint()
+    var labels = Tables(s, dir, "documents")
+      .select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = edges.join(labels, $"b" === $"doc_id")
+        .groupBy($"a").agg(min($"cluster_id").as("nl"))
+      val next = labels.join(nbr, $"doc_id" === $"a", "left")
+        .select($"doc_id",
+          least($"cluster_id", coalesce($"nl", $"cluster_id"))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), $"n.doc_id" === $"o.doc_id")
+        .filter($"n.cluster_id" < $"o.cluster_id").count()
+      labels = next
+    }
+    labels.select($"doc_id", $"cluster_id",
+      ($"doc_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "dedup_minhash_lsh" -> (minhashLshPairs _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_embedding_cosine" -> (embeddingCosinePairs _),
+    "dedup_clusters" -> (nearDupClusters _),
   )
 
   private val jaccardOracle =
@@ -324,6 +364,36 @@ object Dedup {
     // LSH with 16 bands × 2 rows has miss prob ≤ 5e-8 at s ≥ 0.8 and the
     // candidates are exactly verified, so the output equals the exact set.
     "dedup_minhash_lsh" -> jaccardOracle,
+    // clustering oracle: transitive closure of the exact pair graph via
+    // a recursive CTE, component id = min reachable doc_id
+    "dedup_clusters" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS s
+        |  FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |good AS (SELECT da, db FROM pairs
+        |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+        |edges AS (SELECT da AS a, db AS b FROM good
+        |          UNION SELECT db, da FROM good),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+        |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+        |  doc_id = cluster_id AS is_keeper
+        |FROM comp ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
