@@ -301,8 +301,38 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** TPC-H Q21 shape on this schema: the sole "problem" supplier of a
+    * multi-supplier order (returned lineitem where no OTHER supplier's
+    * lineitem was returned) — the hardest relational pattern in the
+    * checklist: fact self-joins as one LEFT-SEMI (exists another
+    * supplier) and one LEFT-ANTI (no other returned supplier), then a
+    * broadcast dim join and a top-n. Both existence probes shuffle on
+    * l_orderkey only; Catalyst plans them as semi/anti hash joins, no
+    * correlated re-execution. */
+  def q21SoleProblemSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+    val l1 = li.filter($"l_returnflag" === "R")
+      .join(t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+    val others = li.select($"l_orderkey".as("ok2"), $"l_suppkey".as("sk2"))
+    val othersR = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey".as("ok3"), $"l_suppkey".as("sk3"))
+    l1.join(others,
+        $"l_orderkey" === $"ok2" && $"l_suppkey" =!= $"sk2", "left_semi")
+      .join(othersR,
+        $"l_orderkey" === $"ok3" && $"l_suppkey" =!= $"sk3", "left_anti")
+      .join(broadcast(t(s, dir, "supplier").select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_salted_skew_agg" -> (q17SaltedSkewAgg _),
+    "q21_sole_problem_supplier" -> (q21SoleProblemSupplier _),
     "q19_sql_exists_subquery" -> (q19SqlSurface _),
     "q20_datetime_funcs" -> (q20DatetimeFuncs _),
     "q1_pricing_agg" -> (q1Pricing _),
@@ -324,6 +354,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q21_sole_problem_supplier" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q19_sql_exists_subquery" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
         |FROM customer

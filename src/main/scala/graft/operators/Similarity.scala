@@ -88,11 +88,20 @@ object Similarity {
     * the probe relation from first principles. */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = withNorm(Tables(s, dir, "embeddings")
-      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
-
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val dim = Tables(s, dir, "embeddings")
       .select(size($"embedding")).as[Int].first()
+    lshTopKOn(emb, dim)
+  }
+
+  /** Core of [[lshTopK]] over any (vec_id, v: array&lt;double&gt;) frame —
+    * exposed so specs can run it on corpora with PLANTED neighbors
+    * (recall is only meaningful when true near-duplicates exist). */
+  private[operators] def lshTopKOn(embIn: DataFrame, dim: Int): DataFrame = {
+    val s = embIn.sparkSession
+    import s.implicits._
+    val emb = withNorm(embIn)
     val sketchBits = (0 until LSH_BITS).map { p =>
       val proj = dot($"v", typedlit(planeVec(p, dim)))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))

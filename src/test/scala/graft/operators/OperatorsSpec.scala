@@ -45,6 +45,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands <= n * 20, s"$cands candidates for $n docs")
   }
 
+  test("LSH ANN: multi-probe finds planted near-duplicate twins") {
+    import spark.implicits._
+    // 200 seeded random 64-dim vectors; vec 0..9 each get a twin at
+    // id 100+i (tiny perturbation, cos > 0.999). Multi-probe Hamming<=2
+    // must return the twin as top-1 for every query — random corpora
+    // have no true neighbors, so THIS is the recall that matters.
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    val twins = (0 until 10).map { i =>
+      val v = base(i)._2
+      ((100 + i).toLong, v.map(_ + rnd.nextGaussian() * 0.01))
+    }
+    val emb = (base.filterNot(b => twins.exists(_._1 == b._1)) ++ twins)
+      .toDF("vec_id", "v")
+    val top1 = Similarity.lshTopKOn(emb, 64).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val found = (0 until 10).count(i => top1.get(i.toLong).contains(100L + i))
+    assert(found >= 8, s"planted-twin top-1 recall $found/10; got $top1")
+  }
+
   test("LSH ANN: top-1 recall vs brute force is usable") {
     def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.collect().filter(_.getLong(1) == 1L)
