@@ -76,6 +76,14 @@ class PlanSpec extends AnyFunSuite {
     assert(search.collect().map(_.getString(0)).toSeq == Seq("wf1"))
   }
 
+  test("binned range join plans as equi-join, not nested-loop/cartesian") {
+    val plan = planOf(RangeJoin.eventsInWindows(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the range predicates ride an equi hash/sort-merge join on the bin
+    assert(plan.contains("Join") || plan.contains("HashJoin"), plan.take(500))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.GraftFunctions
