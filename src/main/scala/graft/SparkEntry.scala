@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsofJoin, Curation, Dedup, EngineQueries,
-  Multimodal, RangeJoin, Relational, Similarity, TextAnalysis}
+  Multimodal, RangeJoin, Relational, Similarity, StreamBatch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EngineQueries.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      AsofJoin.queries ++ Curation.queries ++ RangeJoin.queries
+      AsofJoin.queries ++ Curation.queries ++ RangeJoin.queries ++
+      StreamBatch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EngineQueries.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      AsofJoin.oracles ++ Curation.oracles ++ RangeJoin.oracles
+      AsofJoin.oracles ++ Curation.oracles ++ RangeJoin.oracles ++
+      StreamBatch.oracles
 }
