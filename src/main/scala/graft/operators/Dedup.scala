@@ -312,8 +312,12 @@ object Dedup {
       .localCheckpoint()
     var labels = Tables(s, dir, "documents")
       .select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // labels only ever decrease, so Σcluster_id strictly decreases
+    // until the fixpoint — a one-pass aggregate is a cheaper
+    // convergence probe than a self-join diff
+    var prevSum = Long.MaxValue
+    var converged = false
+    while (!converged) {
       val nbr = edges.join(labels, $"b" === $"doc_id")
         .groupBy($"a").agg(min($"cluster_id").as("nl"))
       val next = labels.join(nbr, $"doc_id" === $"a", "left")
@@ -321,8 +325,9 @@ object Dedup {
           least($"cluster_id", coalesce($"nl", $"cluster_id"))
             .as("cluster_id"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), $"n.doc_id" === $"o.doc_id")
-        .filter($"n.cluster_id" < $"o.cluster_id").count()
+      val sum2 = next.agg(sum($"cluster_id")).first().getLong(0)
+      converged = sum2 == prevSum
+      prevSum = sum2
       labels = next
     }
     labels.select($"doc_id", $"cluster_id",
