@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a [[SparkSessionExtensions]] instance's injected functions
+    * to an EXISTING session's registry — `spark.sql.extensions` only
+    * takes effect at session construction, so tests (which share one
+    * session per JVM) exercise the extension wiring through this hook
+    * instead of building a second SparkContext. */
+  def registerInjectedFunctions(
+      ext: SparkSessionExtensions, spark: SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

@@ -137,6 +137,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SparkSessionExtensions injects the native functions as SQL") {
+    import org.apache.spark.sql.{GraftColumnBridge, SparkSessionExtensions}
+    val ext = new SparkSessionExtensions
+    new graft.functions.GraftSparkExtensions().apply(ext)
+    GraftColumnBridge.registerInjectedFunctions(ext, spark)
+    val row = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "simhash64('a b c') AS s, rolling_hash64('abc') AS r").collect()(0)
+    assert(row.getDouble(0) == 11.0d)
+    assert(row.getLong(1) == TextHashes.simhash64("a b c"))
+    assert(row.getLong(2) == TextHashes.rollingHash("abc"))
+  }
+
   test("native expressions are SQL-registered and codegen-compatible") {
     GraftFunctions.register(spark)
     graft.sources.Tables.registerViews(spark, dir)
