@@ -32,6 +32,17 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** CPU-parallel repartition: EXPLICIT partition count, because AQE's
+    * shuffle-size-based coalescing sees the tiny shuffle payload of a
+    * compute-bound fold (150k keys ≈ 2 MB) and would collapse the
+    * stage to 1-2 partitions — serializing work that should use every
+    * core. An explicit count opts the exchange out of coalescing. */
+  private def parByKey(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      key)
+
   private val JACCARD_THRESHOLD = 0.8
   private val MINHASH_K = 32 // 16 bands × 2 rows
   private val BANDS = 16
@@ -43,9 +54,9 @@ object Dedup {
   private def shingleSets(s: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .select($"doc_id", $"text").as[(Long, String)]
+      .select($"doc_id", $"text")
       // the table arrives as one parquet split; spread per-doc work
-      .repartition(col("doc_id"))
+      .transform(parByKey(_, col("doc_id")))
       .as[(Long, String)]
       .map { case (id, text) =>
         val words = text.split(' ')
@@ -233,7 +244,7 @@ object Dedup {
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
-      .repartition(col("doc_id"))
+      .transform(parByKey(_, col("doc_id")))
       .select($"doc_id", GraftFunctions.simhash64($"text").as("sig"))
     simhashCandidates(docs, SIMHASH_MAX_BUCKET)
       .filter($"hamming" <= 6)
