@@ -330,8 +330,36 @@ object Relational {
       .limit(20)
   }
 
+  /** Gap-based sessionization — the canonical event-analytics window
+    * pattern: a new session starts after >30 min of user inactivity.
+    * Two stacked windows (lag to flag session starts, running sum to
+    * number them) then one aggregation; all three shuffle on user_id
+    * ONCE — Catalyst collapses same-partitioning windows into a single
+    * exchange. The streaming twin of this query is
+    * flatMapGroupsWithState sessionization (graft.streaming). */
+  def q24Sessionization(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gap = unix_micros($"ts") -
+      unix_micros(lag($"ts", 1).over(byUser))
+    val flagged = t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("new_s",
+        when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+    flagged
+      .withColumn("sid", sum($"new_s")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("session_start"),
+        count(lit(1)).as("n_events"),
+        (unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("duration_us"))
+      .orderBy($"user_id", $"sid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_salted_skew_agg" -> (q17SaltedSkewAgg _),
+    "q24_sessionization" -> (q24Sessionization _),
     "q21_sole_problem_supplier" -> (q21SoleProblemSupplier _),
     "q19_sql_exists_subquery" -> (q19SqlSurface _),
     "q20_datetime_funcs" -> (q20DatetimeFuncs _),
@@ -354,6 +382,26 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q24_sessionization" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+        |  min(ts) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT)
+        |    AS duration_us
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin,
     "q21_sole_problem_supplier" ->
       """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM supplier, lineitem l1, orders
