@@ -21,17 +21,24 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftSparkExtensions {
   private def fn(
-      name: String,
+      name: String, arity: Int,
       builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
       new ExpressionInfo(classOf[GraftSparkExtensions].getName, name),
-      builder)
+      exprs => {
+        // explicit arity check: a silent drop of extra args would
+        // return a plausible-looking wrong answer from SQL
+        if (exprs.length != arity)
+          throw new IllegalArgumentException(
+            s"$name requires exactly $arity argument(s), got ${exprs.length}")
+        builder(exprs)
+      })
 
   val functions
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
-      fn("simhash64", exprs => SimHash64Expr(exprs.head)),
-      fn("rolling_hash64", exprs => RollingHash64Expr(exprs.head)),
-      fn("dot_product", exprs => DotProductExpr(exprs(0), exprs(1))))
+      fn("simhash64", 1, exprs => SimHash64Expr(exprs.head)),
+      fn("rolling_hash64", 1, exprs => RollingHash64Expr(exprs.head)),
+      fn("dot_product", 2, exprs => DotProductExpr(exprs(0), exprs(1))))
 }

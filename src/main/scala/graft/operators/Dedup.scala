@@ -32,16 +32,6 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** CPU-parallel repartition: EXPLICIT partition count, because AQE's
-    * shuffle-size-based coalescing sees the tiny shuffle payload of a
-    * compute-bound fold (150k keys ≈ 2 MB) and would collapse the
-    * stage to 1-2 partitions — serializing work that should use every
-    * core. An explicit count opts the exchange out of coalescing. */
-  private def parByKey(df: org.apache.spark.sql.DataFrame,
-      key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
-    df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-      key)
 
   private val JACCARD_THRESHOLD = 0.8
   private val MINHASH_K = 32 // 16 bands × 2 rows
@@ -56,7 +46,7 @@ object Dedup {
     Tables(s, dir, "documents")
       .select($"doc_id", $"text")
       // the table arrives as one parquet split; spread per-doc work
-      .transform(parByKey(_, col("doc_id")))
+      .transform(Tables.repartitionForCpu(_, col("doc_id")))
       .as[(Long, String)]
       .map { case (id, text) =>
         val words = text.split(' ')
@@ -244,7 +234,7 @@ object Dedup {
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
-      .transform(parByKey(_, col("doc_id")))
+      .transform(Tables.repartitionForCpu(_, col("doc_id")))
       .select($"doc_id", GraftFunctions.simhash64($"text").as("sig"))
     simhashCandidates(docs, SIMHASH_MAX_BUCKET)
       .filter($"hamming" <= 6)
@@ -336,7 +326,9 @@ object Dedup {
           least($"cluster_id", coalesce($"nl", $"cluster_id"))
             .as("cluster_id"))
         .localCheckpoint()
-      val sum2 = next.agg(sum($"cluster_id")).first().getLong(0)
+      // sum() is NULL on an empty table — degrade to an empty clustering
+      val sumRow = next.agg(sum($"cluster_id")).first()
+      val sum2 = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       converged = sum2 == prevSum
       prevSum = sum2
       labels = next

@@ -23,16 +23,6 @@ import graft.sources.Tables
   */
 object EngineQueries {
 
-  /** CPU-parallel repartition: EXPLICIT partition count, because AQE's
-    * shuffle-size-based coalescing sees the tiny shuffle payload of a
-    * compute-bound fold (150k keys ≈ 2 MB) and would collapse the
-    * stage to 1-2 partitions — serializing work that should use every
-    * core. An explicit count opts the exchange out of coalescing. */
-  private def parByKey(df: org.apache.spark.sql.DataFrame,
-      key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
-    df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-      key)
   import graft.engine.SpecBuilders._
 
   // ===== specs (built once; serialized into task closures) =====
@@ -204,7 +194,7 @@ object EngineQueries {
     import s.implicits._
     val spec = mutationSpec
     Tables(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
-      .transform(parByKey(_, col("o_orderkey"))).as[(Long, Double)]
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[(Long, Double)]
       .map { case (ok, price) =>
         val (st, _) = Simulator.run(spec,
           Map("x" -> (ok % 1000).toInt, "f" -> price))
@@ -221,7 +211,7 @@ object EngineQueries {
     import s.implicits._
     val spec = conditionalSpec
     Tables(s, dir, "orders").select($"o_orderkey")
-      .transform(parByKey(_, col("o_orderkey"))).as[Long]
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[Long]
       .filter((ok: Long) => ok % 10 == 0) // 1-in-10 sample: fold cost, not scan cost
       .map { ok =>
         val (st, _) = Simulator.run(spec, Map("c" -> (ok % 25).toInt))
@@ -237,7 +227,7 @@ object EngineQueries {
     import s.implicits._
     val spec = externalEventSpec
     Tables(s, dir, "orders").select($"o_orderkey")
-      .transform(parByKey(_, col("o_orderkey"))).as[Long]
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[Long]
       .map { ok =>
         val externals =
           if (ok % 2 == 0) Seq(ExternalInput(3000L, "the-event", s"payload-$ok"))
@@ -255,7 +245,7 @@ object EngineQueries {
     import s.implicits._
     val spec = threadsSpec
     Tables(s, dir, "orders").select($"o_orderkey")
-      .transform(parByKey(_, col("o_orderkey"))).as[Long]
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[Long]
       .filter((ok: Long) => ok % 10 == 0) // 1-in-10 sample
       .map { ok =>
         val input = (ok % 40 - 20).toInt
@@ -273,7 +263,7 @@ object EngineQueries {
     import s.implicits._
     val spec = retrySpec
     Tables(s, dir, "orders").select($"o_orderkey")
-      .transform(parByKey(_, col("o_orderkey"))).as[Long]
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[Long]
       .map { ok =>
         val failures = (ok % 4).toInt
         val (st, _) = Simulator.run(spec,
@@ -293,7 +283,7 @@ object EngineQueries {
     import s.implicits._
     val spec = interruptSpec
     Tables(s, dir, "orders").select($"o_orderkey")
-      .transform(parByKey(_, col("o_orderkey"))).as[Long]
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[Long]
       .filter((ok: Long) => ok % 10 == 0) // 1-in-10 sample
       .map { ok =>
         val externals =
@@ -314,7 +304,7 @@ object EngineQueries {
     import s.implicits._
     val spec = stopResumeSpec
     Tables(s, dir, "orders").select($"o_orderkey")
-      .transform(parByKey(_, col("o_orderkey"))).as[Long]
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[Long]
       .map { ok =>
         val sr =
           if (ok % 2 == 1)
@@ -346,7 +336,7 @@ object EngineQueries {
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", $"c_mktsegment", $"o_totalprice")
-      .transform(parByKey(_, col("o_orderkey"))).as[(Long, String, Double)]
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[(Long, String, Double)]
       .map { case (ok, seg, price) =>
         val (st, _) = Simulator.run(spec,
           Map("segment" -> seg, "spent" -> price))
@@ -364,7 +354,7 @@ object EngineQueries {
   def jsonPathProps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "events").select($"event_id", $"props")
-      .transform(parByKey(_, col("event_id"))).as[(Long, String)]
+      .transform(Tables.repartitionForCpu(_, col("event_id"))).as[(Long, String)]
       .map { case (id, props) =>
         (id, Mutations.toInt(JsonPath.read(props, "$.k")).toLong)
       }
@@ -380,7 +370,7 @@ object EngineQueries {
     import s.implicits._
     Tables(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey")
-      .transform(parByKey(_, col("o_orderkey"))).as[(Long, Long)]
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[(Long, Long)]
       .map { case (ok, ck) =>
         val json = s"""{"a":{"k":$ok,"noise":[1,2]},""" +
           s""""rest":[{"k":$ck},{"other":true}],"empty":{}}"""

@@ -20,17 +20,17 @@ object StreamBatch {
   /** Daily event counts per type, computed by a streaming query. */
   def streamingDailyAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // the events file carries TIMESTAMP(NANOS): same long-read +
-    // truncate-to-micros handling as graft.sources.Tables
-    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import graft.sources.Tables
+    // the events file carries TIMESTAMP(NANOS): the long-read +
+    // truncate-to-micros convention is owned by graft.sources.Tables
+    Tables.ensureNanosFlag(s)
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
 
-    val windowed = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val windowed = Tables.eventsTsFromNanos(
+      s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
       .groupBy(window($"ts", "1 day").as("w"), $"event_type")
       .agg(count(lit(1)).as("n_events"))
       .select($"w.start".as("day"), $"event_type", $"n_events")
@@ -42,10 +42,20 @@ object StreamBatch {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(120000L)
-    finally q.stop()
+    try {
+      // a timed-out drain must ERROR, not silently return a partial sink
+      if (!q.awaitTermination(120000L))
+        throw new java.util.concurrent.TimeoutException(
+          "streaming drain did not finish within 120s")
+    } finally q.stop()
 
-    s.table(table)
+    // materialize the (tiny: days × types) result locally, then drop
+    // the memory-sink table so repeated invocations don't accumulate
+    // cached sinks in the driver catalog
+    val rows = s.table(table)
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+    s.catalog.dropTempView(table)
+    rows.toDF("day", "event_type", "n_events")
       .orderBy($"day", $"event_type")
   }
 

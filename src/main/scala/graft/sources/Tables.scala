@@ -17,26 +17,44 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** CPU-parallel repartition: EXPLICIT partition count, because AQE's
+    * shuffle-SIZE-based coalescing sees the tiny shuffle payload of a
+    * compute-bound stage (150k keys ≈ 2 MB) and would collapse it to
+    * 1-2 partitions — serializing work that should use every core. An
+    * explicit count opts the exchange out of coalescing. */
+  def repartitionForCpu(
+      df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      key)
+
+  /** Ensure the session can read parquet TIMESTAMP(NANOS) as long —
+    * ideally set at session build (Verify/Bench/TestSpark); this
+    * idempotent fallback covers caller-built sessions. */
+  def ensureNanosFlag(spark: SparkSession): Unit =
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** The events `ts` normalization: nanos-as-long → microsecond
+    * timestamp via exact INTEGER division (`/` would round-trip through
+    * DOUBLE, whose 53-bit mantissa cannot hold epoch nanos). Shared by
+    * the batch loader below and the streaming reader so the convention
+    * cannot diverge. */
+  def eventsTsFromNanos(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Dimension tables small enough to broadcast at any scale factor. */
   val broadcastable: Set[String] = Set("region", "nation", "supplier")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-      // default. The flag belongs at session construction (Verify/
-      // Bench/TestSpark all set it); this fallback only writes when a
-      // caller-built session lacks it, so concurrent readers on a
-      // properly-built session never touch shared conf — and a racing
-      // pair here both write the same constant before their own read.
-      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-          != "true")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.functions._
-      // integer division: `/` would go through DOUBLE, whose 53-bit
-      // mantissa cannot hold epoch nanos — rounding flips ~half of all
-      // values by 1 µs vs DuckDB's exact integer division
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      ensureNanosFlag(spark)
+      eventsTsFromNanos(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

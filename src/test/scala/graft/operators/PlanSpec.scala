@@ -80,8 +80,9 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(RangeJoin.eventsInWindows(spark, dir))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
-    // the range predicates ride an equi hash/sort-merge join on the bin
-    assert(plan.contains("Join") || plan.contains("HashJoin"), plan.take(500))
+    // the range predicates must ride an EQUI join on the bin key
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
   test("native expressions stay inside whole-stage codegen") {
