@@ -133,9 +133,43 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** int8 scalar quantization of the embedding column — the storage
+    * compression pass a training pipeline runs before shipping
+    * embeddings (4× smaller on disk): symmetric per-vector scale
+    * (maxabs/127), q_i = floor(v_i·127/maxabs + 0.5). floor(x+0.5)
+    * instead of round() because Spark and DuckDB disagree on half-even
+    * vs half-up for exact-.5 doubles, while floor is IEEE-identical on
+    * both — so scale, checksum, and max reconstruction error are all
+    * bit-exactly recomputable by the oracle. Narrow per-row map, no
+    * shuffle except the final sort. */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .transform(Tables.repartitionForCpu(_, col("vec_id")))
+      .as[(Long, Array[Float])]
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        var maxabs = 0.0
+        v.foreach(x => if (math.abs(x) > maxabs) maxabs = math.abs(x))
+        var qsum = 0L
+        var maxErr = 0.0
+        v.foreach { x =>
+          val q = math.floor(x * 127.0 / maxabs + 0.5)
+          qsum += q.toLong
+          val err = math.abs(q * maxabs / 127.0 - x)
+          if (err > maxErr) maxErr = err
+        }
+        (id, maxabs, qsum, maxErr)
+      }
+      .toDF("vec_id", "maxabs", "q_sum", "max_err")
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force_topk" -> (bruteForceTopK _),
     "ann_lsh_topk" -> (lshTopK _),
+    "emb_quantize_int8" -> (quantizeInt8 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +183,19 @@ object Similarity {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 10) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "emb_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |qz AS (SELECT vec_id, v, maxabs,
+        |  list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)) AS q
+        |  FROM m)
+        |SELECT vec_id, maxabs,
+        |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+        |  list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(CAST(q[CAST(i AS INTEGER)] AS DOUBLE) * maxabs / 127.0
+        |             - v[CAST(i AS INTEGER)]))) AS max_err
+        |FROM qz ORDER BY vec_id""".stripMargin,
     // ann_lsh_topk: DuckDB re-derives the mix64 hyperplanes, the
     // sequential-fold projections, and the bucket sketch bit-exactly
     // (OracleSql machinery), then applies the multi-probe relation as
