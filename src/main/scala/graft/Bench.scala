@@ -11,17 +11,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup on the smallest SF: the first engine-fold execution
-    // pays ~6 s of JIT/classloading (measured: m6 cold 10.3 s vs 4.0 s
-    // warm), and unsorted Map iteration used to hand that cost to a
-    // different query every time the query set changed — which is
-    // exactly what a cross-round "regression" looked like. Queries then
-    // run in sorted name order so per-query times are comparable
-    // across rounds.
-    try SparkEntry.queries("m1_retry_fold")(spark, sfDir).count()
-    catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    // Untimed warmup: run EVERY query once on the smallest SF. The
+    // first execution of each plan family pays JIT/classloading/codegen
+    // compilation (measured: m6 cold 10.3 s vs 4.0 s warm), and warming
+    // only one hand-picked query left that query uniquely plan-warm —
+    // biasing exactly the per-query comparisons the warmup exists to
+    // stabilize. Warming all plans on sf0.001 costs seconds of untimed
+    // wall-clock and makes every timed number a steady-state measure.
+    // Timed queries then run in sorted name order so per-query times
+    // are comparable across rounds.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, warmDir).count()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup $name skipped: ${e.getMessage}")
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -16,7 +16,15 @@ object WFEventType {
 
 /** Reference: WFEvent.java:16-27. `content` is a JSON-encoded payload
   * whose schema depends on `eventType`. threadId = -1 means "unspecified"
-  * (reference default 0; external events use -1 to broadcast). */
+  * (reference default 0; external events use -1 to broadcast).
+  *
+  * `guid` is a producer-assigned unique id for at-least-once dedupe: a
+  * producer that re-sends after a lost ack reuses the guid, so the
+  * scheduler can distinguish redelivery from two legitimately identical
+  * events. Empty = producer assigned none; the dedupe window then falls
+  * back to a content digest, which conflates byte-identical events
+  * inside the window with redelivery (acceptable only because every
+  * producer in this repo stamps distinct timestamps per logical event). */
 case class WFEvent(
     wfSpecId: String,
     wfSpecName: String,
@@ -24,7 +32,8 @@ case class WFEvent(
     timestamp: Long,
     threadId: Int,
     eventType: String,
-    content: String)
+    content: String,
+    guid: String = "")
 
 /** Reference: WFRunRequest.java:7-11. */
 case class WFRunRequest(
@@ -116,7 +125,8 @@ object EventCodec {
         case Some(s: String) => s
         case Some(other) if other != null => render(other)
         case _ => ""
-      })
+      },
+      guid = str(o, "guid").getOrElse(""))
   }
 
   def encodeWFEvent(e: WFEvent): String =
@@ -124,7 +134,8 @@ object EventCodec {
       "wfSpecId" -> e.wfSpecId, "wfSpecName" -> e.wfSpecName,
       "wfRunId" -> e.wfRunId, "timestamp" -> e.timestamp,
       "threadId" -> e.threadId, "type" -> e.eventType,
-      "content" -> e.content))
+      "content" -> e.content) ++
+      (if (e.guid.nonEmpty) ListMap("guid" -> e.guid) else ListMap.empty))
 
   def decodeRunRequest(json: String): WFRunRequest = {
     val o = m(stringToObj(json) match {

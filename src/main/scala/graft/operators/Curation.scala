@@ -7,9 +7,12 @@ import graft.sources.Tables
 /** The end-to-end training-data curation pipeline, composed from the
   * individual operators: quality-score filter → near-dup removal (keep
   * the lowest doc_id of each Jaccard ≥ 0.8 pair) → per-doc token stats.
-  * One narrow scan + a broadcast anti-join against the (tiny) dup-loser
-  * set — the shape this pipeline keeps at 100 TB, with the loser set
-  * coming from the LSH path instead of the exact one.
+  * One narrow scan + an anti-join against the dup-loser id set — the
+  * shape this pipeline keeps at 100 TB, with the loser set coming from
+  * the LSH path instead of the exact one. The loser side carries no
+  * broadcast hint: its cardinality is O(duplicates), which a
+  * duplicate-heavy crawl makes corpus-sized — AQE broadcasts when the
+  * measured size is small and shuffles when it isn't.
   */
 object Curation {
 
@@ -33,7 +36,7 @@ object Curation {
     Tables(s, dir, "documents")
       .withColumn("quality", quality)
       .filter($"quality" >= 0.46)
-      .join(broadcast(losers), $"doc_id" === $"loser", "left_anti")
+      .join(losers, $"doc_id" === $"loser", "left_anti")
       .select(
         $"doc_id",
         size(split($"text", " ")).cast("long").as("ws_tokens"),

@@ -39,8 +39,9 @@ object Dedup {
 
   /** Distinct, sorted word-bigram shingle hashes per doc, built in a
     * typed map — a plain JVM loop is ~15× faster than interpreted
-    * higher-order-function lambdas for this per-doc work, and sorted
-    * arrays enable allocation-free merge-intersection later. */
+    * higher-order-function lambdas for this per-doc work, and the
+    * hash-sorted order is the fixed total order the prefix filter in
+    * [[ngramJaccardPairs]] relies on. */
   private def shingleSets(s: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
     import s.implicits._
     Tables(s, dir, "documents")
@@ -68,17 +69,6 @@ object Dedup {
         (id, java.util.Arrays.copyOf(raw, w))
       }
       .filter(_._2.nonEmpty)
-  }
-
-  /** Intersection size of two sorted long arrays — no allocation. */
-  private def mergeIntersect(a: Array[Long], b: Array[Long]): Int = {
-    var i = 0; var j = 0; var n = 0
-    while (i < a.length && j < b.length) {
-      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
-      else if (a(i) < b(j)) i += 1
-      else j += 1
-    }
-    n
   }
 
   /** Exact dedup: group by content digest, keep the smallest doc_id
@@ -166,12 +156,14 @@ object Dedup {
       .distinct()
 
     // exact verification of candidates only: re-attach the (sorted)
-    // shingle arrays. Broadcast ONLY the bare (da,db) id pairs — the
-    // small side; once shingle arrays are attached the rows are KBs
-    // each and must stay distributed (second attach is a shuffle join)
+    // shingle arrays. No broadcast hint on the candidate side — its
+    // cardinality is O(near-duplicate pairs), which a duplicate-heavy
+    // corpus makes corpus-sized; AQE broadcasts when the measured size
+    // is actually small and shuffle-joins when it isn't. Either way the
+    // shingle arrays stay distributed.
     val sets = docs.select($"doc_id", $"shingle_set",
       size($"shingle_set").as("n"))
-    broadcast(candidates)
+    candidates
       .join(sets.as("za"), $"da" === $"za.doc_id")
       .join(sets.as("zb"), $"db" === $"zb.doc_id")
       .withColumn("inter",
@@ -211,14 +203,30 @@ object Dedup {
   /** Candidate pairs from the multi-index blocks, deduped across
     * indexes; buckets deeper than `maxBucket` are dropped (see
     * [[SIMHASH_MAX_BUCKET]]). The oversized-bucket set is tiny by
-    * construction, so the guard is a broadcast anti-join. */
+    * construction (≤ N/maxBucket buckets), so it is resolved EAGERLY on
+    * the driver: dropping a bucket is the one place blocked output can
+    * diverge from the all-pairs Hamming relation, and it must never
+    * happen silently — a warning reports exactly how many buckets were
+    * dropped. In the common no-floods case the main plan then skips the
+    * anti-join subtree entirely. */
   private[operators] def simhashCandidates(
       docs: DataFrame, maxBucket: Long): DataFrame = {
     import docs.sparkSession.implicits._
     val blocks = simhashBlocks(docs)
-    val oversized = blocks.groupBy($"b", $"v").count()
-      .filter($"count" > maxBucket).select($"b", $"v")
-    val pruned = blocks.join(broadcast(oversized), Seq("b", "v"), "left_anti")
+    // block key packs (index, 16-bit value) into one long: b*2^16 + v
+    val overKeys: Array[Long] = blocks.groupBy($"b", $"v").count()
+      .filter($"count" > maxBucket)
+      .select(($"b" * 65536L + $"v").as("k")).as[Long].collect()
+    if (overKeys.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"simhash blocking dropped ${overKeys.length} bucket(s) deeper " +
+          s"than $maxBucket docs; qualifying Hamming<=6 pairs whose " +
+          "intact chunk-pairs all land in dropped buckets will be " +
+          "MISSED — run exactDedup first to collapse identical-content " +
+          "floods, or raise the cap")
+    val pruned =
+      if (overKeys.isEmpty) blocks
+      else blocks.filter(!($"b" * 65536L + $"v").isInCollection(overKeys))
     pruned.as("x")
       .join(pruned.as("y"),
         $"x.b" === $"y.b" && $"x.v" === $"y.v" && $"x.doc_id" < $"y.doc_id")

@@ -332,9 +332,11 @@ object EngineQueries {
     val spec = searchSpec
     val cust = Tables(s, dir, "customer")
       .select($"c_custkey", $"c_mktsegment")
+    // customer is fact-scale: no broadcast hint (Tables.broadcastable
+    // excludes it) — AQE picks the strategy from runtime sizes
     val snapshots = Tables(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", $"c_mktsegment", $"o_totalprice")
       .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[(Long, String, Double)]
       .map { case (ok, seg, price) =>

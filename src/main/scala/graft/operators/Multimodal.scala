@@ -98,21 +98,26 @@ object Multimodal {
   /** Batched decode/feature-extract over the binary column — the
     * mapInPandas-shaped stage (oracle: DuckDB re-derives the stub's
     * md5-based metadata/features). feature_sum is a sum of exact binary
-    * fractions (k/256), so the unrounded double matches bit-for-bit. */
+    * fractions (k/256) folded sequentially inside the already-typed
+    * batch transform (NOT an `aggregate()` higher-order function —
+    * Spark HOF lambdas are interpreted, not codegen'd), so the
+    * unrounded double matches the oracle bit-for-bit. */
   def featureExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     binaryPayloads(s, dir)
       .as[MediaRow]
       .mapPartitions { it =>
-        it.grouped(BATCH_SIZE).flatMap(batch => FakeDecoder.decodeBatch(batch))
+        it.grouped(BATCH_SIZE).flatMap { batch =>
+          FakeDecoder.decodeBatch(batch).map { m =>
+            var sum = 0.0d
+            m.feature.foreach(f => sum += f.toDouble)
+            (m.doc_id, m.modality, m.byte_len, m.width.toLong,
+              m.height.toLong, m.n_frames.toLong, sum)
+          }
+        }
       }
-      .toDF()
-      .select($"doc_id", $"modality", $"byte_len",
-        $"width".cast("long").as("width"),
-        $"height".cast("long").as("height"),
-        $"n_frames".cast("long").as("n_frames"),
-        aggregate($"feature".cast("array<double>"), lit(0.0d),
-          (acc, x) => acc + x).as("feature_sum"))
+      .toDF("doc_id", "modality", "byte_len", "width", "height",
+        "n_frames", "feature_sum")
       .orderBy($"doc_id")
   }
 

@@ -10,9 +10,11 @@ import graft.sources.Tables
   * sorts, limits, set ops, grouping sets, scalar functions).
   *
   * Written DataFrame-first so Catalyst handles predicate pushdown,
-  * column pruning and join strategy selection. Dimension tables
-  * (region/nation/supplier — and customer/orders at small SF) are
-  * broadcast explicitly where they stay small at any scale factor.
+  * column pruning and join strategy selection. Only true dimension
+  * tables ([[Tables.broadcastable]]: region/nation/supplier) carry
+  * explicit broadcast hints; fact-scale tables (customer, orders,
+  * lineitem) never do — AQE decides from runtime sizes, so small-SF
+  * speed never becomes a large-SF driver OOM.
   *
   * Every query is deterministically ordered (unique sort key) so the
   * driver's hash compare is order-stable, and every floating-point
@@ -54,7 +56,10 @@ object Relational {
 
   /** TPC-H Q3 shape: 3-way join + aggregate + top-N. Customer side is
     * filtered before the join so at scale the shuffle carries only the
-    * BUILDING segment. */
+    * BUILDING segment. Customer is FACT-scale (grows with SF —
+    * [[Tables.broadcastable]] excludes it), so no broadcast hint: AQE
+    * picks broadcast at small SF from runtime sizes and falls back to
+    * shuffle join when the filtered side outgrows the threshold. */
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
@@ -66,7 +71,7 @@ object Relational {
       .filter($"l_shipdate" > lit("1998-03-15").cast("timestamp"))
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
@@ -88,8 +93,11 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
-  /** TPC-H Q5 shape: 6-way join through the dimension chain; all
-    * dimensions broadcast (they are tiny at every SF). */
+  /** TPC-H Q5 shape: 6-way join through the dimension chain. True
+    * dimensions (nation/region/supplier — [[Tables.broadcastable]]) are
+    * broadcast explicitly; customer is fact-scale (GBs at sf100), so
+    * its join carries no hint — AQE broadcasts at small SF and shuffles
+    * when it would blow the driver. */
   def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val region = t(s, dir, "region").filter($"r_name" === "ASIA")
@@ -101,7 +109,7 @@ object Relational {
         $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
     val li = t(s, dir, "lineitem")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .join(broadcast(supp),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")

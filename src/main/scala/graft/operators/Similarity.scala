@@ -152,15 +152,22 @@ object Similarity {
         val v = vf.map(_.toDouble)
         var maxabs = 0.0
         v.foreach(x => if (math.abs(x) > maxabs) maxabs = math.abs(x))
-        var qsum = 0L
-        var maxErr = 0.0
-        v.foreach { x =>
-          val q = math.floor(x * 127.0 / maxabs + 0.5)
-          qsum += q.toLong
-          val err = math.abs(q * maxabs / 127.0 - x)
-          if (err > maxErr) maxErr = err
+        if (maxabs == 0.0) {
+          // all-zero vector: quantizes to all-zero losslessly. Explicit
+          // case because x/0 would make q NaN (folded to 0 by toLong on
+          // the JVM but a hard CAST error in the DuckDB oracle).
+          (id, 0.0, 0L, 0.0)
+        } else {
+          var qsum = 0L
+          var maxErr = 0.0
+          v.foreach { x =>
+            val q = math.floor(x * 127.0 / maxabs + 0.5)
+            qsum += q.toLong
+            val err = math.abs(q * maxabs / 127.0 - x)
+            if (err > maxErr) maxErr = err
+          }
+          (id, maxabs, qsum, maxErr)
         }
-        (id, maxabs, qsum, maxErr)
       }
       .toDF("vec_id", "maxabs", "q_sum", "max_err")
       .orderBy($"vec_id")
@@ -183,18 +190,23 @@ object Similarity {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 10) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // maxabs = 0 (all-zero vector) is special-cased identically to the
+    // Scala operator: q = 0, q_sum = 0, max_err = 0 — without the guard
+    // x/0 is NaN and DuckDB's CAST(floor(NaN) AS BIGINT) aborts the run.
     "emb_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v,
         |  list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
         |qz AS (SELECT vec_id, v, maxabs,
-        |  list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)) AS q
+        |  list_transform(v, x -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) END) AS q
         |  FROM m)
         |SELECT vec_id, maxabs,
         |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
-        |  list_max(list_transform(range(1, len(v) + 1),
-        |    i -> abs(CAST(q[CAST(i AS INTEGER)] AS DOUBLE) * maxabs / 127.0
-        |             - v[CAST(i AS INTEGER)]))) AS max_err
+        |  CASE WHEN maxabs = 0 THEN 0.0 ELSE
+        |    list_max(list_transform(range(1, len(v) + 1),
+        |      i -> abs(CAST(q[CAST(i AS INTEGER)] AS DOUBLE) * maxabs / 127.0
+        |               - v[CAST(i AS INTEGER)]))) END AS max_err
         |FROM qz ORDER BY vec_id""".stripMargin,
     // ann_lsh_topk: DuckDB re-derives the mix64 hyperplanes, the
     // sequential-fold projections, and the bucket sketch bit-exactly

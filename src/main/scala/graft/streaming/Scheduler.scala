@@ -144,8 +144,15 @@ object Scheduler {
     } else {
       val sorted = eventsIter.toArray.sortBy(_.timestamp)
       sorted.foreach { ev =>
-        val digest = graft.functions.TextHashes.hash64(
-          s"${ev.eventType}|${ev.threadId}|${ev.timestamp}|${ev.content}", 0L)
+        // Dedupe key: the producer-assigned guid when present (a resend
+        // after a lost ack reuses it — see WFEvent.guid), else a content
+        // digest, which assumes byte-identical (type, thread, ts,
+        // content) inside the window implies redelivery.
+        val digest =
+          if (ev.guid.nonEmpty)
+            graft.functions.TextHashes.hash64("g|" + ev.guid, 0L)
+          else graft.functions.TextHashes.hash64(
+            s"${ev.eventType}|${ev.threadId}|${ev.timestamp}|${ev.content}", 0L)
         if (recent.contains(digest)) {
           // at-least-once redelivery: byte-identical event already
           // folded — drop before it reaches the engine
@@ -240,19 +247,21 @@ object Scheduler {
   * (Q8). */
 object StateTable {
 
-  /** Latest snapshot per run (append-log compaction at read time).
-    * Orders by the scheduler's per-key emit sequence when present —
-    * parquet file read order is NOT write order, so a positional id
-    * would pick stale snapshots; the fallback only serves ad-hoc
-    * frames that carry no seq column. */
+  /** Latest snapshot per run (append-log compaction at read time; see
+    * [[CompactedStateStore]] for the bounded-read variant). Orders by
+    * the scheduler's per-key emit sequence — parquet file read order is
+    * NOT write order, so a frame without a `seq` column has no
+    * recoverable snapshot order and is REJECTED loudly rather than
+    * silently returning whichever snapshot the scan happened to read
+    * last. */
   def latest(snapshots: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withSeq =
-      if (snapshots.columns.contains("seq")) snapshots
-      else snapshots.withColumn("seq", monotonically_increasing_id())
+    require(snapshots.columns.contains("seq"),
+      "StateTable.latest needs the scheduler's `seq` emit-sequence " +
+        "column: snapshot order cannot be inferred from file read order")
     val w = Window.partitionBy(col("wfRunId"))
       .orderBy(col("seq").desc)
-    withSeq
+    snapshots
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "seq")

@@ -41,10 +41,43 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
-  test("q5: every dimension in the chain broadcasts") {
+  test("q5: every true dimension in the chain broadcasts") {
+    // region/nation/supplier are hinted; customer deliberately is NOT
+    // (fact-scale) — at this tiny SF the size-based planner may still
+    // broadcast it, which is exactly the AQE-decides behavior we want
     val plan = planOf(Relational.q5LocalSupplier(spark, dir))
     val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+  }
+
+  test("broadcast hints never cover an unfiltered fact-scale table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, ResolvedHint}
+    // q23 executes a streaming query inside its builder — exclude it
+    // (its plan has no joins, let alone hints)
+    val skip = Set("q23_streaming_daily_agg")
+    val facts =
+      (graft.sources.Tables.all.toSet -- graft.sources.Tables.broadcastable)
+        .map(_ + ".parquet")
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
+         if !skip(name)) {
+      val analyzed = fn(spark, dir).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.isDefined =>
+          val sub = h.child.toString
+          val hitFacts = facts.filter(sub.contains)
+          // escape hatch: a Filter inside the hinted subtree, for
+          // constant-bound selections like ann_brute's vec_id < 10
+          // query set (bounded regardless of SF). A merely "selective"
+          // filter does NOT qualify — review any new use by hand.
+          val bounded =
+            h.child.collectFirst { case f: Filter => f }.isDefined
+          assert(hitFacts.isEmpty || bounded,
+            s"$name places a join-strategy hint over unfiltered " +
+              s"fact-scale table(s) $hitFacts — a 100x scale-up driver " +
+              "OOM; drop the hint and let AQE decide")
+        case _ => ()
+      }
+    }
   }
 
   test("Q2 variable search is columnar: no JSON decode, pruned scan") {

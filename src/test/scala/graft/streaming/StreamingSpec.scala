@@ -137,8 +137,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // README search demo over the materialized snapshot log (Q2/Q9)
     import spark.implicits._
-    val snapDf = Seq(("stream-run-1", StateCodec.encode(finalState)))
-      .toDF("wfRunId", "json")
+    val snapDf = Seq(("stream-run-1", 1L, StateCodec.encode(finalState)))
+      .toDF("wfRunId", "seq", "json")
     val latest = StateTable.latest(snapDf)
     val hit = StateTable.searchByVariable(latest, "my_name_var", "Obi-Wan")
     assert(hit.collect().map(_.getString(0)).toSeq == Seq("stream-run-1"))
