@@ -152,6 +152,22 @@ object EngineQueries {
           taskDefName = Some("flaky_task"), numRetries = 2)),
       edges = Nil))
 
+  /** Flaky task with numRetries=1 AND a baseExceptionhandler (M3 +
+    * M1 interplay: handler fires only after retries are exhausted —
+    * reference ThreadRun.failTask:455-484 tries retry first, then
+    * handleException:441-452 spawns the handler thread, parent resumes
+    * once the handler completes). */
+  private val handlerSpec = wfSpec("exc_handler", "main",
+    thread("main", Map.empty,
+      nodes = Seq(
+        Node(name = "n0", nodeType = NodeType.TASK,
+          taskDefName = Some("boom"), numRetries = 1,
+          baseExceptionhandler = Some(ExceptionHandlerSpec("handler")))),
+      edges = Nil),
+    thread("handler", Map.empty,
+      nodes = Seq(task("h0", "echo_task", "thing" -> lit("handled"))),
+      edges = Nil))
+
   /** Sleep workflow with an interrupt handler (M4, N5). */
   private val interruptSpec = wfSpec("interruptible", "main",
     thread("main", Map.empty,
@@ -274,6 +290,39 @@ object EngineQueries {
         (ok, st.status, st.threadRuns(0).taskRuns.length.toLong)
       }
       .toDF("wf_run_id", "status", "n_attempts")
+      .orderBy($"wf_run_id")
+  }
+
+  /** M3: failures = key%3. 0 → clean success; 1 → one retry absorbs the
+    * flake (no handler); 2 → retries exhausted, the base exception
+    * handler thread runs and the parent resumes to COMPLETED. The
+    * halted task keeps its TASK_FAILURE reason; the handler thread's
+    * stdout proves the handler actually executed. */
+  def handlerFold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = handlerSpec
+    Tables(s, dir, "orders").select($"o_orderkey")
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[Long]
+      .filter((ok: Long) => ok % 10 == 0) // 1-in-10 sample
+      .map { ok =>
+        val failures = (ok % 3).toInt
+        val (st, _) = Simulator.run(spec,
+          tasks = (n, in, idx) =>
+            if (n == "boom") {
+              if (idx < failures) Fail("flake") else Ok("ka-boom-avoided")
+            } else Simulator.sharedTasks(n, in))
+        val main = st.threadRuns(0)
+        val handlerOut: String =
+          if (st.threadRuns.length > 1 && st.threadRuns(1).isInterruptThread)
+            st.threadRuns(1).taskRuns.headOption
+              .map(tr => String.valueOf(tr.stdout)).orNull
+          else null
+        (ok, st.status, st.threadRuns.length.toLong,
+          main.taskRuns.length.toLong,
+          main.taskRuns.last.failureReason.orNull, handlerOut)
+      }
+      .toDF("wf_run_id", "status", "n_threads", "n_attempts",
+        "last_failure_reason", "handler_stdout")
       .orderBy($"wf_run_id")
   }
 
@@ -400,6 +449,7 @@ object EngineQueries {
     "n2_external_event_timeout" -> (externalEventTimeout _),
     "n3_threads_locks" -> (threadsLocks _),
     "m1_retry_fold" -> (retryFold _),
+    "m3_handler_fold" -> (handlerFold _),
     "m4_interrupt_fold" -> (interruptFold _),
     "m6_stop_resume" -> (stopResumeFold _),
     "q2_var_index_search" -> (varIndexSearch _),
@@ -445,6 +495,19 @@ object EngineQueries {
         | cast(CASE WHEN o_orderkey % 4 = 3 THEN 3
         |      ELSE o_orderkey % 4 + 1 END AS BIGINT) AS n_attempts
         |FROM orders ORDER BY wf_run_id""".stripMargin,
+    "m3_handler_fold" ->
+      """SELECT o_orderkey AS wf_run_id,
+        | 'COMPLETED' AS status,
+        | cast(CASE WHEN o_orderkey % 3 = 2 THEN 2 ELSE 1 END AS BIGINT)
+        |   AS n_threads,
+        | cast(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        |   AS n_attempts,
+        | CASE WHEN o_orderkey % 3 = 2 THEN 'TASK_FAILURE' ELSE NULL END
+        |   AS last_failure_reason,
+        | CASE WHEN o_orderkey % 3 = 2 THEN 'handled' ELSE NULL END
+        |   AS handler_stdout
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY wf_run_id""".stripMargin,
     "m4_interrupt_fold" ->
       """SELECT o_orderkey AS wf_run_id,
         | 'COMPLETED' AS status,
