@@ -229,9 +229,12 @@ object Scheduler {
 
   /** S3: WFRun snapshot sink → parquet state table (the reference
     * forwards snapshots to the WFRun ID topic for the API layer,
-    * SchedulerTopology.java:110-127). At scale this becomes a Delta
-    * MERGE; with plain parquet we append every snapshot and query the
-    * latest per run via [[StateTable.latest]]. */
+    * SchedulerTopology.java:110-127). This plain append log is the
+    * UNBOUNDED variant — fine for short-lived jobs; long-running
+    * deployments should use [[CompactedStateStore.streamingSink]],
+    * whose periodic compaction keeps query reads proportional to live
+    * state instead of history (reference parity: RocksDB-compacted
+    * state, SchedulerTopology.java:130-146). */
   def parquetStateSink(
       outputs: Dataset[SchedulerOut], dir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[_] = {
@@ -254,17 +257,23 @@ object StateTable {
     * recoverable snapshot order and is REJECTED loudly rather than
     * silently returning whichever snapshot the scan happened to read
     * last. */
-  def latest(snapshots: DataFrame): DataFrame = {
+  def latest(snapshots: DataFrame): DataFrame =
+    latest(snapshots, keepSeq = false)
+
+  /** As [[latest]]; `keepSeq = true` preserves the emit-sequence column
+    * so the result can be re-unioned with later deltas and compacted
+    * again ([[CompactedStateStore.compact]] needs this). */
+  def latest(snapshots: DataFrame, keepSeq: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(snapshots.columns.contains("seq"),
       "StateTable.latest needs the scheduler's `seq` emit-sequence " +
         "column: snapshot order cannot be inferred from file read order")
     val w = Window.partitionBy(col("wfRunId"))
       .orderBy(col("seq").desc)
-    snapshots
+    val top = snapshots
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn", "seq")
+    if (keepSeq) top.drop("rn") else top.drop("rn", "seq")
   }
 
   /** Q2/Q9: `search WFRun <varName> <value>` — every String-valued
