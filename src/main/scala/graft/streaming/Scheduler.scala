@@ -190,42 +190,112 @@ object Scheduler {
       case _ => Vector.empty
     }
 
-  // ===== Kafka wiring (S1, S2, S3) =====
-  // The connector is resolved by name at runtime
-  // (`--packages org.apache.spark:spark-sql-kafka-0-10_2.13` on a real
-  // cluster); nothing here links against Kafka classes.
+  // ===== Transport wiring (S1, S2, S3) =====
+  // The connector is resolved BY NAME at runtime through Spark's
+  // DataSourceRegister service loader — `format("kafka")` on a real
+  // cluster (`--packages org.apache.spark:spark-sql-kafka-0-10_2.13`;
+  // nothing here links against Kafka classes), `format("graft-bus")`
+  // ([[graft.streaming.bus.BusDataSource]]) in this Kafka-less build
+  // environment. Both run the SAME shared builders below: the e2e
+  // suite (BusSchedulerSpec) therefore executes the production
+  // topology end to end, differing from the Kafka deployment only in
+  // the format string + connection option.
 
-  /** S1: per-WFSpec event topics `wfEvents__{name}` consumed as one
-    * union stream, key = wfRunId (WFSpec.java:375-381). */
-  def kafkaEventSource(
-      spark: SparkSession, bootstrap: String, topicPattern: String)
+  /** S1 core: a by-name connector whose `value` column carries WFEvent
+    * JSON, consumed as one union stream across per-WFSpec topics. */
+  private def eventSource(
+      spark: SparkSession, format: String, opts: Map[String, String])
       : Dataset[WFEvent] = {
     import spark.implicits._
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribePattern", topicPattern)
-      .option("startingOffsets", "earliest")
+    spark.readStream.format(format).options(opts)
       .load()
       .selectExpr("CAST(value AS STRING) AS v")
       .as[String]
       .map(EventCodec.decodeWFEvent)
   }
 
-  /** S2: task-queue fan-out — a single kafka sink with a computed
-    * `topic` column replaces the reference's one-filter-processor-per-
-    * TaskDef topology (SchedulerTopology.java:89-107). */
-  def kafkaTaskQueueSink(
-      outputs: Dataset[SchedulerOut], bootstrap: String,
-      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[_] = {
+  /** S1: per-WFSpec event topics `wfEvents__{name}` consumed as one
+    * union stream, key = wfRunId (WFSpec.java:375-381). */
+  def kafkaEventSource(
+      spark: SparkSession, bootstrap: String, topicPattern: String)
+      : Dataset[WFEvent] =
+    eventSource(spark, "kafka", Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribePattern" -> topicPattern,
+      "startingOffsets" -> "earliest"))
+
+  /** S1 on the file-backed bus (same topology, executable without a
+    * broker — see [[graft.streaming.bus.GraftBus]]). */
+  def busEventSource(
+      spark: SparkSession, root: String, topicPattern: String)
+      : Dataset[WFEvent] =
+    eventSource(spark, "graft-bus", Map(
+      "path" -> root, "subscribePattern" -> topicPattern))
+
+  /** S2 core: dynamic fan-out — one sink with a computed `topic`
+    * column replaces the reference's one-filter-processor-per-TaskDef
+    * topology (SchedulerTopology.java:89-107). */
+  private def taskQueueSink(
+      outputs: Dataset[SchedulerOut], format: String,
+      opts: Map[String, String], checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[_] = {
     outputs.filter(col("kind") === SchedulerOut.TSR)
       .select(
         col("taskDefName").as("topic"),
         col("wfRunId").cast("binary").as("key"),
         col("json").cast("binary").as("value"))
-      .writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
+      .writeStream.format(format).options(opts)
       .option("checkpointLocation", checkpoint)
   }
+
+  /** S2+S3 as one dynamic-topic write — the reference scheduler's two
+    * Kafka sinks (TSRs to per-TaskDef topics, snapshots to the
+    * per-spec run-state topic; SchedulerTopology.java:89-127) expressed
+    * as a single sink routing on a computed `topic` column, since one
+    * Spark streaming query has one sink. */
+  private def wireSink(
+      outputs: Dataset[SchedulerOut], format: String,
+      opts: Map[String, String], checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[_] = {
+    outputs.select(
+      when(col("kind") === SchedulerOut.TSR, col("taskDefName"))
+        .otherwise(concat(lit(STATE_TOPIC_PREFIX), col("wfSpecName")))
+        .as("topic"),
+      col("wfRunId").cast("binary").as("key"),
+      col("json").cast("binary").as("value"))
+      .writeStream.format(format).options(opts)
+      .option("checkpointLocation", checkpoint)
+  }
+
+  /** Run-state topic prefix (the reference's per-WFRun ID topic,
+    * WFSpec.java:375-381 / SchedulerTopology.java:110-127). */
+  val STATE_TOPIC_PREFIX = "wfRunState__"
+
+  /** [[wireSink]] over Kafka. */
+  def kafkaWireSink(
+      outputs: Dataset[SchedulerOut], bootstrap: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[_] =
+    wireSink(outputs, "kafka",
+      Map("kafka.bootstrap.servers" -> bootstrap), checkpoint)
+
+  /** [[wireSink]] over the file-backed bus. */
+  def busWireSink(
+      outputs: Dataset[SchedulerOut], root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[_] =
+    wireSink(outputs, "graft-bus", Map("path" -> root), checkpoint)
+
+  /** S2: task-queue fan-out to Kafka topics. */
+  def kafkaTaskQueueSink(
+      outputs: Dataset[SchedulerOut], bootstrap: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[_] =
+    taskQueueSink(outputs, "kafka",
+      Map("kafka.bootstrap.servers" -> bootstrap), checkpoint)
+
+  /** S2 on the file-backed bus. */
+  def busTaskQueueSink(
+      outputs: Dataset[SchedulerOut], root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[_] =
+    taskQueueSink(outputs, "graft-bus", Map("path" -> root), checkpoint)
 
   /** S3: WFRun snapshot sink → parquet state table (the reference
     * forwards snapshots to the WFRun ID topic for the API layer,

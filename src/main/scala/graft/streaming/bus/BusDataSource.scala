@@ -1,0 +1,268 @@
+package graft.streaming.bus
+
+import java.util.regex.Pattern
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{
+  DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder,
+  WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.engine.LHJson
+
+/** Structured Streaming connector for [[GraftBus]], registered under
+  * the short name `graft-bus` through `DataSourceRegister` — the same
+  * service-loader mechanism that resolves `format("kafka")` to the
+  * Kafka connector at runtime, so the scheduler wiring that loads a
+  * connector by name is exercised for real (Scheduler.busEventSource /
+  * kafkaEventSource differ only in the format string).
+  *
+  * Kafka-surface parity, deliberately exact:
+  *  - read schema = the Kafka source's seven columns (key/value binary,
+  *    topic, partition, offset, timestamp, timestampType);
+  *  - streaming offsets serialize as `{"topic":{"0":123}}` — Kafka's
+  *    JSON offset-map shape — and flow through checkpoints and query
+  *    progress, which is what [[graft.streaming.ReadYourWrites]]
+  *    parses for the per-partition read barrier;
+  *  - the sink routes each row by its `topic` column (dynamic fan-out,
+  *    like the Kafka sink) and is at-least-once: task retries re-append
+  *    records, redelivery is the consumer's problem — exactly the
+  *    contract the scheduler's dedupe window exists for;
+  *  - `subscribe` / `subscribePattern` options select topics; topics
+  *    appearing after the stream starts are picked up on the next
+  *    micro-batch (Kafka's pattern subscription behavior).
+  */
+final class BusDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-bus"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BusDataSource.SCHEMA
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new BusTable(properties.asScala.toMap)
+}
+
+object BusDataSource {
+  /** The Kafka source schema, column for column. */
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Kafka-shaped offset JSON: `{"topic":{"partition":next}}`, keys
+    * sorted so equal offsets compare equal as strings. */
+  def renderOffsets(m: Map[String, Map[Int, Long]]): String =
+    LHJson.render(ListMap.from(m.toSeq.sortBy(_._1).map { case (t, ps) =>
+      t -> ListMap.from(
+        ps.toSeq.sortBy(_._1).map { case (p, o) => p.toString -> o })
+    }))
+
+  def parseOffsets(json: String): Map[String, Map[Int, Long]] =
+    LHJson.parse(json).asInstanceOf[ListMap[String, Any]].map {
+      case (t, ps) => t -> ps.asInstanceOf[ListMap[String, Any]].map {
+        case (p, o) => p.toInt -> (o match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => other.toString.toLong
+        })
+      }.toMap
+    }.toMap
+}
+
+final case class BusOffset(offsets: Map[String, Map[Int, Long]])
+    extends Offset {
+  override def json(): String = BusDataSource.renderOffsets(offsets)
+}
+
+final class BusTable(props: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def root: String = props.getOrElse("path",
+    throw new IllegalArgumentException("graft-bus requires a `path` option"))
+
+  override def name(): String = s"graft-bus:$root"
+  override def schema(): StructType = BusDataSource.SCHEMA
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA) // sink rows are (topic,key,value)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = BusDataSource.SCHEMA
+        override def toMicroBatchStream(checkpointLocation: String)
+            : MicroBatchStream =
+          new BusMicroBatchStream(root,
+            Option(options.get("subscribe")),
+            Option(options.get("subscribepattern")))
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new BusStreamingWrite(root, info.schema(),
+            Option(info.options.get("topic")))
+      }
+    }
+}
+
+/** Micro-batch reader: latestOffset scans the bus directories (the
+  * "broker metadata" round-trip), each (topic, partition) becomes one
+  * input partition reading its dense offset range. */
+final class BusMicroBatchStream(
+    root: String, subscribe: Option[String], pattern: Option[String])
+    extends MicroBatchStream {
+
+  private def matchedTopics: Seq[String] = {
+    val all = GraftBus.topics(root)
+    (subscribe, pattern) match {
+      case (Some(list), _) =>
+        val wanted = list.split(',').map(_.trim).toSet
+        all.filter(wanted.contains)
+      case (_, Some(re)) =>
+        val p = Pattern.compile(re)
+        all.filter(t => p.matcher(t).matches())
+      case _ => all
+    }
+  }
+
+  override def initialOffset(): Offset = BusOffset(Map.empty)
+
+  override def latestOffset(): Offset =
+    BusOffset(matchedTopics.map { t =>
+      t -> GraftBus.partitions(root, t)
+        .map(p => p -> GraftBus.nextOffset(root, t, p)).toMap
+    }.toMap)
+
+  override def deserializeOffset(json: String): Offset =
+    BusOffset(BusDataSource.parseOffsets(json))
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BusOffset].offsets
+    val e = end.asInstanceOf[BusOffset].offsets
+    (for {
+      (topic, parts) <- e.toSeq
+      (p, until) <- parts.toSeq
+      from = s.getOrElse(topic, Map.empty[Int, Long]).getOrElse(p, 0L)
+      if until > from
+    } yield BusInputPartition(root, topic, p, from, until): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BusPartitionReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class BusInputPartition(
+    root: String, topic: String, partition: Int, from: Long, until: Long)
+    extends InputPartition
+
+final class BusPartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val bp = p.asInstanceOf[BusInputPartition]
+    new PartitionReader[InternalRow] {
+      private val records = GraftBus
+        .read(bp.root, bp.topic, bp.partition, bp.from, bp.until).iterator
+      private var cur: BusRecord = _
+      override def next(): Boolean =
+        if (records.hasNext) { cur = records.next(); true } else false
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        cur.key.getBytes("UTF-8"),
+        cur.value.getBytes("UTF-8"),
+        UTF8String.fromString(cur.topic),
+        cur.partition,
+        cur.offset,
+        cur.timestampMs * 1000L, // micros
+        0))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** At-least-once streaming sink with per-row dynamic topic routing —
+  * the Kafka sink contract: rows carry (topic, key, value); epoch
+  * commit is a no-op, so a replayed batch re-appends (redelivery), and
+  * downstream consumers own deduplication. */
+final class BusStreamingWrite(
+    root: String, schema: StructType, defaultTopic: Option[String])
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val topicIdx = schema.fieldNames.indexOf("topic")
+    val keyIdx = schema.fieldNames.indexOf("key")
+    val valueIdx = schema.fieldNames.indexOf("value")
+    require(valueIdx >= 0, "graft-bus sink needs a `value` column")
+    require(topicIdx >= 0 || defaultTopic.isDefined,
+      "graft-bus sink needs a `topic` column or option")
+    // standalone case class: the factory ships to executors, so it
+    // must not capture this (non-serializable) Write instance
+    BusWriterFactory(root, schema, topicIdx, keyIdx, valueIdx, defaultTopic)
+  }
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class BusCommitMessage() extends WriterCommitMessage
+
+final case class BusWriterFactory(
+    root: String, schema: StructType, topicIdx: Int, keyIdx: Int,
+    valueIdx: Int, defaultTopic: Option[String])
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private def asString(row: InternalRow, idx: Int): String =
+        schema.fields(idx).dataType match {
+          case BinaryType => new String(row.getBinary(idx), "UTF-8")
+          case StringType => row.getUTF8String(idx).toString
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft-bus sink column ${schema.fieldNames(idx)} has " +
+                s"unsupported type $other (binary/string only)")
+        }
+      override def write(row: InternalRow): Unit = {
+        val topic =
+          if (topicIdx >= 0 && !row.isNullAt(topicIdx)) asString(row, topicIdx)
+          else defaultTopic.get
+        val key =
+          if (keyIdx >= 0 && !row.isNullAt(keyIdx)) asString(row, keyIdx)
+          else ""
+        GraftBus.send(root, topic, key, asString(row, valueIdx))
+      }
+      override def commit(): WriterCommitMessage = BusCommitMessage()
+      override def abort(): Unit = () // at-least-once: appended rows stay
+      override def close(): Unit = ()
+    }
+}

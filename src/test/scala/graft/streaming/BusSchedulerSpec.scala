@@ -1,0 +1,159 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.immutable.ListMap
+
+import graft.engine._
+import graft.engine.SpecBuilders._
+import graft.streaming.bus.GraftBus
+
+/** End-to-end S1/S2/S3 over a REAL by-name-resolved transport: events
+  * are produced to bus topics, the scheduler consumes them through
+  * `format("graft-bus")` (resolved via DataSourceRegister — the same
+  * service-loader path that resolves `format("kafka")`), TSRs land on
+  * per-TaskDef topics through the dynamic-topic sink, a loopback
+  * worker polls the task topic like the reference TaskWorker polls
+  * Kafka (TaskWorker.java:102-145) and produces TASK_EVENTs back, and
+  * run-state snapshots land on the per-spec state topic. Offsets flow
+  * through checkpoint + progress in Kafka's exact JSON shape, which the
+  * ReadYourWrites barrier parses per-partition.
+  *
+  * No broker exists in this build environment (zero egress, no Kafka
+  * artifacts — see GraftBus scaladoc); swapping the format string +
+  * connection option is the ONLY delta to the Kafka deployment.
+  *
+  * Also proves at-least-once handling through the real transport: the
+  * worker delivers every TASK_EVENT pair TWICE (same producer guid);
+  * the scheduler's guid dedupe folds each logical event once.
+  */
+class BusSchedulerSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.session
+
+  private val spec = wfSpec("busrun", "main",
+    thread("main", Map.empty,
+      nodes = Seq(
+        task("n0", "echo_task", "thing" -> lit("one")),
+        task("n1", "echo_task", "thing" -> lit("two")),
+        task("n2", "echo_task", "thing" -> lit("three"))),
+      edges = Seq(edge("n0", "n1"), edge("n1", "n2"))))
+
+  private def eventsTopic = s"wfEvents__${spec.name}"
+  private def stateTopic = s"${Scheduler.STATE_TOPIC_PREFIX}${spec.name}"
+
+  private def now() = System.currentTimeMillis()
+
+  test("basic run end-to-end over bus topics, duplicates deduped by guid") {
+    val root = Files.createTempDirectory("graft-bus").toString
+    val ckpt = Files.createTempDirectory("graft-bus-ckpt").toString
+
+    // S1 → fold → S2+S3: the production topology, by-name connector
+    val events = Scheduler.busEventSource(spark, root, "wfEvents__.*")
+    val outputs = Scheduler(events, Map(spec.name -> spec))
+    val query = Scheduler.busWireSink(outputs, root, ckpt)
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+
+    // loopback worker: polls the per-TaskDef topic (reference
+    // TaskWorker poll loop), answers each TSR with a started+ended
+    // TASK_EVENT pair — delivered TWICE with the same guid to simulate
+    // an at-least-once producer whose ack was lost
+    @volatile var workerStop = false
+    val worker = new Thread(() => {
+      var cursor = Map.empty[Int, Long]
+      while (!workerStop) {
+        for (p <- GraftBus.partitions(root, "echo_task")) {
+          val from = cursor.getOrElse(p, 0L)
+          val until = GraftBus.nextOffset(root, "echo_task", p)
+          GraftBus.read(root, "echo_task", p, from, until).foreach { rec =>
+            val tsr = EventCodec.decodeTsr(rec.value)
+            val stdout = LHJson.render(
+              tsr.variableSubstitutions.getOrElse("thing", null))
+            val t = now()
+            val guid = s"w-${tsr.wfRunId}-${tsr.taskRunPosition}"
+            val pair = Seq(
+              WFEvent(spec.objectId, spec.name, tsr.wfRunId, t,
+                tsr.threadId, WFEventType.TASK_EVENT,
+                EventCodec.encodeTaskRunEvent(TaskRunEvent(
+                  tsr.threadId, tsr.taskRunPosition, t, 0,
+                  Some(TaskRunStartedPayload("bus-worker", None)), None)),
+                guid = s"$guid-started"),
+              WFEvent(spec.objectId, spec.name, tsr.wfRunId, t + 1,
+                tsr.threadId, WFEventType.TASK_EVENT,
+                EventCodec.encodeTaskRunEvent(TaskRunEvent(
+                  tsr.threadId, tsr.taskRunPosition, t + 1, 0, None,
+                  Some(TaskRunEndedPayload(TaskRunResult(
+                    Some(stdout), None, success = true, 0))))),
+                guid = s"$guid-ended"))
+            // duplicate delivery: same logical events, same guids
+            (pair ++ pair).foreach(ev =>
+              GraftBus.send(root, eventsTopic, ev.wfRunId,
+                EventCodec.encodeWFEvent(ev)))
+          }
+          cursor += p -> until
+        }
+        Thread.sleep(50)
+      }
+    })
+    worker.setDaemon(true)
+
+    try {
+      // produce WF_RUN_STARTED; keep the RecordMetadata for the barrier
+      val startEvent = WFEvent(spec.objectId, spec.name, "bus-run-1", now(),
+        0, WFEventType.WF_RUN_STARTED,
+        EventCodec.encodeRunRequest(WFRunRequest(
+          ListMap.empty, spec.objectId, Some("bus-run-1"))))
+      val (part, off) = GraftBus.send(root, eventsTopic, "bus-run-1",
+        EventCodec.encodeWFEvent(startEvent))
+
+      // read-your-writes over Kafka-shaped per-partition offsets: once
+      // the barrier returns, the first snapshot MUST already be on the
+      // state topic
+      ReadYourWrites.awaitProcessed(query, eventsTopic, part, off, 0, 30000L)
+      assert(GraftBus.nextOffset(root, stateTopic, 0) +
+        GraftBus.partitions(root, stateTopic)
+          .map(p => GraftBus.nextOffset(root, stateTopic, p)).sum > 0,
+        "barrier returned but no snapshot visible on the state topic")
+
+      worker.start()
+
+      // poll the state topic for the COMPLETED snapshot
+      def latestState(): Option[WFRunState] = {
+        val snaps = GraftBus.partitions(root, stateTopic).flatMap(p =>
+          GraftBus.read(root, stateTopic, p, 0,
+            GraftBus.nextOffset(root, stateTopic, p)))
+        if (snaps.isEmpty) None
+        else Some(StateCodec.decode(snaps.maxBy(_.offset).value))
+      }
+      val deadline = now() + 30000
+      var done = false
+      while (!done && now() < deadline) {
+        Thread.sleep(150)
+        done = latestState().exists(_.status == Status.COMPLETED)
+      }
+      assert(done, s"run never completed; lastState=${latestState()}")
+
+      // despite every TASK_EVENT arriving twice, each task folded once
+      val st = latestState().get
+      val thr = st.threadRuns(0)
+      assert(thr.taskRuns.length == 3, s"got ${thr.taskRuns.length} taskRuns")
+      assert(thr.taskRuns.map(_.stdout).toSeq == Seq("one", "two", "three"))
+      assert(thr.taskRuns.forall(_.status == Status.COMPLETED))
+
+      // the TSR topic really is the per-TaskDef fan-out topic
+      assert(GraftBus.topics(root).contains("echo_task"))
+      // and the source's committed offsets are Kafka-shaped JSON
+      val lastEnd = query.recentProgress.reverseIterator
+        .flatMap(p => p.sources.headOption.flatMap(s => Option(s.endOffset)))
+        .nextOption()
+      assert(lastEnd.exists(_.contains(s""""$eventsTopic"""")),
+        s"endOffset not Kafka-shaped: $lastEnd")
+    } finally {
+      workerStop = true
+      query.stop()
+    }
+  }
+}
