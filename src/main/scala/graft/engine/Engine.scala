@@ -490,7 +490,11 @@ private final class EngineCtx(val spec: WFSpec) {
   }
 
   /** Reference: ThreadRun.evaluateEdge (:487-503). Note the non-SQL
-    * null semantics: EQUALS and NOT_EQUALS are both false on null LHS. */
+    * null semantics: EQUALS and NOT_EQUALS are both false on null LHS.
+    * `.equals` (not `==`) is deliberate: Java `Object.equals` parity —
+    * Scala's cooperative equality would make Int 5 equal Long 5L,
+    * which the reference treats as unequal. */
+  @scala.annotation.nowarn("msg=cooperative equality")
   def evaluateEdge(t: ThreadRunState, cond: Option[EdgeCondition]): Boolean =
     cond match {
       case None => true

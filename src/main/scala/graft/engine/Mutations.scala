@@ -192,6 +192,7 @@ object Mutations {
 
   /** Strict Java-`Object.equals` semantics — NOT Scala `==`, whose
     * cooperative numeric equality would make 1 == 1.0 true. */
+  @scala.annotation.nowarn("msg=cooperative equality")
   def eq(a: Any, b: Any): Boolean =
     if (a == null) b == null
     else a.equals(b)
@@ -216,6 +217,7 @@ object Mutations {
 
   /** Reference `Mutation.contains` (Mutation.java:313-332): haystack
     * must be a collection; null haystack is an error. */
+  @scala.annotation.nowarn("msg=cooperative equality")
   def contains(haystack: Any, needle: Any): Boolean = haystack match {
     case xs: Vector[_] =>
       // in-order scan; a null element NPEs in the reference's

@@ -44,11 +44,57 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic stratified sampling — the per-stratum downsampling
+    * pass a training mix runs before blending sources (keep 50% of
+    * images, 25% of audio, 10% of video here; strata from the same
+    * doc_id%3 modality convention as [[Multimodal.binaryPayloads]]).
+    * Membership = splitmix64(doc_id) mod 1000 < stratum permille: a
+    * pure narrow filter — no shuffle, no join, no RNG state —
+    * reproducible run to run and machine to machine, which is what
+    * makes a 100 TB sample auditable; the oracle recomputes the
+    * hash bit-exactly (OracleSql HUGEINT splitmix64). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select($"doc_id")
+      .transform(Tables.repartitionForCpu(_, col("doc_id")))
+      .as[Long]
+      .flatMap { id =>
+        val modality = id % 3 match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val permille = modality match {
+          case "image" => 500L
+          case "audio" => 250L
+          case _ => 100L
+        }
+        val bucket = java.lang.Long.remainderUnsigned(
+          graft.functions.TextHashes.mix64(id), 1000L)
+        if (bucket < permille) Some((id, modality, bucket)) else None
+      }
+      .toDF("doc_id", "modality", "bucket")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curation" -> (curatedDocs _),
+    "sample_stratified" -> (stratifiedSample _),
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_stratified" -> {
+      val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"
+      s"""WITH h AS (SELECT doc_id, $bucket AS bucket FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         | CAST(bucket AS BIGINT) AS bucket
+         |FROM h
+         |WHERE bucket < CASE WHEN doc_id % 3 = 0 THEN 500
+         |                    WHEN doc_id % 3 = 1 THEN 250 ELSE 100 END
+         |ORDER BY doc_id""".stripMargin
+    },
     "pipeline_curation" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -156,4 +156,55 @@ class BusSchedulerSpec extends AnyFunSuite {
       query.stop()
     }
   }
+
+  test("bus source resumes from checkpointed Kafka-shaped offsets") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bus-resume").toString
+    val ckpt = Files.createTempDirectory("graft-bus-resume-ckpt").toString
+    val topic = "wfEvents__resume"
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+    def startQuery() =
+      spark.readStream.format("graft-bus")
+        .option("path", root).option("subscribe", topic)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS v").as[String]
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+          batch.collect().foreach(seen.add)
+        }
+        .start()
+
+    def awaitCount(n: Int): Unit = {
+      val deadline = now() + 20000
+      while (seen.size < n && now() < deadline) Thread.sleep(100)
+      assert(seen.size == n, s"expected $n records, saw ${seen.size}")
+    }
+
+    GraftBus.send(root, topic, "k", "e1")
+    GraftBus.send(root, topic, "k", "e2")
+    val q1 = startQuery()
+    awaitCount(2)
+    q1.stop()
+
+    // produced while the consumer is down
+    GraftBus.send(root, topic, "k", "e3")
+
+    val q2 = startQuery()
+    awaitCount(3) // e3 only — e1/e2 NOT reprocessed (committed offsets)
+    // the restored start offset must be the committed Kafka-shaped map;
+    // progress entries publish asynchronously after batch commit, so poll
+    def startOffsets() = q2.recentProgress.toSeq
+      .flatMap(p => p.sources.headOption.flatMap(s => Option(s.startOffset)))
+    val deadlineP = now() + 5000
+    while (startOffsets().isEmpty && now() < deadlineP) Thread.sleep(100)
+    val resumed = startOffsets().headOption
+    q2.stop()
+    assert(seen.toArray.toSeq == Seq("e1", "e2", "e3"),
+      s"loss or reprocessing across restart: ${seen.toArray.toSeq}")
+    assert(resumed.exists(o => o.contains(s""""$topic"""") && o.contains("2")),
+      s"restart did not resume from Kafka-shaped committed offsets: $resumed")
+  }
 }
