@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts all 32 executor threads in this one JVM. Measured:
+  // the bench total is flat from 3g to 8g on an idle host, so 8g is
+  // not a bottleneck today — but the machine has 125 GiB, and a heap
+  // sized like 32 executors (not like a driver) buys headroom against
+  // spill/GC when the host is contended or SF grows.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
 // Streaming suites are wall-clock sensitive (task timeouts, triggers)
 // and share one SparkSession; running suites in parallel makes batch
