@@ -46,7 +46,9 @@ object Bench {
     // inflate a sample, so the min is the closest observation to the
     // plan's true cost. gc_sec is reported so a contended run is
     // diagnosable from the artifact itself.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Default 3: min-of-2 is a weak minimum estimator on a shared host;
+    // a third sample costs ~35 s of untimed wall and stabilizes the min.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val best = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
@@ -58,7 +60,45 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps, plans warmed on sf0.001","gc_sec":${gcMillis() / 1e3}}""")
+    // Approximate-path quality, tracked per round alongside speed.
+    // Two recalls, because they answer different questions:
+    //  - corpus: fraction of brute-force (exact) top-k pairs the LSH
+    //    path also returns on THIS corpus. The test embeddings are
+    //    unstructured random vectors (all cosines ~0.3), so this is the
+    //    NOISE FLOOR of bucketed ANN — expected near zero, reported so
+    //    a corpus with real neighbor structure shows its true value.
+    //  - planted: top-1 twin retrieval on the corpus augmented with 10
+    //    true near-duplicates (cos > 0.999), the same construction as
+    //    the recall spec — the number that matters for near-dup search.
+    // All collects are <= queries x k rows, bounded at any corpus size.
+    val recallCorpus = try {
+      def pairs(name: String) = SparkEntry.queries(name)(spark, sfDir)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs("ann_brute_force_topk")
+      val approx = pairs("ann_lsh_topk")
+      if (exact.isEmpty) 1.0 else (exact & approx).size.toDouble / exact.size
+    } catch { case _: Throwable => -1.0 }
+    val recallPlanted = try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // collect ONLY the 10 query vectors (bounded at any corpus size)
+      val qvecs = corpus.filter(col("vec_id") < 10)
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val dim = qvecs.head._2.length
+      val rnd = new scala.util.Random(42)
+      val twins = qvecs.map { case (id, v) =>
+        (1000000L + id, v.map(_ + rnd.nextGaussian() * 0.01))
+      }
+      val emb = corpus.union(twins.toSeq.toDF("vec_id", "v"))
+      val top1 = graft.operators.Similarity.lshTopKOn(emb, dim).collect()
+        .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+      qvecs.map(_._1).count(id =>
+        top1.get(id).contains(1000000L + id)).toDouble / qvecs.length
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps, plans warmed on sf0.001","gc_sec":${gcMillis() / 1e3},"recall":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_lsh_planted_twin_top1":$recallPlanted}}""")
     spark.stop()
   }
 }

@@ -7,23 +7,35 @@ import scala.collection.immutable.ListMap
 
 import graft.engine._
 import graft.streaming.{Scheduler, SchedulerOut}
+import graft.streaming.bus.GraftBus
 
 /** BASELINE.md `speedtest_wallclock_N` through the STREAMING engine:
   * N concurrent `speed_test`-shaped WFRuns (50 sequential task
   * round-trips each — reference examples/workflows/
   * speed_test_50_tasks.py:12-15) driven through the real
-  * flatMapGroupsWithState scheduler with a loopback foreachBatch
-  * worker, measured first-event → last COMPLETED snapshot.
+  * flatMapGroupsWithState scheduler with a loopback worker, measured
+  * first-event → last COMPLETED snapshot.
   *
   * This is the closest Spark analogue of the reference's canonical
   * workload (Kafka round-trip per task + 10 ms worker poll floor,
-  * DepInjContext.java:348-354); `graft.FoldBench` measures the same
-  * workload through the batch fold instead (engine ceiling, no
-  * micro-batch latency). MemoryStream is used rather than the
-  * file-backed bus so the number measures the engine + scheduler, not
-  * file-per-record I/O.
+  * DepInjContext.java:348-354).
   *
-  * Usage: runMain graft.StreamBench [nRuns] — prints one JSON line.
+  * Two transports, selected by the 2nd arg:
+  *  - `memory` (default): MemoryStream in, foreachBatch loopback out —
+  *    measures the engine + scheduler with no transport I/O
+  *    (`graft.FoldBench` is the same workload through the batch fold:
+  *    the engine ceiling with no micro-batch latency at all);
+  *  - `bus`: the full S1/S2/S3 topology over `format("graft-bus")`
+  *    file-backed topics — WF events consumed from a real by-name
+  *    connector, TSRs landing on the per-TaskDef topic, a polling
+  *    worker thread (reference TaskWorker.java:102-145 shape)
+  *    producing TASK_EVENTs back, snapshots on the per-spec state
+  *    topic. Adds one file create+rename per record on every hop, so
+  *    the delta vs `memory` QUANTIFIES the per-record transport cost
+  *    instead of asserting it.
+  *
+  * Usage: runMain graft.StreamBench [nRuns] [memory|bus] — prints one
+  * JSON line.
   */
 object StreamBench {
 
@@ -41,17 +53,32 @@ object StreamBench {
         nodes = ListMap.from(nodes), edges = edges))))
   }
 
-  def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(500)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spec = speedTestSpec(50)
+  private def now() = System.currentTimeMillis()
 
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(500)
+    args.lift(1).getOrElse("memory") match {
+      case "bus" => busMain(n)
+      case _ => memoryMain(n)
+    }
+  }
+
+  // ===== memory transport: engine + scheduler, no transport I/O =====
+
+  private def memoryMain(n: Int): Unit = {
+    val spec = speedTestSpec(50)
+    val spark = session()
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
@@ -59,11 +86,13 @@ object StreamBench {
     val outputs = Scheduler(input.toDS(), Map(spec.name -> spec))
     val completed = TrieMap.empty[String, Boolean]
 
-    def now() = System.currentTimeMillis()
-
-    // loopback worker: answers every TSR within the same micro-batch
+    // Loopback worker: answers every TSR within the same micro-batch
     // cycle (the reference's worker is a separate Kafka consumer with a
-    // 10 ms poll floor per task)
+    // 10 ms poll floor per task). The driver-side collect() here is the
+    // bench harness STANDING IN for the reference's external workers —
+    // TSR batches are bounded by in-flight runs — it is not an engine
+    // code path (the engine's own outputs flow through the streaming
+    // sink unchanged; see `busMain` for the same loop over real topics).
     val query = outputs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[SchedulerOut], _: Long) =>
@@ -107,6 +136,113 @@ object StreamBench {
     query.stop()
     require(completed.size == n, s"only ${completed.size}/$n completed")
     println(f"""{"metric":"speedtest_streaming_wallclock_$n","value":$wallSec%.2f,"unit":"sec","runs_per_sec":${n / wallSec}%.0f,"task_roundtrips_per_sec":${n * 50 / wallSec}%.0f}""")
+    spark.stop()
+  }
+
+  // ===== bus transport: full S1/S2/S3 over graft-bus topics =====
+
+  private def busMain(n: Int): Unit = {
+    val spec = speedTestSpec(50)
+    val spark = session()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streambench-bus").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-streambench-ckpt").toString
+    val eventsTopic = s"wfEvents__${spec.name}"
+    val stateTopic = s"${Scheduler.STATE_TOPIC_PREFIX}${spec.name}"
+
+    val events = Scheduler.busEventSource(spark, root, "wfEvents__.*")
+    val outputs = Scheduler(events, Map(spec.name -> spec))
+    val query = Scheduler.busWireSink(outputs, root, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+
+    // Polling worker over the per-TaskDef topic — the reference
+    // TaskWorker shape (poll, execute, produce result events).
+    @volatile var stop = false
+    val worker = new Thread(() => {
+      var cursor = Map.empty[Int, Long]
+      while (!stop) {
+        for (p <- GraftBus.partitions(root, "echo_task")) {
+          val from = cursor.getOrElse(p, 0L)
+          val until = GraftBus.nextOffset(root, "echo_task", p)
+          GraftBus.read(root, "echo_task", p, from, until).foreach { rec =>
+            val tsr = EventCodec.decodeTsr(rec.value)
+            val stdout = LHJson.render(
+              tsr.variableSubstitutions.getOrElse("thing", null))
+            val t = now()
+            val guid = s"w-${tsr.wfRunId}-${tsr.taskRunPosition}"
+            Seq(
+              WFEvent(spec.objectId, spec.name, tsr.wfRunId, t,
+                tsr.threadId, WFEventType.TASK_EVENT,
+                EventCodec.encodeTaskRunEvent(TaskRunEvent(
+                  tsr.threadId, tsr.taskRunPosition, t, 0,
+                  Some(TaskRunStartedPayload("bus-worker", None)), None)),
+                guid = s"$guid-started"),
+              WFEvent(spec.objectId, spec.name, tsr.wfRunId, t + 1,
+                tsr.threadId, WFEventType.TASK_EVENT,
+                EventCodec.encodeTaskRunEvent(TaskRunEvent(
+                  tsr.threadId, tsr.taskRunPosition, t + 1, 0, None,
+                  Some(TaskRunEndedPayload(TaskRunResult(
+                    Some(stdout), None, success = true, 0))))),
+                guid = s"$guid-ended")
+            ).foreach(ev => GraftBus.send(root, eventsTopic, ev.wfRunId,
+              EventCodec.encodeWFEvent(ev)))
+          }
+          cursor += p -> until
+        }
+        Thread.sleep(10) // the reference's default worker poll interval
+      }
+    })
+    worker.setDaemon(true)
+    worker.start()
+
+    // Completion tracker: incremental cursors over the state topic;
+    // per poll round decode only the NEWEST snapshot per run (earlier
+    // ones in the same batch are superseded), so decode cost is
+    // O(poll rounds × active runs), not O(total snapshots).
+    val completed = TrieMap.empty[String, Boolean]
+    val tracker = new Thread(() => {
+      var cursor = Map.empty[Int, Long]
+      while (!stop) {
+        for (p <- GraftBus.partitions(root, stateTopic)) {
+          val from = cursor.getOrElse(p, 0L)
+          val until = GraftBus.nextOffset(root, stateTopic, p)
+          if (until > from) {
+            GraftBus.read(root, stateTopic, p, from, until)
+              .groupBy(_.key).values.map(_.maxBy(_.offset))
+              .foreach { rec =>
+                val st = StateCodec.decode(rec.value)
+                if (st.status == Status.COMPLETED)
+                  completed.put(st.objectId, true)
+              }
+            cursor += p -> until
+          }
+        }
+        Thread.sleep(100)
+      }
+    })
+    tracker.setDaemon(true)
+    tracker.start()
+
+    val t0 = System.nanoTime()
+    (0 until n).foreach { i =>
+      val ev = WFEvent(spec.objectId, spec.name, s"speed-$i", now(), 0,
+        WFEventType.WF_RUN_STARTED,
+        EventCodec.encodeRunRequest(WFRunRequest(
+          ListMap.empty, spec.objectId, Some(s"speed-$i"))))
+      GraftBus.send(root, eventsTopic, ev.wfRunId,
+        EventCodec.encodeWFEvent(ev))
+    }
+
+    val deadline = now() + 600000
+    while (completed.size < n && now() < deadline) Thread.sleep(50)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    stop = true
+    query.stop()
+    require(completed.size == n, s"only ${completed.size}/$n completed")
+    println(f"""{"metric":"speedtest_streaming_bus_$n","value":$wallSec%.2f,"unit":"sec","runs_per_sec":${n / wallSec}%.0f,"task_roundtrips_per_sec":${n * 50 / wallSec}%.0f}""")
     spark.stop()
   }
 }

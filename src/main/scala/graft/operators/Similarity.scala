@@ -98,7 +98,7 @@ object Similarity {
   /** Core of [[lshTopK]] over any (vec_id, v: array&lt;double&gt;) frame —
     * exposed so specs can run it on corpora with PLANTED neighbors
     * (recall is only meaningful when true near-duplicates exist). */
-  private[operators] def lshTopKOn(embIn: DataFrame, dim: Int): DataFrame = {
+  private[graft] def lshTopKOn(embIn: DataFrame, dim: Int): DataFrame = {
     val s = embIn.sparkSession
     import s.implicits._
     val emb = withNorm(embIn)

@@ -43,6 +43,17 @@ object GraftBus {
   private def lockFor(dir: Path): Object =
     locks.computeIfAbsent(dir.toString, _ => new Object)
 
+  /** Per-partition next-offset cache: one directory listing at first
+    * touch, then an in-memory counter bumped under the producer lock.
+    * Without it every append re-lists the partition directory, making
+    * a topic's producer cost O(records²) in file-system metadata ops —
+    * the dominant term once a bench pushes tens of thousands of
+    * records. Offsets stay dense (counter == published record count;
+    * records are immutable and never deleted), and a fresh JVM re-derives
+    * the counter from the same listing. */
+  private val nextOffsets =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+
   private def partitionDir(root: String, topic: String, partition: Int): Path =
     Paths.get(root, topic, partition.toString)
 
@@ -51,25 +62,42 @@ object GraftBus {
   /** Next unclaimed offset = number of records (offsets are dense). */
   def nextOffset(root: String, topic: String, partition: Int): Long = {
     val dir = partitionDir(root, topic, partition)
-    if (!Files.isDirectory(dir)) 0L
-    else Files.list(dir).iterator.asScala
-      .count(_.getFileName.toString.endsWith(".rec")).toLong
+    val cached = nextOffsets.get(dir.toString)
+    if (cached != null) cached.get()
+    else if (!Files.isDirectory(dir)) 0L
+    else counterFor(dir).get()
   }
+
+  /** `Files.list` holds an open directory fd until the stream is
+    * CLOSED — a polling consumer leaking one per call exhausts the fd
+    * limit in seconds. Every listing goes through here. */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator.asScala) finally s.close()
+  }
+
+  private def counterFor(dir: Path): java.util.concurrent.atomic.AtomicLong =
+    nextOffsets.computeIfAbsent(dir.toString, _ => {
+      val n =
+        if (!Files.isDirectory(dir)) 0L
+        else listDir(dir)(_.count(_.getFileName.toString.endsWith(".rec")).toLong)
+      new java.util.concurrent.atomic.AtomicLong(n)
+    })
 
   /** Topics currently present under the root. */
   def topics(root: String): Seq[String] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) Nil
-    else Files.list(r).iterator.asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    else listDir(r)(_.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq).sorted
   }
 
   /** Partition ids present for a topic (created lazily by producers). */
   def partitions(root: String, topic: String): Seq[Int] = {
     val t = Paths.get(root, topic)
     if (!Files.isDirectory(t)) Nil
-    else Files.list(t).iterator.asScala.filter(Files.isDirectory(_))
-      .flatMap(p => p.getFileName.toString.toIntOption).toSeq.sorted
+    else listDir(t)(_.filter(Files.isDirectory(_))
+      .flatMap(p => p.getFileName.toString.toIntOption).toSeq).sorted
   }
 
   /** Read records [from, until) of one partition. */
@@ -101,11 +129,15 @@ object GraftBus {
       "key" -> key, "value" -> value,
       "ts" -> System.currentTimeMillis()))
     lockFor(dir).synchronized {
-      val off = nextOffset(root, topic, p)
+      val counter = counterFor(dir)
+      val off = counter.get()
       val tmp = Files.createTempFile(dir, ".claim-", ".tmp")
       Files.write(tmp, rec.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, dir.resolve(recName(off)),
         StandardCopyOption.ATOMIC_MOVE)
+      // publish-then-increment: a reader that sees offset n+1 can
+      // already read record n
+      counter.incrementAndGet()
       (p, off)
     }
   }
