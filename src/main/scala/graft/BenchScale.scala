@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions._
   *    NO shingles, so near-dup structure is copied per replica instead
   *    of collapsing into cross-replica 10-cliques of exact duplicates
   *    (which would measure a different, degenerate workload).
-  *  - embeddings: vectors rotated by replica index — same value
-  *    distribution, uncorrelated directions across replicas.
+  *  - embeddings: each replica multiplies every vector elementwise by
+  *    a deterministic ±1 sign mask (mix64 parity of (replica, dim)).
+  *    Sign masks preserve every WITHIN-replica cosine exactly
+  *    (cos(s∘a, s∘b) = cos(a, b) since s_d² = 1) — so planted near-dup
+  *    structure is copied per replica — while CROSS-replica cosines
+  *    are decorrelated even for rotation-invariant vectors (a
+  *    coordinate rotation, the previous scheme, leaves near-constant
+  *    vectors identical across replicas, manufacturing cross-replica
+  *    near-dup cliques that measured as a fake 103× output blowup).
   *
   * Usage: runMain graft.BenchScale <srcSfDir> <outDir> <K>
   */
@@ -41,9 +48,30 @@ object BenchScale {
       .reduce(_ unionAll _)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
 
-    // customer unchanged: orders fan-in grows K×, like a real bigger day
-    spark.read.parquet(s"$src/customer.parquet")
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/customer.parquet")
+    // lineitem rides with orders: same o_orderkey shift keeps every
+    // order's lines attached to exactly one replica of the order
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until k).map(i => lineitem
+        .withColumn("l_orderkey", $"l_orderkey" + lit(i * 600000000L)))
+      .reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+
+    // events: event_id and user_id shifted per replica — per-USER event
+    // density (what sessionization/windowing cost depends on) stays
+    // identical, the user population grows K×; timestamps are kept, so
+    // the same 30-day window carries K× the rows, like a busier month.
+    // ts arrives as raw nanos (nanosAsLong) and is written back as-is.
+    val events = spark.read.parquet(s"$src/events.parquet")
+    (0 until k).map(i => events
+        .withColumn("event_id", $"event_id" + lit(i * 10000000L))
+        .withColumn("user_id", $"user_id" + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+
+    // dimensions unchanged: fact fan-in grows K×, like a real bigger day
+    for (dim <- Seq("customer", "part", "supplier", "nation", "region"))
+      spark.read.parquet(s"$src/$dim.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$dim.parquet")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
@@ -59,11 +87,17 @@ object BenchScale {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.select(size($"embedding")).as[Int].first()
     (0 until k).map { i =>
+      val mask = Array.tabulate(dim) { d =>
+        if (i == 0) 1.0f
+        else if ((graft.functions.TextHashes.mix64(i * 100000L + d) & 1L) == 0L)
+          1.0f else -1.0f
+      }
       emb.select(
         ($"vec_id" + lit(i * 10000000L)).as("vec_id"),
-        concat(slice($"embedding", lit(i + 1), lit(10000)),
-          slice($"embedding", lit(1), lit(i))).as("embedding"))
+        zip_with($"embedding", typedlit(mask.toSeq),
+          (x, s) => x * s).as("embedding"))
     }.reduce(_ unionAll _)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
