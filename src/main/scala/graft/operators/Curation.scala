@@ -77,12 +77,64 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Context-window budget for [[packSequences]] — the GPT-style
+    * concat-and-chunk length. */
+  val PACK_BUDGET = 2048L
+
+  /** Sequence packing — the pass that turns curated documents into
+    * fixed-length training chunks: documents are concatenated in
+    * (source, doc_id) order and cut every [[PACK_BUDGET]] tokens, so a
+    * document may straddle a chunk boundary (the standard GPT packing,
+    * vs bin-packing whose greedy remainder-reset is inherently
+    * sequential and does not distribute). Each source is an independent
+    * packing stream: one shuffle on `source`, then a running-sum window
+    * per stream — at 100 TB the streams are the unit of parallelism
+    * (a real mix has thousands of sources/shards, not one global
+    * order). Emits per-document chunk spans; the chunks themselves are
+    * a slice-and-explode away and carry no extra shuffle. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("end_tok", sum($"n_tok").over(w))
+      .select(
+        $"doc_id", $"source", $"n_tok",
+        ($"end_tok" - $"n_tok").as("start_tok"),
+        floor(($"end_tok" - $"n_tok") / lit(PACK_BUDGET))
+          .cast("long").as("pack_first"),
+        floor(($"end_tok" - 1) / lit(PACK_BUDGET))
+          .cast("long").as("pack_last"))
+      .orderBy($"source", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curation" -> (curatedDocs _),
     "sample_stratified" -> (stratifiedSample _),
+    "pack_sequences" -> (packSequences _),
   )
 
   val oracles: Map[String, String] = Map(
+    // same running-sum-then-cut definition via a SQL window; sums of
+    // exact integers stay < 2^53 so the floor-over-double division is
+    // exact on both engines
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+        |  FROM d)
+        |SELECT doc_id, source, n_tok,
+        | CAST(end_tok - n_tok AS BIGINT) AS start_tok,
+        | CAST(floor((end_tok - n_tok) / 2048.0) AS BIGINT) AS pack_first,
+        | CAST(floor((end_tok - 1) / 2048.0) AS BIGINT) AS pack_last
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "sample_stratified" -> {
       val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"
       s"""WITH h AS (SELECT doc_id, $bucket AS bucket FROM documents)

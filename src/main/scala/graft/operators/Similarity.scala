@@ -173,13 +173,77 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Number of seeded centroids for [[kmeansAssign]]. */
+  val KMEANS_K = 8
+
+  /** k-means ASSIGNMENT with deterministically seeded centroids
+    * (vec_id < K) — the IVF coarse quantizer / semantic-dedup
+    * partitioner: at 100 TB this is how a corpus gets bucketed into
+    * semantically-coherent shards for per-cluster dedup or
+    * diversity-balanced sampling. Centroids are a bounded driver
+    * collect (K rows — the ANN-query-side pattern, never the corpus)
+    * broadcast into one narrow map: argmin squared-L2 with sequential
+    * per-dimension fold, ties to the lower centroid id, zero shuffle.
+    * Full Lloyd UPDATES are deliberately out of the oracle surface:
+    * re-averaging sums doubles in partition order, which no
+    * order-independent SQL oracle can reproduce bit-exactly — the
+    * assignment step is the part with a first-principles oracle, and
+    * at scale it dominates the cost anyway (updates are a K×dim
+    * treeAggregate over the assigned corpus). */
+  def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents: Array[(Long, Array[Double])] = emb
+      .filter($"vec_id" < KMEANS_K)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    emb.transform(Tables.repartitionForCpu(_, col("vec_id")))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var bestC = -1L
+        var bestD = Double.MaxValue
+        bc.value.foreach { case (cid, c) =>
+          var s2 = 0.0
+          var i = 0
+          while (i < v.length) { val d = v(i) - c(i); s2 += d * d; i += 1 }
+          // strict < keeps the first (lowest) centroid id on exact ties
+          if (s2 < bestD) { bestD = s2; bestC = cid }
+        }
+        (id, bestC, bestD)
+      }
+      .toDF("vec_id", "cluster", "dist2")
+      .select($"vec_id", $"cluster", round($"dist2", 6).as("dist2"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force_topk" -> (bruteForceTopK _),
     "ann_lsh_topk" -> (lshTopK _),
     "emb_quantize_int8" -> (quantizeInt8 _),
+    "emb_kmeans_assign" -> (kmeansAssign _),
   )
 
   val oracles: Map[String, String] = Map(
+    // squared-L2 re-derived with the same sequential fold order
+    // ((0+d0²)+d1²+…) so the doubles — and therefore the argmin
+    // ordering and the rounded output — are bit-identical.
+    "emb_kmeans_assign" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KMEANS_K),
+         |d AS (SELECT e.vec_id, c.cid,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, len(e.v) + 1),
+         |      i -> (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+         |         * (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]))),
+         |    (a, x) -> a + x) AS dist2
+         |  FROM e CROSS JOIN c),
+         |r AS (SELECT vec_id, cid, dist2,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |  FROM d)
+         |SELECT vec_id, cid AS cluster, round(dist2, 6) AS dist2
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "ann_brute_force_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

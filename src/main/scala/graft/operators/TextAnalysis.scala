@@ -101,12 +101,114 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // PII patterns — common-subset syntax only (char classes, bounded
+  // repetition, ASCII \b) so Java regex (Spark) and RE2 (DuckDB oracle)
+  // agree byte-for-byte. No backrefs, no lookaround.
+  private[operators] val EMAIL_RE =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val IP_RE =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[operators] val PHONE_RE = "\\b555-[0-9]{4}\\b"
+
+  /** PII scan + redaction — the scrubbing pass a training pipeline runs
+    * before text leaves the curation boundary. The `documents` corpus
+    * is digit-free word salad, so the operator runs over log-rendered
+    * lines derived deterministically from `events` (ids embedded as
+    * synthetic emails/IPs/phones — the log-leak shape PII scrubbing
+    * exists for; presence varies per row so counts are non-constant).
+    * Narrow codegen'd regexp projection, no shuffle except the final
+    * sort — scan-bound at any scale, exactly like a 100 TB scrub pass. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rendered = concat_ws(" ",
+      $"event_type",
+      when($"user_id" % 2 === 0,
+        concat(lit("user"), $"user_id", lit("@example.com")))
+        .otherwise(lit("anon")),
+      when($"event_id" % 3 === 0,
+        concat(lit("ip=10.0."), $"user_id" % 256, lit("."), $"event_id" % 256))
+        .otherwise(lit("noip")),
+      concat(lit("phone 555-01"),
+        lpad(($"event_id" % 100).cast("string"), 2, "0")),
+      $"props")
+    // redact in a fixed order (email, ip, phone) so the oracle's
+    // regexp_replace chain is literally the same rewrite
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(rendered, EMAIL_RE, "<EMAIL>"),
+        IP_RE, "<IP>"),
+      PHONE_RE, "<PHONE>")
+    Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"user_id", $"props")
+      .select(
+        $"event_id",
+        size(regexp_extract_all(rendered, lit(EMAIL_RE), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(rendered, lit(IP_RE), lit(0)))
+          .cast("long").as("n_ip"),
+        size(regexp_extract_all(rendered, lit(PHONE_RE), lit(0)))
+          .cast("long").as("n_phone"),
+        length(redacted).cast("long").as("redacted_len"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy($"event_id")
+  }
+
+  /** Intra-document repetition signals (the Gopher/RefinedWeb-style
+    * repetition filters): distinct-token ratio, most-frequent-token
+    * fraction (ties broken to the lexicographically smallest token),
+    * and duplicate-2-gram fraction. Computed in one narrow typed map —
+    * per-row hash counting, no explode/groupBy shuffle on tokens, so
+    * the cost is one scan regardless of corpus size. The oracle
+    * recomputes all three from first principles via unnest+group-by. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select($"doc_id", $"text")
+      .transform(Tables.repartitionForCpu(_, col("doc_id")))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val w = text.split(' ')
+        val n = w.length
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        w.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+        // argmax with deterministic tie-break: highest count, then
+        // smallest token (ASCII corpus: JVM and DuckDB orders agree)
+        var topTok = ""; var topCnt = -1
+        counts.foreach { case (t, c) =>
+          if (c > topCnt || (c == topCnt && t < topTok)) {
+            topTok = t; topCnt = c
+          }
+        }
+        val grams = scala.collection.mutable.HashSet.empty[String]
+        var i = 0
+        while (i < n - 1) { grams.add(w(i) + " " + w(i + 1)); i += 1 }
+        (id, n.toLong, counts.size.toLong, topTok, topCnt.toLong,
+          math.max(n - 1, 0).toLong, grams.size.toLong)
+      }
+      .toDF("doc_id", "n_tokens", "n_distinct", "top_token", "top_count",
+        "n_2grams", "n_distinct_2grams")
+      .select(
+        $"doc_id",
+        $"n_tokens",
+        round($"n_distinct".cast("double") / $"n_tokens", 6)
+          .as("distinct_ratio"),
+        $"top_token",
+        round($"top_count".cast("double") / $"n_tokens", 6)
+          .as("top_token_frac"),
+        when($"n_2grams" === 0, lit(0.0))
+          .otherwise(round(($"n_2grams" - $"n_distinct_2grams")
+            .cast("double") / $"n_2grams", 6))
+          .as("dup_2gram_frac"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_rolling_fingerprint" -> (rollingFingerprint _),
+    "text_pii_scrub" -> (piiScrub _),
+    "text_repetition_stats" -> (repetitionStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,5 +266,62 @@ object TextAnalysis {
     "text_rolling_fingerprint" ->
       s"""SELECT doc_id, ${OracleSql.toSigned(OracleSql.rollingHash("text"))} AS rolling_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Rebuilds the rendered log line and replays the same redaction
+    // chain; regexes are the Java/RE2 common subset so both engines
+    // match identically.
+    "text_pii_scrub" -> {
+      // single-line on purpose: this fragment is interpolated into a
+      // stripMargin'd outer string, and a second margin-strip would eat
+      // the first '|' of any line-leading '||'
+      val rendered =
+        "event_type || ' ' || " +
+          "CASE WHEN user_id % 2 = 0 THEN 'user' || CAST(user_id AS VARCHAR)" +
+          " || '@example.com' ELSE 'anon' END || ' ' || " +
+          "CASE WHEN event_id % 3 = 0 THEN 'ip=10.0.' ||" +
+          " CAST(user_id % 256 AS VARCHAR) || '.' ||" +
+          " CAST(event_id % 256 AS VARCHAR) ELSE 'noip' END || ' ' || " +
+          "'phone 555-01' || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0')" +
+          " || ' ' || props"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\b555-[0-9]{4}\\b"
+      s"""WITH r AS (SELECT event_id, ($rendered) AS line FROM events),
+         |red AS (SELECT event_id, line,
+         |  regexp_replace(regexp_replace(regexp_replace(line,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS redacted FROM r)
+         |SELECT event_id,
+         | CAST(len(regexp_extract_all(line, '$email')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(line, '$ip')) AS BIGINT) AS n_ip,
+         | CAST(len(regexp_extract_all(line, '$phone')) AS BIGINT) AS n_phone,
+         | CAST(length(redacted) AS BIGINT) AS redacted_len,
+         | md5(redacted) AS redacted_md5
+         |FROM red ORDER BY event_id""".stripMargin
+    },
+    // Token/2-gram stats re-derived via unnest+group-by (vs the
+    // operator's per-row hash counting) — independent computation of
+    // the same definitions, including the (count desc, token asc)
+    // argmax tie-break.
+    "text_repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, t AS top_token, c AS top_count,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t) AS rn
+        |  FROM tc),
+        |base AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+        |  len(w) - 1 AS n2,
+        |  len(list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1]))) AS nd2
+        |  FROM w)
+        |SELECT b.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        | round(nd * 1.0 / n, 6) AS distinct_ratio,
+        | top_token,
+        | round(top_count * 1.0 / n, 6) AS top_token_frac,
+        | CASE WHEN n2 <= 0 THEN 0.0
+        |      ELSE round((n2 - nd2) * 1.0 / n2, 6) END AS dup_2gram_frac
+        |FROM base b JOIN top USING (doc_id) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -21,14 +21,17 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = graft.TestSpark.session
 
-    // Tasks carry a 2 s timeout + retries: a TSR emitted in a committed
+  // Tasks carry a 6 s timeout + retries: a TSR emitted in a committed
   // batch is NOT replayed after restart (at-least-once sink), so a
   // worker-missed task must be recovered by the timeout timer
   // rescheduling it — the same story as the reference's worker-crash
-  // path (M1/M2).
+  // path (M1/M2). The timeout must exceed worst-case micro-batch
+  // latency under FULL-SUITE load (observed > 2 s with 18 suites on a
+  // contended host), or a promptly-answered task still times out
+  // because its result event folds a batch too late.
   private def retriableTask(name: String, thing: String) =
     task(name, "echo_task", "thing" -> lit(thing))
-      .copy(timeoutSeconds = Some(lit(2)), numRetries = 3)
+      .copy(timeoutSeconds = Some(lit(6)), numRetries = 3)
 
   private val spec = wfSpec("recovery_wf", "main",
     thread("main", Map.empty,
@@ -89,7 +92,7 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // let tasks 1-2 complete, then stop mid-flight before task 3's
     // result is produced
-    val deadline1 = now() + 20000
+    val deadline1 = now() + 30000
     while (tsrSeen.get() < 2 && now() < deadline1) Thread.sleep(100)
     assert(tsrSeen.get() >= 2, "first incarnation never scheduled 2 tasks")
     respondToTasks = false // third TSR (if any) goes unanswered
@@ -108,7 +111,7 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     // timeout invocation alone is timing-flaky.
     respondToTasks = true
     val q2 = startQuery()
-    val deadline2 = now() + 30000
+    val deadline2 = now() + 60000
     var done = false
     var lastNudge = 0L
     while (!done && now() < deadline2) {
