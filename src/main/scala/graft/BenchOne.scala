@@ -15,9 +15,16 @@ object BenchOne {
     val repeats = args(1).toInt
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions default to cores but can be raised
+    // independently: partition count must scale with DATA (so each
+    // partition still fits in memory), cores with the box — conflating
+    // them is exactly what breaks single-box scale-replica runs (see
+    // SCALING.md round-5 triage).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -201,20 +201,128 @@ object Similarity {
     emb.transform(Tables.repartitionForCpu(_, col("vec_id")))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
-        var bestC = -1L
-        var bestD = Double.MaxValue
-        bc.value.foreach { case (cid, c) =>
-          var s2 = 0.0
-          var i = 0
-          while (i < v.length) { val d = v(i) - c(i); s2 += d * d; i += 1 }
-          // strict < keeps the first (lowest) centroid id on exact ties
-          if (s2 < bestD) { bestD = s2; bestC = cid }
-        }
-        (id, bestC, bestD)
+        val (cl, d2) = nearestCentroid(v, bc.value)
+        (id, cl, d2)
       }
       .toDF("vec_id", "cluster", "dist2")
       .select($"vec_id", $"cluster", round($"dist2", 6).as("dist2"))
       .orderBy($"vec_id")
+  }
+
+  /** Argmin over broadcast centroids — shared by [[kmeansAssign]],
+    * [[kmeansUpdate]] and [[kmeansTrainOn]] so the assignment rule
+    * (squared-L2, sequential per-dim fold, ties to the lower centroid
+    * id) cannot diverge between the oracle-checked ops and the
+    * trainer. */
+  private def nearestCentroid(
+      v: Array[Double], cents: Array[(Long, Array[Double])]): (Long, Double) = {
+    var bestC = -1L
+    var bestD = Double.MaxValue
+    cents.foreach { case (cid, c) =>
+      var s2 = 0.0
+      var i = 0
+      while (i < v.length) { val d = v(i) - c(i); s2 += d * d; i += 1 }
+      if (s2 < bestD) { bestD = s2; bestC = cid }
+    }
+    (bestC, bestD)
+  }
+
+  /** Per-cluster (size, Σv) with a PINNED reduction order: assign →
+    * one shuffle on cluster → sort (cluster, vec_id) within partitions
+    * → sequential fold starting FROM the first member's vector (not a
+    * zero vector — IEEE -0.0 + x ≠ first-element fold on signed
+    * zeros). Each cluster lands wholly in one partition, so the fold
+    * is complete and the float sum is a deterministic function of the
+    * data alone — reproducible across partitionings and re-runs, and
+    * replayable by the DuckDB oracle via `list(v ORDER BY vec_id)` +
+    * `list_reduce`. K×dim result rows; the corpus never leaves the
+    * executors. */
+  private[graft] def orderedClusterSums(
+      embIn: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    val s = embIn.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    embIn.as[(Long, Array[Double])]
+      .map { case (id, v) => (nearestCentroid(v, bc.value)._1, id, v) }
+      .toDF("cluster", "vec_id", "v")
+      .transform(Tables.repartitionForCpu(_, col("cluster")))
+      .sortWithinPartitions($"cluster", $"vec_id")
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { iter =>
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Double])]
+        var cur = -1L
+        var n = 0L
+        var sum: Array[Double] = null
+        iter.foreach { case (cl, _, v) =>
+          if (cl != cur) {
+            if (cur >= 0) out += ((cur, n, sum))
+            cur = cl; n = 1L; sum = v.clone()
+          } else {
+            var i = 0
+            while (i < v.length) { sum(i) += v(i); i += 1 }
+            n += 1
+          }
+        }
+        if (cur >= 0) out += ((cur, n, sum))
+        out.iterator
+      }
+      .toDF("cluster", "size", "sum")
+  }
+
+  /** One Lloyd UPDATE step over the seeded centroids of
+    * [[kmeansAssign]] — the distributed-training step IVF/semantic-
+    * dedup centroids come from. Emits per-cluster size and a
+    * sequential checksum of the updated mean, both bit-exactly
+    * re-derivable by the oracle because the reduction order is pinned
+    * (see [[orderedClusterSums]]). Wrapping this step in a driver loop
+    * is [[kmeansTrainOn]]; one step is the oracle surface because
+    * every later iteration is the same computation on new literals. */
+  def kmeansUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents: Array[(Long, Array[Double])] = emb
+      .filter($"vec_id" < KMEANS_K)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    orderedClusterSums(emb, cents)
+      .as[(Long, Long, Array[Double])]
+      .map { case (cl, n, sum) =>
+        var cs = 0.0
+        var i = 0
+        while (i < sum.length) { cs += sum(i) / n; i += 1 }
+        (cl, n, cs)
+      }
+      .toDF("cluster", "size", "mean_checksum")
+      .select($"cluster", $"size", round($"mean_checksum", 6).as("mean_checksum"))
+      .orderBy($"cluster")
+  }
+
+  /** Full Lloyd training loop: assign + ordered update per iteration,
+    * empty clusters keep their previous centroid. Driver state is
+    * K×dim doubles per iteration (the collected cluster sums — never
+    * the corpus); per-iteration cost is one scan + one K-key shuffle.
+    * Deterministic end to end because every float reduction runs in
+    * the pinned (cluster, vec_id) order. Returns the final
+    * (vec_id, cluster) assignment. */
+  private[graft] def kmeansTrainOn(
+      embIn: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = embIn.sparkSession
+    import s.implicits._
+    val ds = embIn.as[(Long, Array[Double])]
+    var cents: Array[(Long, Array[Double])] =
+      ds.filter(_._1 < k).collect().sortBy(_._1)
+    require(cents.length == k, s"need seed vectors with vec_id < $k")
+    (1 to iters).foreach { _ =>
+      val sums = orderedClusterSums(embIn, cents)
+        .as[(Long, Long, Array[Double])].collect()
+        .map { case (cl, n, sum) => cl -> sum.map(_ / n) }.toMap
+      cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
+    }
+    val bc = s.sparkContext.broadcast(cents)
+    ds.map { case (id, v) => (id, nearestCentroid(v, bc.value)._1) }
+      .toDF("vec_id", "cluster")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -222,6 +330,7 @@ object Similarity {
     "ann_lsh_topk" -> (lshTopK _),
     "emb_quantize_int8" -> (quantizeInt8 _),
     "emb_kmeans_assign" -> (kmeansAssign _),
+    "emb_kmeans_update" -> (kmeansUpdate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -244,6 +353,38 @@ object Similarity {
          |  FROM d)
          |SELECT vec_id, cid AS cluster, round(dist2, 6) AS dist2
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // one Lloyd update replayed exactly: same argmin as above, then
+    // per-cluster members collected IN vec_id ORDER (list(v ORDER BY
+    // vec_id)) and folded left — the same pinned reduction order the
+    // operator enforces via its cluster-shuffle + within-partition
+    // sort, so the float sums (and the rounded checksum) are
+    // bit-identical.
+    "emb_kmeans_update" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KMEANS_K),
+         |d AS (SELECT e.vec_id, c.cid, e.v,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, len(e.v) + 1),
+         |      i -> (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+         |         * (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]))),
+         |    (a, x) -> a + x) AS dist2
+         |  FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, cid, v FROM (
+         |  SELECT vec_id, cid, v,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |  FROM d) WHERE rn = 1),
+         |g AS (SELECT cid AS cluster, count(*) AS n,
+         |  list(v ORDER BY vec_id) AS vs FROM a GROUP BY cid),
+         |s AS (SELECT cluster, n,
+         |  list_reduce(vs, (acc, x) -> list_transform(range(1, len(acc) + 1),
+         |    i -> acc[CAST(i AS INTEGER)] + x[CAST(i AS INTEGER)])) AS sumv
+         |  FROM g)
+         |SELECT cluster, CAST(n AS BIGINT) AS size,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(sumv, x -> x / n)), (a, b) -> a + b), 6)
+         |    AS mean_checksum
+         |FROM s ORDER BY cluster""".stripMargin,
     "ann_brute_force_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

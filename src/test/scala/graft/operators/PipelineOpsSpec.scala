@@ -140,4 +140,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(cl == cid && d2 == 0.0, s"seed $cid not self-assigned")
     }
   }
+
+  test("kmeans training recovers planted clusters and is deterministic") {
+    import spark.implicits._
+    // 60 points in 8-dim around 3 well-separated centers (one axis at
+    // 10.0) plus small deterministic mix64 noise; seeds vec_id 0,1,2
+    // land one in each planted cluster (i % 3)
+    def noise(i: Long, d: Int): Double =
+      java.lang.Long.remainderUnsigned(
+        graft.functions.TextHashes.mix64(i * 64 + d), 1000L) / 1000.0 - 0.5
+    val pts = (0L until 60L).map { i =>
+      val v = Array.tabulate(8)(d => noise(i, d))
+      v((i % 3).toInt * 2) += 10.0
+      (i, v)
+    }
+    val df = pts.toDF("vec_id", "v")
+    val out1 = Similarity.kmeansTrainOn(df, 3, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // label permutation-free check: points with equal (i % 3) must get
+    // equal cluster labels, and the 3 labels must be distinct
+    val byPlanted = pts.groupBy(_._1 % 3)
+      .map { case (g, ps) => g -> ps.map(p => out1(p._1)).toSet }
+    byPlanted.foreach { case (g, labels) =>
+      assert(labels.size == 1, s"planted cluster $g split: $labels")
+    }
+    assert(byPlanted.values.flatten.toSet.size == 3, "clusters merged")
+    // determinism: a second run over a differently-partitioned copy of
+    // the same data folds in the same pinned order -> identical labels
+    val out2 = Similarity
+      .kmeansTrainOn(df.repartition(7, $"vec_id"), 3, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out1 == out2, "training not partition-invariant")
+  }
 }
