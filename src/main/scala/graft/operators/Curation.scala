@@ -112,13 +112,61 @@ object Curation {
       .orderBy($"source", $"doc_id")
   }
 
+  /** Per-source token budget for [[tokenBudgetSample]]. */
+  val TOKEN_BUDGET = 500L
+
+  /** Token-budget mixing — the data-mixing stage that downsamples each
+    * source toward a target token budget (the knob DoReMi-style mix
+    * weights turn): per-source token totals (a SOURCES-row aggregate)
+    * set a keep-permille `min(1000, 1000·B div total)` in exact
+    * integer math, membership is the same splitmix64(doc_id) permille
+    * filter as [[stratifiedSample]] — deterministic, auditable,
+    * machine-independent. Scale shape: one map-side-combined agg down
+    * to |sources| rows, joined back (no hint — AQE broadcasts the
+    * tiny aggregate), then a narrow filter; the corpus never shuffles.
+    * Oversampling guarantee is statistical (≈B per source), which is
+    * how production mixes work — exact-count would need a global sort. */
+  def tokenBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+    val totals = docs.groupBy($"source").agg(sum($"n_tok").as("total"))
+    docs.join(totals, "source")
+      .withColumn("permille",
+        expr(s"least(CAST(1000 AS BIGINT), (1000 * $TOKEN_BUDGET) div total)"))
+      .select($"doc_id", $"source", $"n_tok", $"permille")
+      .as[(Long, String, Long, Long)]
+      .flatMap { case (id, src, n, p) =>
+        val bucket = java.lang.Long.remainderUnsigned(
+          graft.functions.TextHashes.mix64(id), 1000L)
+        if (bucket < p) Some((id, src, n, p)) else None
+      }
+      .toDF("doc_id", "source", "n_tok", "permille")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curation" -> (curatedDocs _),
     "sample_stratified" -> (stratifiedSample _),
     "pack_sequences" -> (packSequences _),
+    "sample_token_budget" -> (tokenBudgetSample _),
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_token_budget" -> {
+      val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |t AS (SELECT source, sum(n_tok) AS total FROM d GROUP BY 1),
+         |p AS (SELECT source, least(1000, (1000 * 500) // total) AS permille
+         |  FROM t)
+         |SELECT doc_id, d.source, n_tok, CAST(permille AS BIGINT) AS permille
+         |FROM d JOIN p ON d.source = p.source
+         |WHERE ($bucket) < permille
+         |ORDER BY doc_id""".stripMargin
+    },
     // same running-sum-then-cut definition via a SQL window; sums of
     // exact integers stay < 2^53 so the floor-over-double division is
     // exact on both engines

@@ -59,8 +59,68 @@ object StreamBatch {
       .orderBy($"day", $"event_type")
   }
 
+  /** Stream-stream interval join, executed by a real Structured
+    * Streaming job: each `view` event joins the same user's `purchase`
+    * events within the following hour. Both sides carry a watermark
+    * and the join condition bounds `buy_ts` to a closed interval after
+    * `view_ts`, which is exactly what lets Spark expire join state —
+    * on an unbounded 24/7 stream each side retains only ~1 hour + late
+    * allowance of events per user, so state is O(rate × window), not
+    * O(history). Append mode: inner-join matches emit as soon as both
+    * rows arrive. The DuckDB oracle replays the identical interval
+    * join as batch SQL (stream/batch equivalence, like q23).
+    */
+  def streamingIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+
+    def side(tpe: String, prefix: String) =
+      Tables.eventsTsFromNanos(
+        s.readStream
+          .schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+        .filter($"event_type" === tpe)
+        .select($"event_id".as(s"${prefix}_id"),
+          $"user_id".as(s"${prefix}_user"), $"ts".as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+
+    val joined = side("view", "view").join(side("purchase", "buy"),
+      expr("""view_user = buy_user AND
+             |buy_ts >= view_ts AND
+             |buy_ts <= view_ts + INTERVAL 1 HOUR""".stripMargin))
+
+    val table = s"graft_stream_join_${nameCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(120000L))
+        throw new java.util.concurrent.TimeoutException(
+          "streaming drain did not finish within 120s")
+    } finally q.stop()
+
+    // result is bounded by purchases × views-in-preceding-hour — at
+    // sf0.1 a few thousand rows; collect to detach from the dropped
+    // memory sink, exactly as streamingDailyAgg does
+    val rows = s.table(table)
+      .select($"view_user".as("user_id"), $"view_id", $"buy_id",
+        $"view_ts", $"buy_ts")
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSeq
+    s.catalog.dropTempView(table)
+    rows.toDF("user_id", "view_id", "buy_id", "view_ts", "buy_ts")
+      .orderBy($"view_id", $"buy_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_streaming_daily_agg" -> (streamingDailyAgg _),
+    "q26_stream_stream_join" -> (streamingIntervalJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -68,5 +128,13 @@ object StreamBatch {
       """SELECT date_trunc('day', ts) AS day, event_type,
         | CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q26_stream_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
+        | v.ts AS view_ts, p.ts AS buy_ts
+        |FROM events v JOIN events p
+        | ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, buy_id""".stripMargin,
   )
 }

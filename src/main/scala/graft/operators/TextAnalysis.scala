@@ -201,7 +201,36 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Per-document top-3 terms by tf/df — the corpus-statistics family
+    * (TF-IDF keyword extraction): term frequency is per-doc, document
+    * frequency is a CORPUS-wide aggregate joined back in. Scale shape:
+    * one shuffle on (doc, term) for tf (map-side combined), one on
+    * term for df, a term-keyed join (no broadcast hint — vocabulary is
+    * unbounded on a real corpus, AQE broadcasts when it measures
+    * small), and a per-doc window. Ranking uses tf·1.0/df (identical
+    * double op on both engines) with the term as tie-break; idf's log
+    * is deliberately avoided — libm vs StrictMath transcendentals are
+    * not bit-portable, and a monotone transform doesn't change the
+    * top-k anyway. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term), so df = row count per term
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(($"tf".cast("double") / $"df").desc, $"term")
+    tf.join(df, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df")
+      .orderBy($"doc_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
     "text_langid" -> (langId _),
@@ -212,6 +241,19 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT doc_id, term, tf, df,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf * 1.0 / df DESC, term) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         | cast(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

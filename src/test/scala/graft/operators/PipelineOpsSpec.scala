@@ -141,6 +141,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget sample matches a plain-Scala replay") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, text) => (id, src, text.split(' ').length.toLong) }
+    val totals = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val want = docs.flatMap { case (id, src, n) =>
+      val p = math.min(1000L, 1000L * Curation.TOKEN_BUDGET / totals(src))
+      val bucket = java.lang.Long.remainderUnsigned(
+        graft.functions.TextHashes.mix64(id), 1000L)
+      if (bucket < p) Some((id, src, n, p)) else None
+    }.sortBy(_._1).toSeq
+    val got = Curation.tokenBudgetSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("tfidf top terms match a plain-Scala recount") {
+    import spark.implicits._
+    val out = TextAnalysis.tfidfTopTerms(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val tf = docs.map { case (id, text) =>
+      id -> text.split(' ').groupBy(identity).view.mapValues(_.length).toMap
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    docs.foreach { case (id, _) =>
+      val want = tf(id).toSeq
+        .map { case (t, f) => (t, f.toLong, df(t).toLong) }
+        .sortBy { case (t, f, d) => (-f.toDouble / d, t) }
+        .take(3)
+      want.zipWithIndex.foreach { case ((t, f, d), i) =>
+        assert(out((id, i + 1L)) == ((t, f, d)),
+          s"doc $id rank ${i + 1}: got ${out((id, i + 1L))} want ${(t, f, d)}")
+      }
+    }
+  }
+
   test("kmeans training recovers planted clusters and is deterministic") {
     import spark.implicits._
     // 60 points in 8-dim around 3 well-separated centers (one axis at

@@ -135,4 +135,30 @@ class PlanSpec extends AnyFunSuite {
     assert(codegen.contains("graft.functions.TextHashes.rollingHashUtf8"))
     assert(codegen.contains("graft.functions.TextHashes.simhash64Utf8"))
   }
+
+  test("pii scrub is scan-bound: no hash exchange") {
+    // the only exchange allowed is the final sort's range partitioning —
+    // a hash exchange would mean the scrub stopped being a pure
+    // projection over the scan (AQE formatted plans carry partitioning
+    // in the Arguments: detail lines, so grep the whole text)
+    val plan = planOf(TextAnalysis.piiScrub(spark, dir))
+    assert(!plan.contains("hashpartitioning"), plan.take(2000))
+    assert(plan.contains("rangepartitioning"), plan.take(2000))
+  }
+
+  test("pack_sequences shuffles once, on source") {
+    val plan = planOf(Curation.packSequences(spark, dir))
+    val hashEx = plan.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"expected 1 hash exchange:\n${hashEx.mkString("\n")}")
+    assert(hashEx.head.contains("source"), hashEx.head)
+  }
+
+  test("tfidf aggregations partial-combine before the shuffle") {
+    val plan = planOf(TextAnalysis.tfidfTopTerms(spark, dir))
+    // both the tf and df counts must run map-side partials — shipping
+    // raw exploded tokens to the reducers is the shape that dies at
+    // corpus scale
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
 }

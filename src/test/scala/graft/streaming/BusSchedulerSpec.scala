@@ -187,6 +187,21 @@ class BusSchedulerSpec extends AnyFunSuite {
     GraftBus.send(root, topic, "k", "e2")
     val q1 = startQuery()
     awaitCount(2)
+    // wait until the batch that delivered e1/e2 is durably committed:
+    // stop() can land between foreachBatch and the commit-log write, in
+    // which case replaying the batch on restart is CORRECT at-least-once
+    // behavior — this test is about resume-from-committed-offsets, so
+    // make the commit happen before stopping
+    def maxBatch(sub: String): Long = {
+      val d = new java.io.File(ckpt, sub)
+      Option(d.list()).map(_.toSeq.filter(_.forall(_.isDigit)).map(_.toLong))
+        .filter(_.nonEmpty).map(_.max).getOrElse(-1L)
+    }
+    val target = maxBatch("offsets")
+    val commitDeadline = now() + 20000
+    while (maxBatch("commits") < target && now() < commitDeadline)
+      Thread.sleep(50)
+    assert(maxBatch("commits") >= target, "delivery batch never committed")
     q1.stop()
 
     // produced while the consumer is down
