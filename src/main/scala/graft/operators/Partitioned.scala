@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Time-partitioned layout + partition pruning — the OTHER half of
+  * the 100 TB storage story next to [[Bucketed]].
+  *
+  * Event/fact tables at scale are laid out partitioned by ingestion
+  * day (`.../day=2024-01-15/part-*.parquet`): a query for one day
+  * must read one directory, not filter 100 TB row-by-row. The scan's
+  * `PartitionFilters` (directory-level pruning, zero I/O for pruned
+  * partitions) are distinct from `PushedFilters` (row-group-level) —
+  * PlanSpec asserts the day predicate lands in PartitionFilters and
+  * prunes to a single partition.
+  *
+  * The partition column is a `yyyy-MM-dd` STRING (not DATE): string
+  * partition values round-trip through directory names and the Hive
+  * path convention identically on every engine, dodging date-parsing
+  * ambiguity. The DuckDB oracle replays the same day filter over the
+  * RAW events table — layout must not change a single row.
+  */
+object Partitioned {
+
+  private val prepared =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private val roots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  val DAY = "2024-01-15"
+
+  private def ensure(s: SparkSession, dir: String): String = {
+    val key = (s, dir)
+    if (!prepared.contains(key)) synchronized {
+      if (!prepared.contains(key)) {
+        val root = Files.createTempDirectory("graft-partitioned").toString
+        Tables(s, dir, "events")
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("overwrite")
+          .partitionBy("day")
+          .parquet(s"$root/events_by_day")
+        roots.put(key, root)
+        prepared.add(key)
+      }
+    }
+    roots.get(key)
+  }
+
+  /** One day's event-type counts, read from the partitioned layout. */
+  def q30PartitionPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensure(s, dir)
+    s.read.parquet(s"$root/events_by_day")
+      .filter($"day" === DAY)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** The filtered frame (pre-aggregate) for plan assertions. */
+  def prunedFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensure(s, dir)
+    s.read.parquet(s"$root/events_by_day").filter($"day" === DAY)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_partition_pruned" -> (q30PartitionPruned _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_partition_pruned" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+  )
+}

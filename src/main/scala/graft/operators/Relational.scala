@@ -143,6 +143,80 @@ object Relational {
       .orderBy($"o_custkey", $"rn")
   }
 
+  /** Same top-3-per-customer result as [[q7TopOrdersPerCustomer]],
+    * computed by the bounded [[graft.functions.TopK.TopKAgg]] typed
+    * Aggregator instead of a window sort. Why both exist: the window
+    * variant shuffles and sorts EVERY order row on `o_custkey`; this
+    * one participates in partial aggregation, so each map task ships
+    * at most k=3 entries per customer it saw — shuffle volume is
+    * O(k·customers), independent of the fact-table row count. At
+    * 100 TB, that's the difference between moving the whole table and
+    * moving the answer. Deterministic: the aggregator's order is total
+    * (price DESC, orderkey ASC), so any partitioning yields the same
+    * buffer. Oracle: the exact window SQL q7 uses — both formulations
+    * must agree row-for-row, which is itself the equivalence check. */
+  def q25TopkAggregator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopK
+    val topk = new TopK.TopKAgg(3).toColumn.name("topk")
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_totalprice", $"o_orderkey")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => TopK.Entry(r._2, r._3))
+      .agg(topk)
+      .flatMap { case (cust, entries) =>
+        entries.iterator.zipWithIndex.map { case (e, i) =>
+          (cust, (i + 1).toLong, e.key, e.price)
+        }
+      }
+      .toDF("o_custkey", "rn", "o_orderkey", "price")
+      .withColumn("price", r2($"price"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Pivot (long→wide): per-user event-type counts as columns. Spark
+    * compiles `pivot` with explicit values into ONE aggregate of CASE
+    * expressions — a single map-side-combined shuffle on `user_id`, no
+    * join, no second pass (the values list matters: without it Spark
+    * first runs a distinct scan to discover categories). */
+  def q28Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(wide)((df, c) =>
+        df.withColumn(c, coalesce(col(c), lit(0L))))
+      .orderBy($"user_id")
+  }
+
+  /** Exact discrete percentiles (p50/p90 document token length per
+    * source) via an explicit row_number formulation — `value at row
+    * ceil(p·n)` — rather than an engine quantile function, because
+    * interpolating quantile implementations differ across engines
+    * while this formulation is pure integer selection, bit-portable
+    * by construction. Quantiles intrinsically need a per-group order:
+    * one shuffle+sort on `source`, both percentiles read from the
+    * same sorted pass. */
+  def q29PercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy($"source").orderBy($"n_tok", $"doc_id")
+    docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      .groupBy($"source")
+      .agg(
+        max(when($"rn" === ceil($"n" * 0.5), $"n_tok")).as("p50_tok"),
+        max(when($"rn" === ceil($"n" * 0.9), $"n_tok")).as("p90_tok"),
+        max($"n").as("n_docs"))
+      .orderBy($"source")
+  }
+
   /** Global sort + limit (TakeOrderedAndProject — no full sort at scale). */
   def q8TopOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -378,6 +452,9 @@ object Relational {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q7_window_topn" -> (q7TopOrdersPerCustomer _),
+    "q25_topk_aggregator" -> (q25TopkAggregator _),
+    "q28_pivot" -> (q28Pivot _),
+    "q29_percentile_disc" -> (q29PercentileDisc _),
     "q8_sort_limit" -> (q8TopOrders _),
     "q9_set_ops" -> (q9SetOps _),
     "q10_distinct_agg" -> (q10DistinctAgg _),
@@ -499,6 +576,34 @@ object Relational {
         |       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
         | FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q25_topk_aggregator" ->
+      """SELECT o_custkey, rn, o_orderkey, price FROM (
+        | SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |  cast(row_number() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q28_pivot" ->
+      """SELECT user_id,
+        | CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        | CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        | CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q29_percentile_disc" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT source, n_tok,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n
+        |  FROM d)
+        |SELECT source,
+        | max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_tok END) AS p50_tok,
+        | max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tok END) AS p90_tok,
+        | CAST(max(n) AS BIGINT) AS n_docs
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
     "q8_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderdate
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,

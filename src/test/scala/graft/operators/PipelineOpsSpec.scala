@@ -186,6 +186,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TopK aggregator is partition- and order-invariant") {
+    import graft.functions.TopK
+    val agg = new TopK.TopKAgg(3)
+    val rng = new scala.util.Random(7)
+    // 40 entries incl. deliberate price ties; expected = sort + take 3
+    val entries = (0 until 40).map { i =>
+      TopK.Entry(price = (rng.nextInt(10) * 100).toDouble, key = i.toLong)
+    }
+    val want = entries
+      .sortBy(e => (-e.price, e.key)).take(3)
+    // sequential reduce in 5 shuffled orders
+    (0 until 5).foreach { s =>
+      val shuffled = new scala.util.Random(s).shuffle(entries)
+      val got = shuffled.foldLeft(agg.zero)(agg.reduce)
+      assert(got == want, s"reduce order $s")
+    }
+    // arbitrary partitionings merged pairwise
+    (1 until 5).foreach { s =>
+      val parts = new scala.util.Random(100 + s).shuffle(entries)
+        .grouped(7)
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val got = parts.foldLeft(agg.zero)(agg.merge)
+      assert(got == want, s"merge split $s")
+    }
+  }
+
   test("kmeans training recovers planted clusters and is deterministic") {
     import spark.implicits._
     // 60 points in 8-dim around 3 well-separated centers (one axis at

@@ -154,6 +154,45 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx.head.contains("source"), hashEx.head)
   }
 
+  test("q25 top-k aggregator partial-combines; no window sort of all rows") {
+    val plan = planOf(Relational.q25TopkAggregator(spark, dir))
+    // the whole point vs q7: a partial (map-side) aggregate ships ≤ k
+    // entries per group instead of sorting every row under a Window
+    assert(plan.contains("partial_topkagg"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q27 bucketed join is exchange-free on both join inputs") {
+    // force the sort-merge path (at test SF the planner would broadcast;
+    // at 100 TB neither side broadcasts — SMJ over buckets is the shape
+    // being asserted)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val plan = planOf(Bucketed.joinedFrame(spark, dir))
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      // co-partitioned bucketed scans: no exchange anywhere in the join.
+      // (A per-bucket Sort remains: since 3.0 Spark doesn't propagate
+      // bucket sort order — spark.sql.legacy.bucketedTableScan.
+      // outputOrdering — but that sort is within-partition and cheap;
+      // the scale property is that no data crosses the network.)
+      assert(!plan.contains("Exchange"), plan.take(3000))
+      assert(plan.contains("Bucketed: true"), plan.take(3000))
+      assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan.take(3000))
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
+  test("q30 day filter prunes partitions at the directory level") {
+    val plan = planOf(Partitioned.prunedFrame(spark, dir))
+    // the day predicate must be a PartitionFilter (directory pruning,
+    // zero I/O for other days) — NOT a row-level PushedFilter
+    assert(plan.contains("PartitionFilters:"), plan.take(3000))
+    val pf = plan.linesIterator
+      .find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains(s"(day#") && pf.contains(Partitioned.DAY), pf)
+  }
+
   test("tfidf aggregations partial-combine before the shuffle") {
     val plan = planOf(TextAnalysis.tfidfTopTerms(spark, dir))
     // both the tf and df counts must run map-side partials — shipping
