@@ -133,6 +133,67 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Clusters probed per query in [[ivfTopK]]. */
+  val NPROBE = 2
+
+  /** IVF-bucketed ANN — the trained-quantizer scale path next to the
+    * hyperplane-LSH one: the corpus is sharded by nearest centroid
+    * (the [[kmeansAssign]] coarse quantizer — here the seeded
+    * centroids, so the whole operator stays first-principles
+    * oracle-replayable without a training pass in the oracle), and
+    * each query probes only its NPROBE nearest cells. Join volume is
+    * corpus × NPROBE/K instead of corpus × queries; the corpus side
+    * computes its cell + norm in ONE narrow map (no shuffle until the
+    * equi-join on cell), which is exactly the IVF inverted-list build
+    * at 100 TB. Recall comes from probing multiple cells: a neighbor
+    * straddling a Voronoi boundary is caught by the second probe. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents: Array[(Long, Array[Double])] = emb
+      .filter($"vec_id" < KMEANS_K)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+
+    def norm(v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    // inverted lists: (cell, vector) in one narrow map
+    val corpus = emb.transform(Tables.repartitionForCpu(_, col("vec_id")))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        (id, v, norm(v), nearestCentroid(v, bc.value)._1)
+      }
+      .toDF("vec_id", "v", "norm", "cell")
+    // queries fan out to their NPROBE nearest cells (same squared-L2 +
+    // lower-id tiebreak as the assignment rule)
+    val queries = emb.filter($"vec_id" < N_QUERIES)
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        bc.value.map { case (cid, c) =>
+          var s2 = 0.0; var i = 0
+          while (i < v.length) { val d = v(i) - c(i); s2 += d * d; i += 1 }
+          (s2, cid)
+        }.sortBy(identity).take(NPROBE)
+          .map { case (_, cid) => (id, v, norm(v), cid) }
+      }
+      .toDF("qid", "qv", "qnorm", "probe")
+
+    val scored = queries
+      .join(corpus.as("b"), $"probe" === $"b.cell" && $"qid" =!= $"b.vec_id")
+      .select($"qid".as("query_id"), $"b.vec_id".as("neighbor_id"),
+        (dot($"qv", $"b.v") / ($"qnorm" * $"b.norm")).as("cos"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** int8 scalar quantization of the embedding column — the storage
     * compression pass a training pipeline runs before shipping
     * embeddings (4× smaller on disk): symmetric per-vector scale
@@ -328,6 +389,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force_topk" -> (bruteForceTopK _),
     "ann_lsh_topk" -> (lshTopK _),
+    "ann_ivf_topk" -> (ivfTopK _),
     "emb_quantize_int8" -> (quantizeInt8 _),
     "emb_kmeans_assign" -> (kmeansAssign _),
     "emb_kmeans_update" -> (kmeansUpdate _),
@@ -385,6 +447,39 @@ object Similarity {
          |    list_transform(sumv, x -> x / n)), (a, b) -> a + b), 6)
          |    AS mean_checksum
          |FROM s ORDER BY cluster""".stripMargin,
+    // ann_ivf_topk: the oracle re-derives the coarse quantizer (same
+    // sequential-fold squared-L2 + lower-id tiebreak as the
+    // emb_kmeans_assign oracle), the per-query NPROBE probe set, and
+    // the within-cell cosine rerank — independently of the Spark
+    // inverted-list join. A corpus vector lives in exactly one cell,
+    // so the probe join produces no duplicate candidates.
+    "ann_ivf_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KMEANS_K),
+         |d AS (SELECT e.vec_id, c.cid,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, len(e.v) + 1),
+         |      i -> (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+         |         * (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]))),
+         |    (a, x) -> a + x) AS dist2
+         |  FROM e CROSS JOIN c),
+         |r AS (SELECT vec_id, cid, dist2,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |  FROM d),
+         |asg AS (SELECT vec_id, cid AS cell FROM r WHERE rn = 1),
+         |probe AS (SELECT vec_id AS qid, cid AS cell FROM r
+         |  WHERE rn <= $NPROBE AND vec_id < $N_QUERIES)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      list_cosine_similarity(eq.v, en.v) DESC, a.vec_id) AS BIGINT)
+         |      AS rank
+         |  FROM probe p
+         |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid
+         |  JOIN e eq ON eq.vec_id = p.qid
+         |  JOIN e en ON en.vec_id = a.vec_id) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "ann_brute_force_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -27,10 +27,7 @@ object StreamBatch {
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
 
     val windowed = Tables.eventsTsFromNanos(
-      s.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      Tables.eventsReadStream(s, dir, rawSchema))
       .groupBy(window($"ts", "1 day").as("w"), $"event_type")
       .agg(count(lit(1)).as("n_events"))
       .select($"w.start".as("day"), $"event_type", $"n_events")
@@ -78,10 +75,7 @@ object StreamBatch {
 
     def side(tpe: String, prefix: String) =
       Tables.eventsTsFromNanos(
-        s.readStream
-          .schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir))
+        Tables.eventsReadStream(s, dir, rawSchema))
         .filter($"event_type" === tpe)
         .select($"event_id".as(s"${prefix}_id"),
           $"user_id".as(s"${prefix}_user"), $"ts".as(s"${prefix}_ts"))
@@ -118,9 +112,54 @@ object StreamBatch {
       .orderBy($"view_id", $"buy_id")
   }
 
+  /** Streaming deduplication — the third stateful-operator family
+    * next to the windowed aggregate (q23) and the stream-stream join
+    * (q26): GLOBAL `dropDuplicates` over the (user_id, event_type)
+    * key. Global (no watermark) is the variant with exact,
+    * batching-independent semantics — `dropDuplicatesWithinWatermark`
+    * re-emits a key whose duplicates span beyond the horizon as soon
+    * as the source splits into multiple micro-batches, so its output
+    * depends on file batching, which no batch oracle can replay. The
+    * cost is state that never expires: O(distinct keys), the
+    * documented tradeoff for an exact effectively-once guarantee (the
+    * scheduler's bounded-window guid dedupe is the other point on
+    * that dial). Output is the KEY SET only — which duplicate arrives
+    * first is execution-order-dependent, keys alone are deterministic
+    * — so the oracle is a plain DISTINCT. */
+  def streamingDedupKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+
+    val deduped = Tables.eventsTsFromNanos(
+      Tables.eventsReadStream(s, dir, rawSchema))
+      .select($"user_id", $"event_type")
+      .dropDuplicates("user_id", "event_type")
+
+    val table = s"graft_stream_dedup_${nameCounter.incrementAndGet()}"
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(120000L))
+        throw new java.util.concurrent.TimeoutException(
+          "streaming drain did not finish within 120s")
+    } finally q.stop()
+
+    val rows = s.table(table).as[(Long, String)].collect().toSeq
+    s.catalog.dropTempView(table)
+    rows.toDF("user_id", "event_type")
+      .orderBy($"user_id", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_streaming_daily_agg" -> (streamingDailyAgg _),
     "q26_stream_stream_join" -> (streamingIntervalJoin _),
+    "q31_streaming_dedup_keys" -> (streamingDedupKeys _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,5 +175,8 @@ object StreamBatch {
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q31_streaming_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
   )
 }

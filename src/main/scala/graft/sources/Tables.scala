@@ -48,6 +48,24 @@ object Tables {
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming reader for the events table, owning the layout quirk:
+    * the driver test data ships `events.parquet` as a FLAT FILE (the
+    * file-stream source rejects a file as its basePath), while
+    * BenchScale replicas — and any production table — are a DIRECTORY
+    * of part files. Resolve whichever layout is present; ts
+    * normalization stays with the caller via [[eventsTsFromNanos]]. */
+  def eventsReadStream(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new java.io.File(s"$dir/events.parquet")
+    if (p.isDirectory)
+      spark.readStream.schema(schema).parquet(p.getPath)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** Dimension tables small enough to broadcast at any scale factor. */
   val broadcastable: Set[String] = Set("region", "nation", "supplier")
 
