@@ -35,7 +35,20 @@ object Bench {
     // are comparable across rounds.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Optional subset (comma-separated names, or name! to EXCLUDE):
+    // applies to warmup AND timing — the bisect knob for isolating
+    // cross-query JVM interference inside the full-bench context.
+    val only: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case None => SparkEntry.queries
+        case Some(spec) =>
+          val names = spec.split(',').map(_.trim).filter(_.nonEmpty).toSet
+          val excludes = names.filter(_.endsWith("!")).map(_.dropRight(1))
+          if (excludes.nonEmpty)
+            SparkEntry.queries.filter(kv => !excludes.contains(kv._1))
+          else SparkEntry.queries.filter(kv => names.contains(kv._1))
+      }
+    only.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch {
         case e: Throwable =>
@@ -54,7 +67,7 @@ object Bench {
     // Default 3: min-of-2 is a weak minimum estimator on a shared host;
     // a third sample costs ~35 s of untimed wall and stabilizes the min.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = only.toSeq.sortBy(_._1).map { case (name, fn) =>
       val best = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -77,7 +90,7 @@ object Bench {
     //    the recall spec — the number that matters for near-dup search.
     // All collects are <= queries x k rows, bounded at any corpus size.
     val recallCorpus = try {
-      def pairs(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      def pairs(name: String) = only(name)(spark, sfDir)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val exact = pairs("ann_brute_force_topk")

@@ -175,11 +175,12 @@ object Relational {
       .orderBy($"o_custkey", $"rn")
   }
 
-  /** Pivot (long→wide): per-user event-type counts as columns. Spark
-    * compiles `pivot` with explicit values into ONE aggregate of CASE
-    * expressions — a single map-side-combined shuffle on `user_id`, no
-    * join, no second pass (the values list matters: without it Spark
-    * first runs a distinct scan to discover categories). */
+  /** Pivot (long→wide): per-user event-type counts as columns. With an
+    * explicit values list this reads events ONCE into a two-phase
+    * aggregate ((user,type) count, then pivot_first per user — both
+    * map-side combined), no join; without the list Spark first runs a
+    * separate distinct scan to discover categories, a second full pass
+    * at 100 TB. PlanSpec pins the one-scan/no-join shape. */
   def q28Pivot(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val types = Seq("click", "error", "purchase", "signup", "view")
@@ -215,6 +216,50 @@ object Relational {
         max(when($"rn" === ceil($"n" * 0.9), $"n_tok")).as("p90_tok"),
         max($"n").as("n_docs"))
       .orderBy($"source")
+  }
+
+  /** RANGE-interval window frame: per-user trailing-1-hour event count
+    * and value sum at every event — the time-based sliding frame (vs
+    * q15's running frame). The order column is epoch MICROS (exact
+    * integer) and the frame is `RANGE -3_600_000_000..0`, identical in
+    * both engines. The summed value is pre-quantized to integer cents
+    * (`floor(v·100 + 0.5)`): Spark's sliding frame re-aggregates
+    * sequentially while DuckDB's uses a segment tree, so a DOUBLE
+    * window sum has engine-dependent fold order — integers make the
+    * frame sum order-free. One shuffle+sort on user_id. */
+  def q35RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-3600000000L, 0L)
+    ev.withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum($"cents").over(w))
+      .select($"event_id", $"user_id", $"n_1h", $"cents_1h")
+      .orderBy($"event_id")
+  }
+
+  /** GROUPING SETS with an explicit grouping id — the generalized
+    * rollup/cube form (q12 covers rollup). The id is computed as
+    * `grouping(status)·2 + grouping(priority)` in BOTH engines rather
+    * than trusting each engine's grouping_id() bit convention, and
+    * NULL group keys are coalesced to 'ALL' so the output carries no
+    * NULLs (engines disagree on default null sort order). Compiles to
+    * ONE expand+aggregate pass — not one scan per set. */
+  def q36GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q36_orders")
+    s.sql("""
+      SELECT cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+               AS BIGINT) AS gid,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM graft_q36_orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), ())
+      ORDER BY gid, status, priority""")
   }
 
   /** Global sort + limit (TakeOrderedAndProject — no full sort at scale). */
@@ -455,6 +500,8 @@ object Relational {
     "q25_topk_aggregator" -> (q25TopkAggregator _),
     "q28_pivot" -> (q28Pivot _),
     "q29_percentile_disc" -> (q29PercentileDisc _),
+    "q35_range_frame" -> (q35RangeFrame _),
+    "q36_grouping_sets" -> (q36GroupingSets _),
     "q8_sort_limit" -> (q8TopOrders _),
     "q9_set_ops" -> (q9SetOps _),
     "q10_distinct_agg" -> (q10DistinctAgg _),
@@ -604,6 +651,26 @@ object Relational {
         | max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tok END) AS p90_tok,
         | CAST(max(n) AS BIGINT) AS n_docs
         |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+    "q35_range_frame" ->
+      """SELECT event_id, user_id,
+        | CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        | CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q36_grouping_sets" ->
+      """SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |       AS BIGINT) AS gid,
+        |     coalesce(o_orderstatus, 'ALL') AS status,
+        |     coalesce(o_orderpriority, 'ALL') AS priority,
+        |     CAST(count(*) AS BIGINT) AS n_orders,
+        |     round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid, status, priority""".stripMargin,
     "q8_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderdate
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,

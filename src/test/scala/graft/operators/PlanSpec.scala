@@ -193,6 +193,28 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains(s"(day#") && pf.contains(Partitioned.DAY), pf)
   }
 
+  // formatted explain prints each node twice (tree + detail section);
+  // count scans via the numbered detail headers
+  private def scanCount(plan: String): Int =
+    plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+
+  test("q28 pivot reads events once: no category-discovery scan, no join") {
+    val plan = planOf(Relational.q28Pivot(spark, dir))
+    // explicit pivot values: one scan feeding a two-phase aggregate
+    // ((user,type) count, then pivot_first per user — both map-side
+    // combined); without the values list Spark adds a distinct scan
+    // of event_type first
+    assert(scanCount(plan) == 1, plan.take(2500))
+    assert(plan.contains("partial_count"), plan.take(2500))
+    assert(!plan.contains("Join"), plan.take(2500))
+  }
+
+  test("q36 grouping sets compile to one expand+aggregate, not N scans") {
+    val plan = planOf(Relational.q36GroupingSets(spark, dir))
+    assert(plan.contains("Expand"), plan.take(2500))
+    assert(scanCount(plan) == 1, plan.take(2500))
+  }
+
   test("tfidf aggregations partial-combine before the shuffle") {
     val plan = planOf(TextAnalysis.tfidfTopTerms(spark, dir))
     // both the tf and df counts must run map-side partials — shipping
