@@ -114,7 +114,8 @@ final class BusTable(props: Map[String, String])
             : MicroBatchStream =
           new BusMicroBatchStream(root,
             Option(options.get("subscribe")),
-            Option(options.get("subscribepattern")))
+            Option(options.get("subscribepattern")),
+            Option(options.get("startingoffsets")))
       }
     }
 
@@ -132,7 +133,8 @@ final class BusTable(props: Map[String, String])
   * "broker metadata" round-trip), each (topic, partition) becomes one
   * input partition reading its dense offset range. */
 final class BusMicroBatchStream(
-    root: String, subscribe: Option[String], pattern: Option[String])
+    root: String, subscribe: Option[String], pattern: Option[String],
+    startingOffsets: Option[String] = None)
     extends MicroBatchStream {
 
   private def matchedTopics: Seq[String] = {
@@ -148,7 +150,37 @@ final class BusMicroBatchStream(
     }
   }
 
-  override def initialOffset(): Offset = BusOffset(Map.empty)
+  /** Kafka's `startingOffsets` contract: `earliest` (this source's
+    * default — a file-backed bus is a short replayable log, unlike
+    * Kafka streaming's `latest` default, and the difference is pinned
+    * here on purpose), `latest` (only records produced after query
+    * start), or a per-partition JSON map in Kafka's shape, where
+    * offset -2 means earliest and -1 means latest for that partition.
+    * Only consulted on the FIRST query start — a checkpoint restart
+    * restores the committed offsets instead, exactly like Kafka. */
+  override def initialOffset(): Offset =
+    startingOffsets.map(_.trim).filter(_.nonEmpty) match {
+      case None => BusOffset(Map.empty)
+      case Some(s) if s.equalsIgnoreCase("earliest") => BusOffset(Map.empty)
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        latestOffset().asInstanceOf[BusOffset]
+      case Some(json) if json.startsWith("{") =>
+        val requested = BusDataSource.parseOffsets(json)
+        BusOffset(requested.map { case (t, ps) =>
+          t -> ps.map { case (p, o) =>
+            p -> (o match {
+              case -2L => 0L
+              case -1L => GraftBus.nextOffset(root, t, p)
+              case n if n >= 0 => n
+              case bad => throw new IllegalArgumentException(
+                s"startingOffsets: invalid offset $bad for $t-$p")
+            })
+          }
+        })
+      case Some(bad) => throw new IllegalArgumentException(
+        "startingOffsets must be 'earliest', 'latest', or an offset " +
+          s"JSON map, got: $bad")
+    }
 
   override def latestOffset(): Offset =
     BusOffset(matchedTopics.map { t =>
