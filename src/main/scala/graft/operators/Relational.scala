@@ -262,6 +262,29 @@ object Relational {
       ORDER BY gid, status, priority""")
   }
 
+  /** Full outer join — the reconciliation shape (which BUILDING-segment
+    * customers have no orders; which order keys belong to other
+    * segments): both sides survive with NULLs for the missing partner,
+    * coalesced away so the output is engine-portable. Shuffles both
+    * sides on the key like any fact-fact join; neither side can
+    * broadcast in a full outer (every row of BOTH sides must find
+    * non-matches), which is why Spark only offers SMJ/shuffle-hash
+    * here — the plan is the honest one. */
+  def q37FullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val byCust = t(s, dir, "orders").groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), r2(sum($"o_totalprice")).as("total"))
+    cust.join(byCust, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        $"c_custkey".isNotNull.cast("long").as("is_building"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"total", lit(0.0)).as("total"))
+      .orderBy($"custkey")
+  }
+
   /** Global sort + limit (TakeOrderedAndProject — no full sort at scale). */
   def q8TopOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -502,6 +525,7 @@ object Relational {
     "q29_percentile_disc" -> (q29PercentileDisc _),
     "q35_range_frame" -> (q35RangeFrame _),
     "q36_grouping_sets" -> (q36GroupingSets _),
+    "q37_full_outer_join" -> (q37FullOuter _),
     "q8_sort_limit" -> (q8TopOrders _),
     "q9_set_ops" -> (q9SetOps _),
     "q10_distinct_agg" -> (q10DistinctAgg _),
@@ -671,6 +695,20 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), ())
         |ORDER BY gid, status, priority""".stripMargin,
+    "q37_full_outer_join" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        | CAST(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |   AS is_building,
+        | coalesce(n_orders, 0) AS n_orders,
+        | coalesce(total, 0.0) AS total
+        |FROM (SELECT c_custkey FROM customer
+        |      WHERE c_mktsegment = 'BUILDING') c
+        |FULL OUTER JOIN (SELECT o_custkey,
+        |      CAST(count(*) AS BIGINT) AS n_orders,
+        |      round(sum(o_totalprice), 2) AS total
+        |    FROM orders GROUP BY 1) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q8_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderdate
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -117,6 +117,71 @@ class EngineFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("random interrupt + stop/resume schedules stay consistent (150 seeds)") {
+    // the halt-lattice dimension the other fuzz tests don't move:
+    // interrupts landing before/during/after the interruptible window,
+    // stacked with manual stop/resume pairs at random virtual times
+    for (seed <- 0 until 150) {
+      val rnd = new Random(5000 + seed)
+      val sleepSecs = 1 + rnd.nextInt(4)
+      val handlerThrows = rnd.nextInt(4) == 0
+      val handlerNodes =
+        if (handlerThrows)
+          Seq(Node(name = "h0", nodeType = NodeType.THROW_EXCEPTION,
+            exceptionToThrow = Some("handler-exc")))
+        else Seq(task("h0", "echo_task", "thing" -> lit("intr")))
+      val spec = wfSpec("fuzz_intr", "main",
+        thread("main",
+          Map("counter" -> WFRunVariableDef(VarType.INT, defaultValue = 0)),
+          nodes = Seq(
+            task("n0", "echo_task", "thing" -> lit("a")),
+            Node(name = "n1", nodeType = NodeType.SLEEP,
+              timeoutSeconds = Some(lit(sleepSecs))),
+            mutate(task("n2", "echo_task", "thing" -> lit("b")),
+              "counter" -> mut(M.ADD, literal = 1))),
+          edges = Seq(edge("n0", "n1"), edge("n1", "n2")),
+          interrupts = Map("intr" -> "handler")),
+        thread("handler", Map.empty, nodes = handlerNodes, edges = Nil))
+
+      val horizon = sleepSecs * 1000L + 3000L
+      val externals = (0 until rnd.nextInt(3)).map { i =>
+        ExternalInput(1000L + rnd.nextInt(horizon.toInt), "intr", s"p$i")
+      }
+      val stopResumes = (0 until rnd.nextInt(2)).flatMap { _ =>
+        val t = 1000L + rnd.nextInt(horizon.toInt)
+        Seq(StopResume(t, stop = true),
+          StopResume(t + 500L + rnd.nextInt(3000), stop = false))
+      }
+
+      val (st, _) = Harness.run(spec,
+        externals = externals, stopResumes = stopResumes)
+
+      assert(Set(Status.COMPLETED, Status.HALTED, Status.HALTING,
+        Status.RUNNING).contains(st.status), s"seed=$seed ${st.status}")
+      // halt-lattice consistency: a HALTED thread always carries a
+      // recorded reason; no thread is left HALTING at quiescence unless
+      // it is blocked on an un-halted child
+      st.threadRuns.filter(_.status == Status.HALTED).foreach { tr =>
+        assert(tr.haltReasons.nonEmpty, s"seed=$seed halted w/o reason")
+      }
+      if (st.threadRuns.forall(_.isTerminated))
+        st.threadRuns.foreach(tr =>
+          assert(tr.variableLocks.isEmpty, s"seed=$seed leaked lock"))
+      // no interrupts, no stops, benign handler => must complete with
+      // exactly one counted n2 execution
+      if (externals.isEmpty && stopResumes.isEmpty) {
+        assert(st.status == Status.COMPLETED, s"seed=$seed")
+        assert(Mutations.toInt(st.threadRuns(0).variables("counter")) == 1,
+          s"seed=$seed counter")
+      }
+      // interrupt handlers ran at most once per delivered interrupt
+      assert(st.threadRuns.count(_.threadSpecName == "handler")
+        <= externals.length, s"seed=$seed handler count")
+      val json = StateCodec.encode(st)
+      assert(StateCodec.encode(StateCodec.decode(json)) == json, s"seed=$seed")
+    }
+  }
+
   test("random workflows terminate in consistent states (200 seeds)") {
     val terminal = Set(Status.COMPLETED, Status.HALTED, Status.HALTING,
       Status.RUNNING) // RUNNING = legitimately waiting (e.g. no event sent)
