@@ -156,16 +156,11 @@ object Similarity {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val bc = s.sparkContext.broadcast(cents)
 
-    def norm(v: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i) * v(i); i += 1 }
-      math.sqrt(acc)
-    }
     // inverted lists: (cell, vector) in one narrow map
     val corpus = emb.transform(Tables.repartitionForCpu(_, col("vec_id")))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
-        (id, v, norm(v), nearestCentroid(v, bc.value)._1)
+        (id, v, l2norm(v), nearestCentroid(v, bc.value)._1)
       }
       .toDF("vec_id", "v", "norm", "cell")
     // queries fan out to their NPROBE nearest cells (same squared-L2 +
@@ -178,7 +173,7 @@ object Similarity {
           while (i < v.length) { val d = v(i) - c(i); s2 += d * d; i += 1 }
           (s2, cid)
         }.sortBy(identity).take(NPROBE)
-          .map { case (_, cid) => (id, v, norm(v), cid) }
+          .map { case (_, cid) => (id, v, l2norm(v), cid) }
       }
       .toDF("qid", "qv", "qnorm", "probe")
 
@@ -268,6 +263,54 @@ object Similarity {
       .toDF("vec_id", "cluster", "dist2")
       .select($"vec_id", $"cluster", round($"dist2", 6).as("dist2"))
       .orderBy($"vec_id")
+  }
+
+  private def l2norm(v: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Semantic dedup, IVF-cell-restricted — the scale path for
+    * embedding near-dup detection: pairs are compared ONLY within a
+    * coarse-quantizer cell, so pairwise work drops from corpus²/2 to
+    * Σ|cell|²/2 (≈ corpus²/2K balanced) and the join shuffles on the
+    * cell key instead of building the tiled all-pairs grid that
+    * `dedup_embedding_cosine` uses as the exactness baseline. Same
+    * cosine ≥ 0.4 predicate and seeded centroids as the rest of the
+    * IVF family, so every emitted pair is also an exact-baseline pair
+    * (the recall miss is pairs straddling a Voronoi boundary —
+    * measured against the exact operator in PipelineOpsSpec). At
+    * 100 TB the cells are also the dedup SHARDING unit: each cell's
+    * pairs fit one executor's working set. */
+  def semanticDedupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    semanticDedupPairsOn(Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+  }
+
+  /** Core of [[semanticDedupPairs]] over any (vec_id, v) frame —
+    * exposed so specs can run it on corpora with planted twins (on
+    * unstructured random vectors, boundary-straddling dominates; true
+    * near-duplicates land in the same cell almost surely). */
+  private[graft] def semanticDedupPairsOn(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents: Array[(Long, Array[Double])] = emb
+      .filter($"vec_id" < KMEANS_K)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = emb.transform(Tables.repartitionForCpu(_, col("vec_id")))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, l2norm(v), nearestCentroid(v, bc.value)._1) }
+      .toDF("vec_id", "v", "norm", "cell")
+    assigned.as("a")
+      .join(assigned.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cosine", dot($"a.v", $"b.v") / ($"a.norm" * $"b.norm"))
+      .filter($"cosine" >= 0.4)
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
+      .orderBy($"va", $"vb")
   }
 
   /** Argmin over broadcast centroids — shared by [[kmeansAssign]],
@@ -390,6 +433,7 @@ object Similarity {
     "ann_brute_force_topk" -> (bruteForceTopK _),
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
+    "dedup_semantic_ivf" -> (semanticDedupPairs _),
     "emb_quantize_int8" -> (quantizeInt8 _),
     "emb_kmeans_assign" -> (kmeansAssign _),
     "emb_kmeans_update" -> (kmeansUpdate _),
@@ -480,6 +524,31 @@ object Similarity {
          |  JOIN e eq ON eq.vec_id = p.qid
          |  JOIN e en ON en.vec_id = a.vec_id) t
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // dedup_semantic_ivf: same assignment re-derivation as the
+    // kmeans/IVF oracles, then cell-restricted pairwise cosine —
+    // independently recomputing exactly the pairs the Spark cell-join
+    // produces.
+    "dedup_semantic_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KMEANS_K),
+         |d AS (SELECT e.vec_id, c.cid,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, len(e.v) + 1),
+         |      i -> (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+         |         * (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]))),
+         |    (a, x) -> a + x) AS dist2
+         |  FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |  FROM d) WHERE rn = 1)
+         |SELECT a.vec_id AS va, b.vec_id AS vb
+         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |JOIN e ea ON ea.vec_id = a.vec_id
+         |JOIN e eb ON eb.vec_id = b.vec_id
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+         |ORDER BY va, vb""".stripMargin,
     "ann_brute_force_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -212,6 +212,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic IVF dedup pairs are a subset of the exact baseline") {
+    val exact = Dedup.embeddingCosinePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val semantic = Similarity.semanticDedupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semantic.nonEmpty, "cell-restricted pass found no pairs")
+    // same threshold, restricted candidate set: every semantic pair
+    // must be an exact pair; the difference is exactly the pairs that
+    // straddle a Voronoi cell boundary
+    assert(semantic.subsetOf(exact),
+      s"non-exact pairs emitted: ${semantic -- exact}")
+    // unstructured random vectors: boundary-straddling dominates, so
+    // corpus recall is modest — just sanity-bound it
+    val recall = semantic.size.toDouble / exact.size
+    assert(recall > 0.1, s"cell recall $recall implausibly low")
+  }
+
+  test("semantic IVF dedup finds every planted twin (same-cell recall)") {
+    import spark.implicits._
+    val corpus = graft.sources.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val qvecs = corpus.filter($"vec_id" < 20)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val rnd = new scala.util.Random(7)
+    // cos(original, twin) > 0.999 — a true near-duplicate
+    val twins = qvecs.map { case (id, v) =>
+      (1000000L + id, v.map(_ + rnd.nextGaussian() * 0.005))
+    }
+    val emb = corpus.union(twins.toSeq.toDF("vec_id", "v"))
+    val pairs = Similarity.semanticDedupPairsOn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    qvecs.foreach { case (id, _) =>
+      assert(pairs.contains((id, 1000000L + id)),
+        s"planted twin of $id missed — fell across a cell boundary")
+    }
+  }
+
   test("kmeans training recovers planted clusters and is deterministic") {
     import spark.implicits._
     // 60 points in 8-dim around 3 well-separated centers (one axis at
