@@ -33,7 +33,7 @@ object BenchOne {
       val fn = SparkEntry.queries(name)
       (1 to repeats).foreach { r =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val n = BenchExec.materialize(fn(spark, sfDir))
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"query":"$name","repeat":$r,"rows":$n,"sec":$sec%.3f}""")
       }
