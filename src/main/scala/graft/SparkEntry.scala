@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AltSources, AsofJoin, Bucketed, Curation,
-  Decontaminate, Dedup, EngineQueries, Multimodal, Partitioned,
-  RangeJoin, Relational, Similarity, StreamBatch, TextAnalysis}
+  Decontaminate, Dedup, EngineQueries, Maintenance, Multimodal,
+  Partitioned, RangeJoin, Relational, Similarity, StreamBatch,
+  TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ EngineQueries.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       AsofJoin.queries ++ Curation.queries ++ RangeJoin.queries ++
-      StreamBatch.queries ++ Decontaminate.queries ++ Bucketed.queries ++ Partitioned.queries ++ AltSources.queries
+      StreamBatch.queries ++ Decontaminate.queries ++ Bucketed.queries ++ Partitioned.queries ++ AltSources.queries ++
+      Maintenance.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +32,6 @@ object SparkEntry {
     Relational.oracles ++ EngineQueries.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       AsofJoin.oracles ++ Curation.oracles ++ RangeJoin.oracles ++
-      StreamBatch.oracles ++ Decontaminate.oracles ++ Bucketed.oracles ++ Partitioned.oracles ++ AltSources.oracles
+      StreamBatch.oracles ++ Decontaminate.oracles ++ Bucketed.oracles ++ Partitioned.oracles ++ AltSources.oracles ++
+      Maintenance.oracles
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Table-maintenance surface — the jobs a lakehouse deployment runs
+  * between queries, expressed as first-class oracle-checked operators.
+  *
+  *  - Small-file compaction: streaming sinks and fine-grained
+  *    partitioned writes leave thousands of KB-scale files; at 100 TB
+  *    the resulting task-per-file scheduling and NameNode/listing
+  *    pressure dominate scan cost. Compaction rewrites a directory to
+  *    size-targeted files. The CONTENT-preservation half is the
+  *    oracle-checked query (checksum over every row before == after);
+  *    the file-count/size half is filesystem-dependent and asserted in
+  *    MaintenanceSpec instead.
+  *  - Table stats: per-column min/max/ndv/null-count — what a
+  *    cost-based optimizer consumes (`ANALYZE TABLE`). Exact
+  *    distincts, so DuckDB re-derives every number.
+  */
+object Maintenance {
+
+  /** Rows per compacted output file (the size target, expressed in
+    * rows because the fixture rows are fixed-width-ish; a byte target
+    * is the production knob). */
+  val COMPACT_ROWS_PER_FILE = 4096L
+
+  private val prepared =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private val roots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Writes the fragmented input (one file per `user_id % 64` slice —
+    * the shape a key-partitioned streaming sink leaves behind), then
+    * compacts it to `ceil(rows / COMPACT_ROWS_PER_FILE)` files. */
+  private[operators] def ensure(s: SparkSession, dir: String): String = {
+    val key = (s, dir)
+    if (!prepared.contains(key)) synchronized {
+      if (!prepared.contains(key)) {
+        val root = Files.createTempDirectory("graft-maint").toString
+        val ev = Tables(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        ev.repartition(64, col("user_id"))
+          .write.mode("overwrite").parquet(s"$root/fragmented")
+        val frag = s.read.parquet(s"$root/fragmented")
+        val n = frag.count()
+        val target =
+          ((n + COMPACT_ROWS_PER_FILE - 1) / COMPACT_ROWS_PER_FILE).toInt
+        // coalesce, not repartition: compaction must not pay a shuffle —
+        // it only concatenates co-located input splits into fewer,
+        // larger files
+        frag.coalesce(target)
+          .write.mode("overwrite").parquet(s"$root/compacted")
+        roots.put(key, root)
+        prepared.add(key)
+      }
+    }
+    roots.get(key)
+  }
+
+  /** Content preservation proof: identical row count and full-column
+    * checksum before and after compaction. */
+  def compactFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensure(s, dir)
+    def summary(path: String, stage: String) =
+      s.read.parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"event_id").as("sum_id"),
+          sum($"user_id").as("sum_user"),
+          round(sum($"value"), 2).as("sum_value"))
+        .withColumn("stage", lit(stage))
+    summary(s"$root/fragmented", "fragmented")
+      .unionAll(summary(s"$root/compacted", "compacted"))
+      .select($"stage", $"n_rows", $"sum_id", $"sum_user", $"sum_value")
+      .orderBy($"stage")
+  }
+
+  /** ANALYZE-style per-column stats over orders. */
+  def tableStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+    val cols = Seq(
+      ("o_orderkey", $"o_orderkey".cast("double")),
+      ("o_custkey", $"o_custkey".cast("double")),
+      ("o_totalprice", $"o_totalprice"))
+    val frames = cols.map { case (name, c) =>
+      o.agg(
+        count(lit(1)).as("n_rows"),
+        count(c).as("n_nonnull"),
+        countDistinct(c).as("ndv"),
+        round(min(c), 2).as("min_v"),
+        round(max(c), 2).as("max_v"))
+        .withColumn("column_name", lit(name))
+    }
+    frames.reduce(_ unionAll _)
+      .select($"column_name", $"n_rows", $"n_nonnull", $"ndv",
+        $"min_v", $"max_v")
+      .orderBy($"column_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_compact_files" -> (compactFiles _),
+    "maint_table_stats" -> (tableStats _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // both stages must equal the RAW table's totals — compaction (and
+    // the fragmented rewrite before it) must not change a single row
+    "maint_compact_files" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  round(sum(value), 2) AS sum_value FROM events)
+        |SELECT stage, n_rows, sum_id, sum_user, sum_value
+        |FROM (SELECT 'compacted' AS stage, * FROM t
+        |      UNION ALL SELECT 'fragmented', * FROM t)
+        |ORDER BY stage""".stripMargin,
+    "maint_table_stats" ->
+      """SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+        | CAST(n_nonnull AS BIGINT) AS n_nonnull,
+        | CAST(ndv AS BIGINT) AS ndv, min_v, max_v
+        |FROM (
+        | SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |  count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS ndv,
+        |  round(min(CAST(o_orderkey AS DOUBLE)), 2) AS min_v,
+        |  round(max(CAST(o_orderkey AS DOUBLE)), 2) AS max_v FROM orders
+        | UNION ALL
+        | SELECT 'o_custkey', count(*), count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  round(min(CAST(o_custkey AS DOUBLE)), 2),
+        |  round(max(CAST(o_custkey AS DOUBLE)), 2) FROM orders
+        | UNION ALL
+        | SELECT 'o_totalprice', count(*), count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+        | FROM orders)
+        |ORDER BY column_name""".stripMargin,
+  )
+}
