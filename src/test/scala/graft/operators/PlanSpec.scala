@@ -215,6 +215,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scanCount(plan) == 1, plan.take(2500))
   }
 
+  test("compaction is shuffle-free: coalesce, never an exchange") {
+    val root = Maintenance.ensure(spark, dir)
+    val plan = planOf(spark.read.parquet(s"$root/fragmented").coalesce(2))
+    // compaction concatenates co-located splits into fewer files — a
+    // repartition() here would move every row over the network for
+    // nothing
+    assert(plan.contains("Coalesce"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("tfidf aggregations partial-combine before the shuffle") {
     val plan = planOf(TextAnalysis.tfidfTopTerms(spark, dir))
     // both the tf and df counts must run map-side partials — shipping
