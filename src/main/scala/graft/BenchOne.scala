@@ -36,6 +36,10 @@ object BenchOne {
         val n = BenchExec.materialize(fn(spark, sfDir))
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"query":"$name","repeat":$r,"rows":$n,"sec":$sec%.3f}""")
+        // streaming triage: per-batch progress of the drain just timed
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DIAG"))
+          Option(graft.operators.StreamBatch.lastDrainProgress.get(name))
+            .foreach(_.foreach(j => println(s"PROGRESS $name $j")))
       }
     }
     spark.stop()

@@ -49,7 +49,9 @@ object Curation {
     * images, 25% of audio, 10% of video here; strata from the same
     * doc_id%3 modality convention as [[Multimodal.binaryPayloads]]).
     * Membership = splitmix64(doc_id) mod 1000 < stratum permille: a
-    * pure narrow filter — no shuffle, no join, no RNG state —
+    * pure narrow filter — no shuffle at scale (the conditional
+    * [[Tables.repartitionForCpu]] fix-up fires only on
+    * under-partitioned scans), no join, no RNG state —
     * reproducible run to run and machine to machine, which is what
     * makes a 100 TB sample auditable; the oracle recomputes the
     * hash bit-exactly (OracleSql HUGEINT splitmix64). */
@@ -123,7 +125,8 @@ object Curation {
     * filter as [[stratifiedSample]] — deterministic, auditable,
     * machine-independent. Scale shape: one map-side-combined agg down
     * to |sources| rows, joined back (no hint — AQE broadcasts the
-    * tiny aggregate), then a narrow filter; the corpus never shuffles.
+    * tiny aggregate), then a narrow filter; the corpus never shuffles
+    * at scale (only the conditional under-partitioned-scan fix-up).
     * Oversampling guarantee is statistical (≈B per source), which is
     * how production mixes work — exact-count would need a global sort. */
   def tokenBudgetSample(s: SparkSession, dir: String): DataFrame = {

@@ -32,9 +32,14 @@ object Maintenance {
   private val roots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  /** Writes the fragmented input (one file per `user_id % 64` slice —
+  /** Writes the fragmented input (one file per `user_id` hash slice —
     * the shape a key-partitioned streaming sink leaves behind), then
-    * compacts it to `ceil(rows / COMPACT_ROWS_PER_FILE)` files. */
+    * compacts it to `ceil(rows / COMPACT_ROWS_PER_FILE)` files. The
+    * slice count is `max(64, 2 × target)` so the fixture is MORE
+    * fragmented than the size target at every SF — a fixed 64 would
+    * silently make coalesce(target > 64) a no-op once rows exceed
+    * 64 × COMPACT_ROWS_PER_FILE, and MaintenanceSpec's exact
+    * file-count assertion would fail. */
   private[operators] def ensure(s: SparkSession, dir: String): String = {
     val key = (s, dir)
     if (!prepared.contains(key)) synchronized {
@@ -42,12 +47,12 @@ object Maintenance {
         val root = Files.createTempDirectory("graft-maint").toString
         val ev = Tables(s, dir, "events")
           .select("event_id", "user_id", "event_type", "value")
-        ev.repartition(64, col("user_id"))
-          .write.mode("overwrite").parquet(s"$root/fragmented")
-        val frag = s.read.parquet(s"$root/fragmented")
-        val n = frag.count()
+        val n = ev.count()
         val target =
           ((n + COMPACT_ROWS_PER_FILE - 1) / COMPACT_ROWS_PER_FILE).toInt
+        ev.repartition(math.max(64, 2 * target), col("user_id"))
+          .write.mode("overwrite").parquet(s"$root/fragmented")
+        val frag = s.read.parquet(s"$root/fragmented")
         // coalesce, not repartition: compaction must not pay a shuffle —
         // it only concatenates co-located input splits into fewer,
         // larger files
@@ -78,26 +83,31 @@ object Maintenance {
       .orderBy($"stage")
   }
 
-  /** ANALYZE-style per-column stats over orders. */
+  /** ANALYZE-style per-column stats over orders, in ONE scan: a single
+    * wide aggregate computes every column's count/ndv/min/max (the
+    * multiple exact distincts compile to one Expand — 3× the rows
+    * through the aggregate, but the table is READ once, which is the
+    * honest ANALYZE shape and 3× less I/O than an aggregate-per-column
+    * union at 100 TB), then `stack` unpivots the single wide row into
+    * one row per column — a 1-row transform, not a second scan.
+    * PlanSpec pins the one-scan shape. */
   def tableStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables(s, dir, "orders")
-    val cols = Seq(
+    val specs = Seq(
       ("o_orderkey", $"o_orderkey".cast("double")),
       ("o_custkey", $"o_custkey".cast("double")),
       ("o_totalprice", $"o_totalprice"))
-    val frames = cols.map { case (name, c) =>
-      o.agg(
-        count(lit(1)).as("n_rows"),
-        count(c).as("n_nonnull"),
-        countDistinct(c).as("ndv"),
-        round(min(c), 2).as("min_v"),
-        round(max(c), 2).as("max_v"))
-        .withColumn("column_name", lit(name))
+    val aggs = count(lit(1)).as("n_rows") +: specs.flatMap { case (n, c) =>
+      Seq(count(c).as(s"nn_$n"), countDistinct(c).as(s"ndv_$n"),
+        round(min(c), 2).as(s"min_$n"), round(max(c), 2).as(s"max_$n"))
     }
-    frames.reduce(_ unionAll _)
-      .select($"column_name", $"n_rows", $"n_nonnull", $"ndv",
-        $"min_v", $"max_v")
+    val stackArgs = specs.map { case (n, _) =>
+      s"'$n', n_rows, nn_$n, ndv_$n, min_$n, max_$n"
+    }.mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(3, $stackArgs) AS " +
+        "(column_name, n_rows, n_nonnull, ndv, min_v, max_v)")
       .orderBy($"column_name")
   }
 

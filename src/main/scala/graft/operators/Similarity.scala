@@ -143,8 +143,10 @@ object Similarity {
     * oracle-replayable without a training pass in the oracle), and
     * each query probes only its NPROBE nearest cells. Join volume is
     * corpus × NPROBE/K instead of corpus × queries; the corpus side
-    * computes its cell + norm in ONE narrow map (no shuffle until the
-    * equi-join on cell), which is exactly the IVF inverted-list build
+    * computes its cell + norm in ONE narrow map — no shuffle until the
+    * equi-join on cell ([[Tables.repartitionForCpu]] is conditional:
+    * it only fires when the scan under-partitions, e.g. the one-file
+    * test inputs) — which is exactly the IVF inverted-list build
     * at 100 TB. Recall comes from probing multiple cells: a neighbor
     * straddling a Voronoi boundary is caught by the second probe. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
@@ -239,7 +241,10 @@ object Similarity {
     * diversity-balanced sampling. Centroids are a bounded driver
     * collect (K rows — the ANN-query-side pattern, never the corpus)
     * broadcast into one narrow map: argmin squared-L2 with sequential
-    * per-dimension fold, ties to the lower centroid id, zero shuffle.
+    * per-dimension fold, ties to the lower centroid id, zero shuffle
+    * at scale ([[Tables.repartitionForCpu]] fires only when the scan
+    * under-partitions — one-file test inputs — never on a properly
+    * split table; PlanSpec pins the no-Exchange plan).
     * Full Lloyd UPDATES are deliberately out of the oracle surface:
     * re-averaging sums doubles in partition order, which no
     * order-independent SQL oracle can reproduce bit-exactly — the

@@ -17,8 +17,85 @@ object StreamBatch {
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Startup/steady telemetry from the most recent drain of each named
+    * streaming query: (firstBatchSec, drainSec, numBatches). Bench
+    * reports these per round so gate triage can tell query-startup cost
+    * (checkpoint + state-store init + streaming-plan compile, paid once
+    * per query lifetime — amortized to nothing on a 24/7 stream) from
+    * steady-state operator cost (paid per batch forever). */
+  val lastDrainTimings =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double, Int)]()
+
+  /** Raw per-batch StreamingQueryProgress JSON from the most recent
+    * drain — triage detail behind the headline split above (which
+    * duration bucket a regression lives in: addBatch, stateCommit,
+    * getBatch, …). Populated always; printed only by diagnostics. */
+  val lastDrainProgress =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Run `body` with `spark.sql.shuffle.partitions` sized for a
+    * STATEFUL streaming query over the events table, restoring the
+    * session value afterwards.
+    *
+    * Why: a stateful operator creates one state-store instance per
+    * shuffle partition per store (a stream-stream join has FOUR stores
+    * per partition), and every micro-batch pays a fixed update+commit
+    * overhead per instance. State partitions must therefore be sized
+    * to STATE VOLUME — the batch shuffle setting is the wrong default
+    * when state is small. Measured at sf0.1 (≈11 MB of join state):
+    * q26 runs 5.3 s at 32 partitions (128 near-empty store instances)
+    * vs 2.1 s at 4 — the round-5 "streaming family inflation" was
+    * exactly this mis-sizing, not a code regression. Sizing rule:
+    * one partition per 16 MB of source input, floor 4 (multicore
+    * headroom), capped by the session's own shuffle setting so a
+    * production session with thousands of partitions still scales out
+    * (at 100 TB the cap is what applies; state partitioning is fixed
+    * at first start by the checkpoint, so a 24/7 deployment sizes it
+    * once for peak state, which this heuristic approximates from
+    * input bytes).
+    *
+    * The session conf is mutated for the duration of the streaming
+    * query (restored in finally); queries in this repo run
+    * sequentially per session (Verify/Bench/tests), so no concurrent
+    * batch query observes the temporary value. */
+  private def withStatePartitions[T](
+      s: SparkSession, dir: String)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = s.conf.get(key)
+    val inputBytes = graft.sources.Tables.eventsInputBytes(dir)
+    val sized = math.max(4L, inputBytes / (16L << 20) + 1)
+    val target = math.min(before.toLong, sized)
+    s.conf.set(key, target.toString)
+    try body finally s.conf.set(key, before)
+  }
+
+  /** Drain an AvailableNow query to completion, recording time-to-first
+    * -completed-batch vs total drain under `name`. A timed-out drain
+    * must ERROR, not silently return a partial sink. */
+  private def drain(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String): Unit = {
+    val t0 = System.nanoTime()
+    def secs = (System.nanoTime() - t0) / 1e9
+    var firstBatch = -1.0
+    try {
+      var done = false
+      while (!done) {
+        done = q.awaitTermination(50L)
+        if (firstBatch < 0 && q.recentProgress.nonEmpty) firstBatch = secs
+        if (!done && secs > 120.0)
+          throw new java.util.concurrent.TimeoutException(
+            "streaming drain did not finish within 120s")
+      }
+      if (firstBatch < 0 && q.recentProgress.nonEmpty) firstBatch = secs
+      lastDrainTimings.put(name, (firstBatch, secs, q.recentProgress.length))
+      lastDrainProgress.put(name, q.recentProgress.toSeq.map(_.json))
+    } finally q.stop()
+  }
+
   /** Daily event counts per type, computed by a streaming query. */
-  def streamingDailyAgg(s: SparkSession, dir: String): DataFrame = {
+  def streamingDailyAgg(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
     import s.implicits._
     import graft.sources.Tables
     // the events file carries TIMESTAMP(NANOS): the long-read +
@@ -39,12 +116,7 @@ object StreamBatch {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    try {
-      // a timed-out drain must ERROR, not silently return a partial sink
-      if (!q.awaitTermination(120000L))
-        throw new java.util.concurrent.TimeoutException(
-          "streaming drain did not finish within 120s")
-    } finally q.stop()
+    drain(q, "q23_streaming_daily_agg")
 
     // materialize the (tiny: days × types) result locally, then drop
     // the memory-sink table so repeated invocations don't accumulate
@@ -67,15 +139,24 @@ object StreamBatch {
     * rows arrive. The DuckDB oracle replays the identical interval
     * join as batch SQL (stream/batch equivalence, like q23).
     */
-  def streamingIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+  def streamingIntervalJoin(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
     import s.implicits._
     import graft.sources.Tables
     Tables.ensureNanosFlag(s)
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
 
+    // ONE streaming source, filter-split into both join sides (a
+    // streaming self-join). With two independent eventsReadStream
+    // calls the micro-batch planner tracked two sources, each listing
+    // and admitting the same files separately per batch; one shared
+    // source halves that source-side work and is the shape a real
+    // deployment reading one topic/table would use.
+    val events = Tables.eventsTsFromNanos(
+      Tables.eventsReadStream(s, dir, rawSchema))
+
     def side(tpe: String, prefix: String) =
-      Tables.eventsTsFromNanos(
-        Tables.eventsReadStream(s, dir, rawSchema))
+      events
         .filter($"event_type" === tpe)
         .select($"event_id".as(s"${prefix}_id"),
           $"user_id".as(s"${prefix}_user"), $"ts".as(s"${prefix}_ts"))
@@ -93,11 +174,7 @@ object StreamBatch {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try {
-      if (!q.awaitTermination(120000L))
-        throw new java.util.concurrent.TimeoutException(
-          "streaming drain did not finish within 120s")
-    } finally q.stop()
+    drain(q, "q26_stream_stream_join")
 
     // result is bounded by purchases × views-in-preceding-hour — at
     // sf0.1 a few thousand rows; collect to detach from the dropped
@@ -126,7 +203,8 @@ object StreamBatch {
     * that dial). Output is the KEY SET only — which duplicate arrives
     * first is execution-order-dependent, keys alone are deterministic
     * — so the oracle is a plain DISTINCT. */
-  def streamingDedupKeys(s: SparkSession, dir: String): DataFrame = {
+  def streamingDedupKeys(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
     import s.implicits._
     import graft.sources.Tables
     Tables.ensureNanosFlag(s)
@@ -144,11 +222,7 @@ object StreamBatch {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try {
-      if (!q.awaitTermination(120000L))
-        throw new java.util.concurrent.TimeoutException(
-          "streaming drain did not finish within 120s")
-    } finally q.stop()
+    drain(q, "q31_streaming_dedup_keys")
 
     val rows = s.table(table).as[(Long, String)].collect().toSeq
     s.catalog.dropTempView(table)

@@ -17,17 +17,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** CPU-parallel repartition: EXPLICIT partition count, because AQE's
-    * shuffle-SIZE-based coalescing sees the tiny shuffle payload of a
-    * compute-bound stage (150k keys ≈ 2 MB) and would collapse it to
-    * 1-2 partitions — serializing work that should use every core. An
-    * explicit count opts the exchange out of coalescing. */
+  /** CONDITIONAL parallelism fix-up in front of compute-bound narrow
+    * stages. The driver test data ships each table as ONE parquet
+    * split, so without help a per-document map runs on one core; at
+    * 100 TB the scan's own input splits already supply parallelism and
+    * an unconditional repartition would be a pure extra full shuffle
+    * of the corpus (the avoidable-exchange anti-pattern). So: shuffle
+    * ONLY when the input's physical partition count is below the
+    * target — i.e. this is a no-op exactly where it would be waste.
+    *
+    * Why an EXPLICIT partition count (not AQE): AQE's shuffle-SIZE-
+    * based coalescing sees the tiny shuffle payload of a compute-bound
+    * stage (150k keys ≈ 2 MB) and would collapse it to 1-2 partitions
+    * — serializing work that should use every core. An explicit count
+    * opts the exchange out of coalescing. */
   def repartitionForCpu(
       df: org.apache.spark.sql.DataFrame,
-      key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
-    df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-      key)
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val target =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // rdd.getNumPartitions materializes the physical plan's
+    // partitioning (file listing, no job); for the narrow scan-rooted
+    // inputs this wraps, that is the parquet split count.
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
 
   /** Ensure the session can read parquet TIMESTAMP(NANOS) as long —
     * ideally set at session build (Verify/Bench/TestSpark); this
@@ -64,6 +78,16 @@ object Tables {
     else
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
+  /** On-disk bytes of the events table (flat file or directory of
+    * part files) — the input-volume estimate streaming state sizing
+    * keys off (StreamBatch.withStatePartitions). */
+  def eventsInputBytes(dir: String): Long = {
+    val f = new java.io.File(s"$dir/events.parquet")
+    if (f.isDirectory)
+      f.listFiles().iterator.filter(_.isFile).map(_.length).sum
+    else f.length
   }
 
   /** Dimension tables small enough to broadcast at any scale factor. */

@@ -215,6 +215,13 @@ class PlanSpec extends AnyFunSuite {
     assert(scanCount(plan) == 1, plan.take(2500))
   }
 
+  test("maint_table_stats reads orders once, not once per column") {
+    val plan = planOf(Maintenance.tableStats(spark, dir))
+    assert(scanCount(plan) == 1, plan.take(3000))
+    // multiple exact distincts ride one Expand over the single scan
+    assert(plan.contains("Expand"), plan.take(3000))
+  }
+
   test("compaction is shuffle-free: coalesce, never an exchange") {
     val root = Maintenance.ensure(spark, dir)
     val plan = planOf(spark.read.parquet(s"$root/fragmented").coalesce(2))
@@ -223,6 +230,33 @@ class PlanSpec extends AnyFunSuite {
     // nothing
     assert(plan.contains("Coalesce"), plan.take(2000))
     assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("emb_kmeans_assign on a well-partitioned input: no extra exchange") {
+    // repartitionForCpu must be a NO-OP when the scan already supplies
+    // parallelism — at 100 TB the input splits do, and an unconditional
+    // corpus repartition there is a pure extra full shuffle. Build an
+    // 8-file embeddings copy, force one file per split, and assert the
+    // only exchange left is the output sort's range partitioning.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-kmeans-parts").toString
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val openKey = "spark.sql.files.openCostInBytes"
+    val savedShuffle = spark.conf.get(shuffleKey)
+    val savedOpen = spark.conf.get(openKey)
+    try {
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      spark.conf.set(openKey, (128L << 20).toString) // 1 file : 1 split
+      spark.conf.set(shuffleKey, "4")
+      val plan = planOf(Similarity.kmeansAssign(spark, tmp))
+      assert(!plan.contains("hashpartitioning"), plan.take(3000))
+      assert(plan.contains("rangepartitioning"), plan.take(3000))
+    } finally {
+      spark.conf.set(shuffleKey, savedShuffle)
+      spark.conf.set(openKey, savedOpen)
+    }
   }
 
   test("tfidf aggregations partial-combine before the shuffle") {
