@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * `SparkSessionExtensions` is the supported way for a library to ship
   * Catalyst extensions — every session built with the config gets
-  * `simhash64`, `rolling_hash64`, and `dot_product` as SQL functions
+  * `simhash64`, `rolling_hash64`, `mix64`, and `dot_product` as SQL
+  * functions
   * with no per-session registration code. The runtime
   * [[GraftFunctions.register]] path remains for ad-hoc sessions.
   */
@@ -40,5 +41,6 @@ object GraftSparkExtensions {
     Seq(
       fn("simhash64", 1, exprs => SimHash64Expr(exprs.head)),
       fn("rolling_hash64", 1, exprs => RollingHash64Expr(exprs.head)),
+      fn("mix64", 1, exprs => Mix64Expr(exprs.head)),
       fn("dot_product", 2, exprs => DotProductExpr(exprs(0), exprs(1))))
 }

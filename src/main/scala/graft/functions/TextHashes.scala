@@ -89,6 +89,14 @@ object TextHashes {
   }
 
   def rollingHashUtf8(s: UTF8String): Long = rollingHash(s.toString)
+
+  /** Codegen entry: deterministic permille-style bucket —
+    * `remainderUnsigned(mix64(z), m)` — the membership primitive of
+    * the sampling/mixing/decontamination filters. Unsigned remainder
+    * (not pmod): the mixed value is a full 64-bit pattern and the
+    * DuckDB oracles replay it as HUGEINT arithmetic. */
+  def mix64Bucket(z: Long, m: Long): Long =
+    java.lang.Long.remainderUnsigned(mix64(z), m)
 }
 
 /** Native Catalyst expression for [[TextHashes.simhash64]] — generated
@@ -124,6 +132,51 @@ case class RollingHash64Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_hash64"
 }
 
+/** Native Catalyst expression for [[TextHashes.mix64]] (splitmix64
+  * finalizer, LONG → LONG) — lets the deterministic-sampling
+  * membership filters run as codegen'd columnar predicates instead of
+  * typed flatMap closures (no DeserializeToObject in the plan).
+  */
+case class Mix64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"mix64 needs BIGINT, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.mix64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.mix64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Mix64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "mix64"
+}
+
+/** `remainderUnsigned(mix64(child), modulus)` as one codegen'd call —
+  * the exact semantics of the former per-row closures (unsigned
+  * remainder over the full 64-bit mixed pattern). */
+case class Mix64BucketExpr(child: Expression, modulus: Long)
+    extends UnaryExpression {
+  require(modulus > 0, "mix64_bucket modulus must be positive")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"mix64_bucket needs BIGINT, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.mix64Bucket(v.asInstanceOf[Long], modulus)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.mix64Bucket($c, ${modulus}L)")
+  override protected def withNewChildInternal(newChild: Expression): Mix64BucketExpr =
+    copy(child = newChild)
+  override def prettyName: String = "mix64_bucket"
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.GraftColumnBridge
@@ -132,6 +185,11 @@ object GraftFunctions {
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(c)))
   def rolling_hash64(c: Column): Column =
     GraftColumnBridge.column(RollingHash64Expr(GraftColumnBridge.expression(c)))
+  def mix64(c: Column): Column =
+    GraftColumnBridge.column(Mix64Expr(GraftColumnBridge.expression(c)))
+  def mix64_bucket(c: Column, modulus: Long): Column =
+    GraftColumnBridge.column(
+      Mix64BucketExpr(GraftColumnBridge.expression(c), modulus))
 
   /** Register SQL-callable versions (`SELECT simhash64(text) ...`). */
   def register(spark: SparkSession): Unit = {
@@ -139,5 +197,7 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash64", exprs => RollingHash64Expr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mix64", exprs => Mix64Expr(exprs.head), "scala_udf")
   }
 }

@@ -57,25 +57,24 @@ object Curation {
     * hash bit-exactly (OracleSql HUGEINT splitmix64). */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.GraftFunctions
+    // fully columnar: the membership predicate is the native
+    // mix64_bucket expression, so the whole operator is one codegen'd
+    // scan+filter — no typed closure, no DeserializeToObject
+    // (PlanSpec pins this)
+    val m = pmod($"doc_id", lit(3L))
     Tables(s, dir, "documents").select($"doc_id")
       .transform(Tables.repartitionForCpu(_, col("doc_id")))
-      .as[Long]
-      .flatMap { id =>
-        val modality = id % 3 match {
-          case 0 => "image"
-          case 1 => "audio"
-          case _ => "video"
-        }
-        val permille = modality match {
-          case "image" => 500L
-          case "audio" => 250L
-          case _ => 100L
-        }
-        val bucket = java.lang.Long.remainderUnsigned(
-          graft.functions.TextHashes.mix64(id), 1000L)
-        if (bucket < permille) Some((id, modality, bucket)) else None
-      }
-      .toDF("doc_id", "modality", "bucket")
+      .select(
+        $"doc_id",
+        when(m === 0, "image").when(m === 1, "audio").otherwise("video")
+          .as("modality"),
+        GraftFunctions.mix64_bucket($"doc_id", 1000L).as("bucket"))
+      .withColumn("permille",
+        when($"modality" === "image", 500L)
+          .when($"modality" === "audio", 250L).otherwise(100L))
+      .filter($"bucket" < $"permille")
+      .select($"doc_id", $"modality", $"bucket")
       .orderBy($"doc_id")
   }
 
@@ -138,14 +137,11 @@ object Curation {
     docs.join(totals, "source")
       .withColumn("permille",
         expr(s"least(CAST(1000 AS BIGINT), (1000 * $TOKEN_BUDGET) div total)"))
+      // columnar membership via the native mix64_bucket expression —
+      // same unsigned-remainder semantics as the former typed closure
+      .filter(graft.functions.GraftFunctions
+        .mix64_bucket($"doc_id", 1000L) < $"permille")
       .select($"doc_id", $"source", $"n_tok", $"permille")
-      .as[(Long, String, Long, Long)]
-      .flatMap { case (id, src, n, p) =>
-        val bucket = java.lang.Long.remainderUnsigned(
-          graft.functions.TextHashes.mix64(id), 1000L)
-        if (bucket < p) Some((id, src, n, p)) else None
-      }
-      .toDF("doc_id", "source", "n_tok", "permille")
       .orderBy($"doc_id")
   }
 

@@ -30,12 +30,14 @@ object Decontaminate {
     * membership bit-exactly. */
   val BENCH_PERMILLE = 100L
 
-  /** Distinct, sorted 13-gram hashes per doc plus the deterministic
-    * benchmark bucket. Plain JVM loop per doc (same rationale as
-    * [[Dedup]]'s shingleSets: ~15x faster than interpreted HOF
-    * lambdas for per-doc work). */
+  /** Distinct, sorted 13-gram hashes per doc. Plain JVM loop per doc
+    * (same rationale as [[Dedup]]'s shingleSets: ~15x faster than
+    * interpreted HOF lambdas for per-doc work); the benchmark BUCKET
+    * is deliberately NOT computed here — it's a columnar native
+    * `mix64_bucket` expression added by [[decontaminate]], keeping the
+    * membership predicate codegen'd. */
   private def gramSets(
-      s: SparkSession, dir: String): Dataset[(Long, Long, Array[Long])] = {
+      s: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
     import s.implicits._
     Tables(s, dir, "documents")
       .select($"doc_id", $"text")
@@ -64,9 +66,7 @@ object Decontaminate {
           if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
           r += 1
         }
-        val bucket =
-          java.lang.Long.remainderUnsigned(TextHashes.mix64(id), 1000L)
-        (id, bucket, java.util.Arrays.copyOf(raw, w))
+        (id, java.util.Arrays.copyOf(raw, w))
       }
   }
 
@@ -96,7 +96,9 @@ object Decontaminate {
     * against the seeded 10% benchmark fixture. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = gramSets(s, dir).toDF("doc_id", "bucket", "grams")
+    val grams = gramSets(s, dir).toDF("doc_id", "grams")
+      .withColumn("bucket",
+        graft.functions.GraftFunctions.mix64_bucket($"doc_id", 1000L))
     decontaminateAgainst(
       grams.filter($"bucket" >= BENCH_PERMILLE),
       grams.filter($"bucket" < BENCH_PERMILLE))

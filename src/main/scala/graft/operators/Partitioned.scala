@@ -19,8 +19,12 @@ import graft.sources.Tables
   * The partition column is a `yyyy-MM-dd` STRING (not DATE): string
   * partition values round-trip through directory names and the Hive
   * path convention identically on every engine, dodging date-parsing
-  * ambiguity. The DuckDB oracle replays the same day filter over the
-  * RAW events table — layout must not change a single row.
+  * ambiguity. Spark's partition-column type INFERENCE (on by default)
+  * would re-read these directory values as DATE, so the reads below
+  * pass an explicit schema — that is what actually pins the string
+  * semantics, not the write side. The DuckDB oracle replays the same
+  * day filter over the RAW events table — layout must not change a
+  * single row.
   */
 object Partitioned {
 
@@ -28,6 +32,8 @@ object Partitioned {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
   private val roots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val schemas = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]()
 
   val DAY = "2024-01-15"
 
@@ -36,11 +42,12 @@ object Partitioned {
     if (!prepared.contains(key)) synchronized {
       if (!prepared.contains(key)) {
         val root = Files.createTempDirectory("graft-partitioned").toString
-        Tables(s, dir, "events")
+        val withDay = Tables(s, dir, "events")
           .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-          .write.mode("overwrite")
+        withDay.write.mode("overwrite")
           .partitionBy("day")
           .parquet(s"$root/events_by_day")
+        schemas.put(key, withDay.schema)
         roots.put(key, root)
         prepared.add(key)
       }
@@ -52,7 +59,7 @@ object Partitioned {
   def q30PartitionPruned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = ensure(s, dir)
-    s.read.parquet(s"$root/events_by_day")
+    s.read.schema(schemas.get((s, dir))).parquet(s"$root/events_by_day")
       .filter($"day" === DAY)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -64,7 +71,8 @@ object Partitioned {
   def prunedFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = ensure(s, dir)
-    s.read.parquet(s"$root/events_by_day").filter($"day" === DAY)
+    s.read.schema(schemas.get((s, dir))).parquet(s"$root/events_by_day")
+      .filter($"day" === DAY)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -166,7 +166,10 @@ object TextAnalysis {
       .transform(Tables.repartitionForCpu(_, col("doc_id")))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val w = text.split(' ')
+        // limit -1 keeps trailing empty tokens, matching the DuckDB
+        // oracle's string_split (JVM split's default limit 0 drops
+        // them, which would diverge on text with trailing spaces)
+        val w = text.split(" ", -1)
         val n = w.length
         val counts = scala.collection.mutable.HashMap.empty[String, Int]
         w.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))

@@ -166,6 +166,25 @@ final class BusMicroBatchStream(
         latestOffset().asInstanceOf[BusOffset]
       case Some(json) if json.startsWith("{") =>
         val requested = BusDataSource.parseOffsets(json)
+        // Kafka's contract: a specific-offsets map must cover every
+        // subscribed TopicPartition — a missing entry (or a typo'd
+        // topic, which is an entry for an unsubscribed topic) is an
+        // ERROR, never a silent fall-back to earliest.
+        val unknown = requested.keySet -- matchedTopics.toSet
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"startingOffsets names topics not matched by this source: " +
+              s"${unknown.toSeq.sorted.mkString(", ")} (matched: " +
+              s"${matchedTopics.sorted.mkString(", ")})")
+        val missing = matchedTopics.flatMap { t =>
+          val have = requested.getOrElse(t, Map.empty[Int, Long]).keySet
+          GraftBus.partitions(root, t).filterNot(have.contains)
+            .map(p => s"$t-$p")
+        }
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            "startingOffsets must cover all matched topic-partitions; " +
+              s"missing: ${missing.sorted.mkString(", ")}")
         BusOffset(requested.map { case (t, ps) =>
           t -> ps.map { case (p, o) =>
             p -> (o match {

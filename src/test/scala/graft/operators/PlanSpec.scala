@@ -215,6 +215,33 @@ class PlanSpec extends AnyFunSuite {
     assert(scanCount(plan) == 1, plan.take(2500))
   }
 
+  test("sampling membership filters are columnar native expressions") {
+    // the mix64 bucket predicate must run as a codegen'd expression
+    // over the scan — no typed closure (DeserializeToObject/
+    // MapElements) anywhere in the sampling/mixing plans
+    for (df <- Seq(Curation.stratifiedSample(spark, dir),
+                   Curation.tokenBudgetSample(spark, dir))) {
+      val plan = planOf(df)
+      assert(!plan.contains("DeserializeToObject"), plan.take(2500))
+      assert(!plan.contains("MapElements"), plan.take(2500))
+      assert(plan.contains("mix64_bucket"), plan.take(2500))
+    }
+    // and the generated code calls the static helper (stays inside
+    // whole-stage codegen, like simhash64/rolling_hash64) — asserted
+    // on a bare projection: the full query's AQE/sort boundary hides
+    // codegen subtrees until execution
+    import org.apache.spark.sql.functions.col
+    val bare = graft.sources.Tables(spark, dir, "documents")
+      .select(graft.functions.GraftFunctions
+        .mix64_bucket(col("doc_id"), 1000L).as("b"))
+    val codegen = bare.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.startsWith("Found 1 WholeStageCodegen subtrees"),
+      codegen.linesIterator.take(1).mkString)
+    assert(codegen.contains("graft.functions.TextHashes.mix64Bucket"),
+      codegen.linesIterator.take(3).mkString("\n"))
+  }
+
   test("maint_table_stats reads orders once, not once per column") {
     val plan = planOf(Maintenance.tableStats(spark, dir))
     assert(scanCount(plan) == 1, plan.take(3000))

@@ -93,6 +93,35 @@ class BusOptionsSpec extends AnyFunSuite {
     assert(byList.map(_._2).sorted == Seq("vo", "vx"), byList)
   }
 
+  test("startingOffsets JSON map must cover every matched topic-partition") {
+    // Kafka fails when specific offsets don't cover all subscribed
+    // TopicPartitions; an omitted topic must NOT silently fall back to
+    // earliest (that would make a typo'd topic name a silent no-op)
+    val root = Files.createTempDirectory("graft-bus-opts").toString
+    val t1 = "cov__a"
+    val t2 = "cov__b"
+    GraftBus.send(root, t1, "k", "v1")
+    GraftBus.send(root, t2, "k", "v2")
+
+    val missing = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainOnce(root, Map(
+        "subscribePattern" -> "cov__.*",
+        "startingOffsets" -> s"""{"$t1": {"0": 0}}"""))
+    }
+    def msg(e: Throwable) =
+      (Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        ++ Iterator.single("")).mkString(" | ")
+    assert(msg(missing).contains("must cover all matched topic-partitions"),
+      msg(missing))
+
+    val typo = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainOnce(root, Map(
+        "subscribe" -> t1,
+        "startingOffsets" -> s"""{"cov__misspelt": {"0": 0}, "$t1": {"0": 0}}"""))
+    }
+    assert(msg(typo).contains("not matched by this source"), msg(typo))
+  }
+
   test("invalid startingOffsets is rejected, not silently earliest") {
     val root = Files.createTempDirectory("graft-bus-opts").toString
     GraftBus.send(root, "bad__t", "k", "v")

@@ -1,0 +1,253 @@
+#!/usr/bin/env python3
+"""Generate WFSpec wire-format fixtures in the reference SDK's exact
+serialized shape.
+
+The reference's Python SDK compiles a workflow function into a
+WFSpecSchema pydantic model and serializes it with
+``spec.json(by_alias=True)`` (lhctl/lh_sdk/thread_spec_builder.py:380).
+That serialization:
+
+- camelCases every field (LHBaseModel, lhctl/lh_sdk/utils.py:23-27);
+- KEEPS unset Optional fields as explicit ``null`` (pydantic v1
+  default: no exclude_none);
+- emits fields in model-declaration order
+  (lhctl/lh_lib/schema/wf_spec_schema.py);
+- renders enums as their string values;
+- names nodes ``{index}-{human}-{sha256(thread_name)[:5]}``
+  (thread_spec_builder.py:156-193) where the human name is the
+  taskDefName for TASK, ``WAIT-EVENT-{event}`` for EXTERNAL_EVENT and
+  ``SLEEP`` for SLEEP nodes;
+- names taskDefs ``{module-with-dashes}-{function}``
+  (lh_sdk/utils.py get_task_def_name).
+
+This script re-derives the documents the SDK would emit for three of
+the reference's example workflows (examples/workflows/basic_wf.py,
+conditionals.py, interrupts.py) by replaying the builder's node/edge
+bookkeeping for those exact call sequences:
+
+- basic_wf.py: execute(ask_for_name); wait_for_event("my-name");
+  my_name_var.assign(event); execute(greet, my_name_var).
+- conditionals.py: execute(dummy); with my_int.less_than(10).is_true():
+  my_int.assign(execute(multiply, my_int));
+  with my_int.greater_than(15).is_true(): execute(dummy);
+  execute(dummy). The if-contexts leave reverse-condition edges from
+  the feeder nodes (condition_utils.py:122-150), so the final dummy has
+  THREE incoming edges: unconditional from the inner body, LESS_THAN_EQ
+  15 from the multiply node, GREATER_THAN_EQ 10 from node 0.
+- interrupts.py: handle_interrupt("some-event", handler);
+  execute(hello_there, "General Kenobi"); sleep_for(10);
+  execute(hello_there, "R2-D2"); handler thread =
+  execute(hello_there, "from the interrupt thread").
+
+Plus one malformed document (edge to a nonexistent node) for the
+validation-rejection path (WFSpec.java:307-362 / ThreadSpec edge
+validation).
+"""
+import hashlib
+import json
+import os
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "wirespecs")
+
+
+def tag(thread_name):
+    return hashlib.sha256(thread_name.encode()).hexdigest()[:5]
+
+
+def var_assign(wf_run_variable_name=None, literal_value=None,
+               wf_run_metadata=None, json_path=None, default_value=None):
+    # field order: wf_spec_schema.py VariableAssignmentSchema
+    return {
+        "wfRunVariableName": wf_run_variable_name,
+        "literalValue": literal_value,
+        "wfRunMetadata": wf_run_metadata,
+        "jsonPath": json_path,
+        "defaultValue": default_value,
+    }
+
+
+def node(node_type="TASK", task_def_name=None, variables=None,
+         external_event_def_name=None, timeout_seconds=None,
+         variable_mutations=None):
+    # field order: wf_spec_schema.py NodeSchema
+    return {
+        "timeoutSeconds": timeout_seconds,
+        "numRetries": 0,
+        "nodeType": node_type,
+        "outgoingEdges": [],
+        "variables": variables,
+        "externalEventDefName": external_event_def_name,
+        "threadWaitThreadId": None,
+        "threadSpawnThreadSpecName": None,
+        "variableMutations": variable_mutations if variable_mutations is not None else {},
+        "taskDefName": task_def_name,
+        "exceptionToThrow": None,
+        "baseExceptionhandler": None,
+        "customExceptionHandlers": None,
+    }
+
+
+def edge(src, sink, condition=None):
+    return {"sourceNodeName": src, "sinkNodeName": sink,
+            "condition": condition}
+
+
+def cond(left, comparator, right):
+    return {"leftSide": left, "rightSide": right, "comparator": comparator}
+
+
+def thread_spec(name, variable_defs=None, interrupt_defs=None,
+                nodes=None, edges=None):
+    # field order: wf_spec_schema.py ThreadSpecSchema; the SDK never
+    # sets entrypointNodeName (the server derives it)
+    return {
+        "name": name,
+        "entrypointNodeName": None,
+        "variableDefs": variable_defs or {},
+        "interruptDefs": interrupt_defs,
+        "nodes": nodes or {},
+        "edges": edges or [],
+    }
+
+
+def wf_spec(name, entrypoint, threads):
+    # field order: wf_spec_schema.py WFSpecSchema
+    return {
+        "created": None,
+        "name": name,
+        "status": "STOPPED",
+        "statusMessage": None,
+        "desiredStatus": "RUNNING",
+        "threadSpecs": threads,
+        "interruptEvents": None,
+        "entrypointThreadName": entrypoint,
+        "wfDeployerClassName": None,
+        "deployMetadata": None,
+    }
+
+
+def basic_wf():
+    t = tag("my_workflow")  # b76f3
+    n0, n1, n2 = (f"0-basic_wf-ask_for_name-{t}",
+                  f"1-WAIT-EVENT-my-name-{t}",
+                  f"2-basic_wf-greet-{t}")
+    thread = thread_spec(
+        "my_workflow",
+        variable_defs={"my_name_var": {"type": "STRING",
+                                       "defaultValue": None}},
+        nodes={
+            # execute_task_func sets variables = {} even with no args
+            n0: node(task_def_name="basic_wf-ask_for_name", variables={}),
+            # wait_for_event leaves variables = None; the .assign() on
+            # the event output mutates THIS node
+            n1: node(node_type="EXTERNAL_EVENT",
+                     external_event_def_name="my-name",
+                     variable_mutations={
+                         "my_name_var": {"operation": "ASSIGN",
+                                         "jsonPath": None,
+                                         "literalValue": None,
+                                         "sourceVariable": None}}),
+            n2: node(task_def_name="basic_wf-greet",
+                     variables={"name": var_assign(
+                         wf_run_variable_name="my_name_var")}),
+        },
+        edges=[edge(n0, n1), edge(n1, n2)])
+    return wf_spec("my_workflow", "my_workflow", {"my_workflow": thread})
+
+
+def conditionals():
+    t = tag("conditionals")  # 2ebbc
+    n0, n1, n2, n3 = (f"0-conditionals-dummy-{t}",
+                      f"1-conditionals-multiply-{t}",
+                      f"2-conditionals-dummy-{t}",
+                      f"3-conditionals-dummy-{t}")
+    my_int = lambda: var_assign(wf_run_variable_name="my_int")
+    lt10 = cond(my_int(), "LESS_THAN", var_assign(literal_value=10))
+    ge10 = cond(my_int(), "GREATER_THAN_EQ", var_assign(literal_value=10))
+    gt15 = cond(my_int(), "GREATER_THAN", var_assign(literal_value=15))
+    le15 = cond(my_int(), "LESS_THAN_EQ", var_assign(literal_value=15))
+    thread = thread_spec(
+        "conditionals",
+        variable_defs={"my_int": {"type": "INT", "defaultValue": None}},
+        nodes={
+            n0: node(task_def_name="conditionals-dummy", variables={}),
+            n1: node(task_def_name="conditionals-multiply",
+                     variables={"some_number": my_int()},
+                     variable_mutations={
+                         "my_int": {"operation": "ASSIGN",
+                                    "jsonPath": None,
+                                    "literalValue": None,
+                                    "sourceVariable": None}}),
+            n2: node(task_def_name="conditionals-dummy", variables={}),
+            n3: node(task_def_name="conditionals-dummy", variables={}),
+        },
+        # edge order = builder emission order: the body edges as nodes
+        # are added, then the two reverse-condition edges the final
+        # _add_node drains from the accumulated feeder map
+        edges=[
+            edge(n0, n1, lt10),
+            edge(n1, n2, gt15),
+            edge(n2, n3),
+            edge(n1, n3, le15),
+            edge(n0, n3, ge10),
+        ])
+    return wf_spec("conditionals", "conditionals", {"conditionals": thread})
+
+
+def interrupts():
+    tw = tag("my_workflow")          # b76f3
+    th = tag("interrupt_handler_thread")  # c7a3a
+    n0, n1, n2 = (f"0-interrupts-hello_there-{tw}",
+                  f"1-SLEEP-{tw}",
+                  f"2-interrupts-hello_there-{tw}")
+    h0 = f"0-interrupts-hello_there-{th}"
+    main = thread_spec(
+        "my_workflow",
+        interrupt_defs={"some-event":
+                        {"handlerThreadName": "interrupt_handler_thread"}},
+        nodes={
+            n0: node(task_def_name="interrupts-hello_there",
+                     variables={"name": var_assign(
+                         literal_value="General Kenobi")}),
+            n1: node(node_type="SLEEP",
+                     timeout_seconds=var_assign(literal_value=10)),
+            n2: node(task_def_name="interrupts-hello_there",
+                     variables={"name": var_assign(literal_value="R2-D2")}),
+        },
+        edges=[edge(n0, n1), edge(n1, n2)])
+    handler = thread_spec(
+        "interrupt_handler_thread",
+        nodes={h0: node(task_def_name="interrupts-hello_there",
+                        variables={"name": var_assign(
+                            literal_value="from the interrupt thread")})},
+        edges=[])
+    # threadSpecs insertion order: entrypoint compiled first
+    return wf_spec("my_workflow", "my_workflow",
+                   {"my_workflow": main,
+                    "interrupt_handler_thread": handler})
+
+
+def malformed():
+    # conditionals with one edge pointing at a node that does not exist
+    # -> must be REJECTED (ThreadSpec edge validation)
+    doc = conditionals()
+    doc["threadSpecs"]["conditionals"]["edges"][2]["sinkNodeName"] = \
+        "99-conditionals-dummy-zzzzz"
+    return doc
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name, fn in [("basic_wf", basic_wf), ("conditionals", conditionals),
+                     ("interrupts", interrupts),
+                     ("malformed_missing_node", malformed)]:
+        path = os.path.join(OUT, f"{name}.json")
+        with open(path, "w") as f:
+            json.dump(fn(), f, indent=1)
+            f.write("\n")
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
