@@ -27,11 +27,22 @@ import org.apache.spark.sql.functions._
   *    near-dup cliques that measured as a fake 103× output blowup).
   *
   * Usage: runMain graft.BenchScale <srcSfDir> <outDir> <K>
+  * `SPARK_GRAFT_SCALE_TABLES` (comma list) restricts which tables are
+  * replicated — e.g. `events` for the streaming-family decade, where
+  * generating 100× of documents/embeddings would dominate wall-clock
+  * without being read by any measured query.
   */
 object BenchScale {
   def main(args: Array[String]): Unit = {
     val Array(src, out, kStr) = args
     val k = kStr.toInt
+    val only: String => Boolean =
+      sys.env.get("SPARK_GRAFT_SCALE_TABLES") match {
+        case None => _ => true
+        case Some(list) =>
+          val s = list.split(',').map(_.trim).filter(_.nonEmpty).toSet
+          s.contains
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,37 +53,45 @@ object BenchScale {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val orders = spark.read.parquet(s"$src/orders.parquet")
-    (0 until k).map(i => orders
-        .withColumn("o_orderkey", $"o_orderkey" + lit(i * 600000000L)))
-      .reduce(_ unionAll _)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+    if (only("orders")) {
+      val orders = spark.read.parquet(s"$src/orders.parquet")
+      (0 until k).map(i => orders
+          .withColumn("o_orderkey", $"o_orderkey" + lit(i * 600000000L)))
+        .reduce(_ unionAll _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+    }
 
     // lineitem rides with orders: same o_orderkey shift keeps every
     // order's lines attached to exactly one replica of the order
-    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
-    (0 until k).map(i => lineitem
-        .withColumn("l_orderkey", $"l_orderkey" + lit(i * 600000000L)))
-      .reduce(_ unionAll _)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    if (only("lineitem")) {
+      val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+      (0 until k).map(i => lineitem
+          .withColumn("l_orderkey", $"l_orderkey" + lit(i * 600000000L)))
+        .reduce(_ unionAll _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    }
 
     // events: event_id and user_id shifted per replica — per-USER event
     // density (what sessionization/windowing cost depends on) stays
     // identical, the user population grows K×; timestamps are kept, so
     // the same 30-day window carries K× the rows, like a busier month.
     // ts arrives as raw nanos (nanosAsLong) and is written back as-is.
-    val events = spark.read.parquet(s"$src/events.parquet")
-    (0 until k).map(i => events
-        .withColumn("event_id", $"event_id" + lit(i * 10000000L))
-        .withColumn("user_id", $"user_id" + lit(i * 1000000L)))
-      .reduce(_ unionAll _)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    if (only("events")) {
+      val events = spark.read.parquet(s"$src/events.parquet")
+      (0 until k).map(i => events
+          .withColumn("event_id", $"event_id" + lit(i * 10000000L))
+          .withColumn("user_id", $"user_id" + lit(i * 1000000L)))
+        .reduce(_ unionAll _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    }
 
     // dimensions unchanged: fact fan-in grows K×, like a real bigger day
-    for (dim <- Seq("customer", "part", "supplier", "nation", "region"))
+    for (dim <- Seq("customer", "part", "supplier", "nation", "region")
+         if only(dim))
       spark.read.parquet(s"$src/$dim.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$dim.parquet")
 
+    if (only("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
     (0 until k).map { i =>
@@ -85,7 +104,9 @@ object BenchScale {
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
     }.reduce(_ unionAll _)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    }
 
+    if (only("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.select(size($"embedding")).as[Int].first()
     (0 until k).map { i =>
@@ -100,6 +121,7 @@ object BenchScale {
           (x, s) => x * s).as("embedding"))
     }.reduce(_ unionAll _)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    }
 
     println(s"""{"generated":"$out","k":$k}""")
     spark.stop()
