@@ -36,10 +36,19 @@ object Tables {
       key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     val target =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // rdd.getNumPartitions materializes the physical plan's
-    // partitioning (file listing, no job); for the narrow scan-rooted
-    // inputs this wraps, that is the parquet split count.
-    if (df.rdd.getNumPartitions >= target) df
+    // Estimate the scan's split count from LOGICAL stats (leaf relation
+    // bytes / maxPartitionBytes) — deliberately NOT df.rdd
+    // .getNumPartitions, which forces physical planning + whole-stage
+    // codegen compilation and costs 100-500 ms per query build (round-6
+    // measured: the probe alone pushed sub-second queries toward their
+    // 2x gate). The estimate errs LOW for many-small-files layouts
+    // (ignores open-cost packing), which errs toward repartitioning —
+    // safe locally, and at scale the bytes dwarf the threshold anyway.
+    val maxPartBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val scanBytes = df.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val estSplits = (scanBytes / maxPartBytes).toLong max 1L
+    if (estSplits >= target) df
     else df.repartition(target, key)
   }
 

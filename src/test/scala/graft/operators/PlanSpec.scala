@@ -268,21 +268,25 @@ class PlanSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-kmeans-parts").toString
     val shuffleKey = "spark.sql.shuffle.partitions"
-    val openKey = "spark.sql.files.openCostInBytes"
+    val maxPartKey = "spark.sql.files.maxPartitionBytes"
     val savedShuffle = spark.conf.get(shuffleKey)
-    val savedOpen = spark.conf.get(openKey)
+    val savedMaxPart = spark.conf.get(maxPartKey)
     try {
       spark.read.parquet(s"$dir/embeddings.parquet")
         .repartition(8)
         .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-      spark.conf.set(openKey, (128L << 20).toString) // 1 file : 1 split
+      // model "scan bytes >> split size" (the 100 TB condition) by
+      // shrinking maxPartitionBytes below the fixture size — both the
+      // conditional's estimate and the actual scan splits derive from
+      // bytes / maxPartitionBytes
+      spark.conf.set(maxPartKey, (16L << 10).toString)
       spark.conf.set(shuffleKey, "4")
       val plan = planOf(Similarity.kmeansAssign(spark, tmp))
       assert(!plan.contains("hashpartitioning"), plan.take(3000))
       assert(plan.contains("rangepartitioning"), plan.take(3000))
     } finally {
       spark.conf.set(shuffleKey, savedShuffle)
-      spark.conf.set(openKey, savedOpen)
+      spark.conf.set(maxPartKey, savedMaxPart)
     }
   }
 
