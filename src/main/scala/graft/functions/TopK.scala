@@ -29,6 +29,40 @@ object TopK {
   private def outranks(a: Entry, b: Entry): Boolean =
     a.price > b.price || (a.price == b.price && a.key < b.key)
 
+  /** One candidate with an integral rank (smallest-first variant) —
+    * LONG, not Double: a 64-bit hash rank does not survive a Double
+    * round-trip (53-bit mantissa), and the deterministic samplers rank
+    * by exactly such hashes. Callers pre-flip the sign bit
+    * (`h ^ Long.MinValue`) when unsigned order is wanted. */
+  final case class LEntry(rank: Long, key: Long)
+
+  private def lOutranks(a: LEntry, b: LEntry): Boolean =
+    a.rank < b.rank || (a.rank == b.rank && a.key < b.key)
+
+  /** Bounded per-group bottom-k by (rank ASC, key ASC) — identical
+    * partial-aggregation scale shape to [[TopKAgg]]: ≤ k entries per
+    * group per map task cross the shuffle, independent of input rows. */
+  final class BottomKLongAgg(k: Int)
+      extends Aggregator[LEntry, Seq[LEntry], Seq[LEntry]] {
+    private def insert(buf: Seq[LEntry], e: LEntry): Seq[LEntry] = {
+      if (buf.size >= k && !lOutranks(e, buf.last)) buf
+      else {
+        val i = buf.indexWhere(x => lOutranks(e, x))
+        val w = if (i < 0) buf :+ e else (buf.take(i) :+ e) ++ buf.drop(i)
+        if (w.size > k) w.take(k) else w
+      }
+    }
+    override def zero: Seq[LEntry] = Vector.empty
+    override def reduce(buf: Seq[LEntry], e: LEntry): Seq[LEntry] =
+      insert(buf, e)
+    override def merge(a: Seq[LEntry], b: Seq[LEntry]): Seq[LEntry] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: Seq[LEntry]): Seq[LEntry] = buf
+    override def bufferEncoder: Encoder[Seq[LEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[LEntry]]()
+    override def outputEncoder: Encoder[Seq[LEntry]] = bufferEncoder
+  }
+
   final class TopKAgg(k: Int)
       extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
 

@@ -145,14 +145,65 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Per-source sample size for [[fixedKSample]]. */
+  val FIXED_K = 10
+
+  /** Exact-k deterministic sampling — keep exactly the k documents per
+    * source with the SMALLEST splitmix64(doc_id) (fewer if the source
+    * is smaller): the companion to [[stratifiedSample]]'s
+    * statistically-sized permille filter when a mix recipe demands
+    * exact counts ("exactly 10k docs from each source"). Hash-ranked,
+    * so the choice is reproducible, machine-independent, and stable
+    * under data REORDERING — only adding/removing docs changes it.
+    *
+    * Scale shape: ranking by a 64-bit hash cannot ride a
+    * `row_number()` window (that sorts every row of every source on
+    * one exchange); it rides the bounded [[TopK.BottomKLongAgg]]
+    * buffer — map-side partial combine ships ≤ k entries per source
+    * per task, shuffle volume O(k·sources), independent of corpus
+    * size. Rank order is UNSIGNED hash order (sign bit flipped before
+    * ranking) so the DuckDB oracle's HUGEINT ordering replays it
+    * bit-exactly. */
+  def fixedKSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{GraftFunctions, TopK}
+    val bottomk = new TopK.BottomKLongAgg(FIXED_K).toColumn.name("picks")
+    Tables(s, dir, "documents")
+      .select($"source", $"doc_id",
+        GraftFunctions.mix64($"doc_id")
+          .bitwiseXOR(lit(Long.MinValue)).as("rank"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => TopK.LEntry(r._3, r._2))
+      .agg(bottomk)
+      .flatMap { case (src, picks) =>
+        picks.iterator.zipWithIndex.map { case (e, i) =>
+          (src, e.key, (i + 1).toLong)
+        }
+      }
+      .toDF("source", "doc_id", "rn")
+      .orderBy($"source", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curation" -> (curatedDocs _),
     "sample_stratified" -> (stratifiedSample _),
+    "sample_fixed_k" -> (fixedKSample _),
     "pack_sequences" -> (packSequences _),
     "sample_token_budget" -> (tokenBudgetSample _),
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_fixed_k" -> {
+      val h = OracleSql.mix64("CAST(doc_id AS HUGEINT)")
+      s"""SELECT source, doc_id, rn FROM (
+         |  SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ($h), doc_id) AS BIGINT) AS rn
+         |  FROM documents) t
+         |WHERE rn <= $FIXED_K
+         |ORDER BY source, doc_id""".stripMargin
+    },
     "sample_token_budget" -> {
       val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"
       s"""WITH d AS (SELECT doc_id, source,

@@ -434,7 +434,42 @@ object Similarity {
       .toDF("vec_id", "cluster")
   }
 
+  /** Filtered vector search — exact top-k cosine neighbors restricted
+    * to documents passing a metadata predicate (lang = 'en'): the
+    * composite a retrieval/RAG stack actually runs, and the genuinely
+    * hard ANN-at-scale problem (a selective filter invalidates most of
+    * any prebuilt index's candidates). Scale shape: the metadata
+    * predicate PUSHES DOWN to the documents parquet scan (doc_id+lang
+    * columns only — PlanSpec), the filtered id set equi-joins the
+    * embedding corpus on the id (no hint — at this selectivity AQE
+    * broadcasts the id list; at low selectivity it shuffles, both
+    * correct), and only the 10-row query set carries an explicit
+    * broadcast. Exact-over-the-filtered-set is the production baseline
+    * the IVF path would be validated against (per-cell filtering —
+    * same rank semantics). */
+  def filteredTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = withNorm(Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+    val allowed = Tables(s, dir, "documents")
+      .filter($"lang" === "en").select($"doc_id")
+    val queries = emb.filter($"vec_id" < N_QUERIES)
+    val candidates = emb.join(allowed, emb("vec_id") === allowed("doc_id"))
+      .select($"vec_id", $"v", $"norm")
+    val scored = broadcast(queries).as("a")
+      .join(candidates.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
+        cosine.as("cos"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_filtered_topk" -> (filteredTopK _),
     "ann_brute_force_topk" -> (bruteForceTopK _),
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
@@ -562,6 +597,18 @@ object Similarity {
         |                             CAST(b.embedding AS DOUBLE[])) DESC,
         |      b.vec_id) AS BIGINT) AS rank
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_filtered_topk" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    cast(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) DESC,
+        |      b.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  JOIN documents d ON d.doc_id = b.vec_id AND d.lang = 'en'
         |  WHERE a.vec_id < 10) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // maxabs = 0 (all-zero vector) is special-cased identically to the

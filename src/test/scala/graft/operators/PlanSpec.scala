@@ -242,6 +242,26 @@ class PlanSpec extends AnyFunSuite {
       codegen.linesIterator.take(3).mkString("\n"))
   }
 
+  test("sample_fixed_k partial-combines; no window sort of the corpus") {
+    val plan = planOf(Curation.fixedKSample(spark, dir))
+    // bounded per-source buffer with map-side combine, same scale
+    // property as q25 — a row_number window here would sort every
+    // document of every source through one exchange
+    assert(plan.contains("partial_bottomklongagg"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("ann_filtered_topk pushes the metadata predicate to the documents scan") {
+    val plan = planOf(Similarity.filteredTopK(spark, dir))
+    assert(plan.contains("EqualTo(lang,en)"), plan.take(3000))
+    // the documents side reads only the id + filter columns, not text
+    val docSchema = plan.linesIterator
+      .filter(_.contains("ReadSchema:")).find(_.contains("lang"))
+      .getOrElse("")
+    assert(docSchema.contains("doc_id") && !docSchema.contains("text"),
+      docSchema)
+  }
+
   test("maint_table_stats reads orders once, not once per column") {
     val plan = planOf(Maintenance.tableStats(spark, dir))
     assert(scanCount(plan) == 1, plan.take(3000))
