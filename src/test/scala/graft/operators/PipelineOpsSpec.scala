@@ -212,6 +212,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BottomKLongAgg is partition- and order-invariant, unsigned order") {
+    import graft.functions.TopK
+    val agg = new TopK.BottomKLongAgg(4)
+    val rng = new scala.util.Random(11)
+    // ranks spanning the full signed range (incl. negatives — hash
+    // values — and deliberate ties), pre-flipped like the caller does
+    val entries = (0 until 50).map { i =>
+      val h = if (i % 7 == 0) 42L else rng.nextLong()
+      TopK.LEntry(rank = h ^ Long.MinValue, key = i.toLong)
+    }
+    val want = entries.sortBy(e => (e.rank, e.key)).take(4)
+    (0 until 5).foreach { s =>
+      val shuffled = new scala.util.Random(s).shuffle(entries)
+      assert(shuffled.foldLeft(agg.zero)(agg.reduce) == want, s"order $s")
+    }
+    (1 until 5).foreach { s =>
+      val parts = new scala.util.Random(100 + s).shuffle(entries)
+        .grouped(9)
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      assert(parts.foldLeft(agg.zero)(agg.merge) == want, s"split $s")
+    }
+    // sign-bit flip really is unsigned order: MinValue-flipped ranks
+    // sort 0 < 1 < ... < 2^63 < ... < -1 (as unsigned)
+    val us = Seq(-1L, Long.MinValue, 1L, Long.MaxValue, 0L)
+    assert(us.map(_ ^ Long.MinValue).sorted.map(_ ^ Long.MinValue) ==
+      us.sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
+  }
+
   test("semantic IVF dedup pairs are a subset of the exact baseline") {
     val exact = Dedup.embeddingCosinePairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
