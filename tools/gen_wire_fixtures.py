@@ -228,6 +228,147 @@ def interrupts():
                     "interrupt_handler_thread": handler})
 
 
+def basic_threads():
+    # basic_threads.py: execute(parent_task, parent_var);
+    # child = spawn_thread(subthread); wait_for_thread(child).
+    # spawn_thread adds a temp variable named after the SPAWN node and
+    # assigns it "$.threadId" of the spawn output
+    # (thread_spec_builder.py:265-289); wait_for_thread reads it back.
+    tw = tag("my_workflow")   # b76f3
+    ts = tag("subthread")     # f21e8
+    n0 = f"0-basic_threads-parent_task-{tw}"
+    n1 = f"1-SPAWN-subthread-{tw}"
+    n2 = f"2-WAIT-THREAD-{tw}"
+    temp_var = f"temp-{n1}"
+    s0 = f"0-basic_threads-child_task-{ts}"
+    main = thread_spec(
+        "my_workflow",
+        variable_defs={
+            "parent_var": {"type": "STRING", "defaultValue": None},
+            temp_var: {"type": "INT", "defaultValue": None},
+        },
+        nodes={
+            n0: node(task_def_name="basic_threads-parent_task",
+                     variables={"input_str": var_assign(
+                         wf_run_variable_name="parent_var")}),
+            n1: {**node(node_type="SPAWN_THREAD",
+                        variable_mutations={
+                            temp_var: {"operation": "ASSIGN",
+                                       "jsonPath": "$.threadId",
+                                       "literalValue": None,
+                                       "sourceVariable": None}}),
+                 "threadSpawnThreadSpecName": "subthread"},
+            n2: {**node(node_type="WAIT_FOR_THREAD"),
+                 "threadWaitThreadId": var_assign(
+                     wf_run_variable_name=temp_var)},
+        },
+        edges=[edge(n0, n1), edge(n1, n2)])
+    sub = thread_spec(
+        "subthread",
+        nodes={s0: node(task_def_name="basic_threads-child_task",
+                        variables={"input_str": var_assign(
+                            wf_run_variable_name="parent_var")},
+                        variable_mutations={
+                            "parent_var": {"operation": "ASSIGN",
+                                           "jsonPath": None,
+                                           "literalValue": "child value",
+                                           "sourceVariable": None}})},
+        edges=[])
+    return wf_spec("my_workflow", "my_workflow",
+                   {"my_workflow": main, "subthread": sub})
+
+
+def basic_exceptions():
+    # basic_exceptions.py: execute(unreliable_task)
+    # .catch_exception(exception_handler); my_var.assign(output);
+    # execute(dummy_task). catch_exception sets baseExceptionhandler
+    # (node_output.py:79-99); the handler thread re-assigns my_var from
+    # its own dummy_task output.
+    tw = tag("my_workflow")          # b76f3
+    th = tag("exception_handler")    # 81bfa
+    n0 = f"0-basic_exceptions-unreliable_task-{tw}"
+    n1 = f"1-basic_exceptions-dummy_task-{tw}"
+    h0 = f"0-basic_exceptions-dummy_task-{th}"
+    main = thread_spec(
+        "my_workflow",
+        variable_defs={"my_var": {"type": "INT", "defaultValue": 137}},
+        nodes={
+            n0: {**node(task_def_name="basic_exceptions-unreliable_task",
+                        variables={},
+                        variable_mutations={
+                            "my_var": {"operation": "ASSIGN",
+                                       "jsonPath": None,
+                                       "literalValue": None,
+                                       "sourceVariable": None}}),
+                 "baseExceptionhandler":
+                     {"handlerThreadSpecName": "exception_handler"}},
+            n1: node(task_def_name="basic_exceptions-dummy_task",
+                     variables={}),
+        },
+        edges=[edge(n0, n1)])
+    handler = thread_spec(
+        "exception_handler",
+        nodes={h0: node(task_def_name="basic_exceptions-dummy_task",
+                        variables={},
+                        variable_mutations={
+                            "my_var": {"operation": "ASSIGN",
+                                       "jsonPath": None,
+                                       "literalValue": None,
+                                       "sourceVariable": None}})},
+        edges=[])
+    return wf_spec("my_workflow", "my_workflow",
+                   {"my_workflow": main, "exception_handler": handler})
+
+
+def conditionals_else():
+    # conditionals_else.py adds the is_false() branch: the Else context
+    # pops the if-block's last node from the feeder map, emits the else
+    # body against the remaining reverse-condition feeders, then re-adds
+    # the popped node and closes BOTH paths through a NOP
+    # (condition_utils.py:152-182).
+    t = tag("conditionals_else")  # caa8c
+    n0 = f"0-conditionals_else-dummy-{t}"
+    n1 = f"1-conditionals_else-multiply-{t}"
+    n2 = f"2-conditionals_else-happy-{t}"
+    n3 = f"3-conditionals_else-false_dummy-{t}"
+    n4 = f"4-NOP-{t}"
+    n5 = f"5-conditionals_else-dummy-{t}"
+    my_int = lambda: var_assign(wf_run_variable_name="my_int")
+    lt10 = cond(my_int(), "LESS_THAN", var_assign(literal_value=10))
+    ge10 = cond(my_int(), "GREATER_THAN_EQ", var_assign(literal_value=10))
+    gt5 = cond(my_int(), "GREATER_THAN", var_assign(literal_value=5))
+    le5 = cond(my_int(), "LESS_THAN_EQ", var_assign(literal_value=5))
+    thread = thread_spec(
+        "conditionals_else",
+        variable_defs={"my_int": {"type": "INT", "defaultValue": None}},
+        nodes={
+            n0: node(task_def_name="conditionals_else-dummy", variables={}),
+            n1: node(task_def_name="conditionals_else-multiply",
+                     variables={"some_number": my_int()},
+                     variable_mutations={
+                         "my_int": {"operation": "ASSIGN",
+                                    "jsonPath": None,
+                                    "literalValue": None,
+                                    "sourceVariable": None}}),
+            n2: node(task_def_name="conditionals_else-happy", variables={}),
+            n3: node(task_def_name="conditionals_else-false_dummy",
+                     variables={}),
+            n4: node(node_type="NOP"),
+            n5: node(task_def_name="conditionals_else-dummy", variables={}),
+        },
+        edges=[
+            edge(n0, n1, lt10),
+            edge(n1, n2, gt5),
+            edge(n1, n3, le5),
+            edge(n0, n3, ge10),
+            edge(n3, n4),
+            edge(n2, n4),
+            edge(n4, n5),
+        ])
+    return wf_spec("conditionals_else", "conditionals_else",
+                   {"conditionals_else": thread})
+
+
 def malformed():
     # conditionals with one edge pointing at a node that does not exist
     # -> must be REJECTED (ThreadSpec edge validation)
@@ -241,6 +382,9 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     for name, fn in [("basic_wf", basic_wf), ("conditionals", conditionals),
                      ("interrupts", interrupts),
+                     ("basic_threads", basic_threads),
+                     ("basic_exceptions", basic_exceptions),
+                     ("conditionals_else", conditionals_else),
                      ("malformed_missing_node", malformed)]:
         path = os.path.join(OUT, f"{name}.json")
         with open(path, "w") as f:
