@@ -369,6 +369,37 @@ def conditionals_else():
                    {"conditionals_else": thread})
 
 
+def throw_exception():
+    # SYNTHETIC (no reference example uses throw_exception) but
+    # builder-faithful: thread.execute(step_one)
+    # .catch_exception(order_fixer, exc_name="some-exc");
+    # thread.throw_exception("order-failed"). throw_exception emits a
+    # THROW-{exc} node (thread_spec_builder.py:313-318); a named
+    # catch_exception fills custom_exception_handlers
+    # (node_output.py:79-99). Covers the last node family's wire shape.
+    tw = tag("my_workflow")   # b76f3
+    th = tag("order_fixer")   # 18fa2
+    n0 = f"0-thrower-step_one-{tw}"
+    n1 = f"1-THROW-order-failed-{tw}"
+    h0 = f"0-thrower-fix_it-{th}"
+    main = thread_spec(
+        "my_workflow",
+        nodes={
+            n0: {**node(task_def_name="thrower-step_one", variables={}),
+                 "customExceptionHandlers":
+                     {"some-exc": {"handlerThreadSpecName": "order_fixer"}}},
+            n1: {**node(node_type="THROW_EXCEPTION"),
+                 "exceptionToThrow": "order-failed"},
+        },
+        edges=[edge(n0, n1)])
+    handler = thread_spec(
+        "order_fixer",
+        nodes={h0: node(task_def_name="thrower-fix_it", variables={})},
+        edges=[])
+    return wf_spec("my_workflow", "my_workflow",
+                   {"my_workflow": main, "order_fixer": handler})
+
+
 def malformed():
     # conditionals with one edge pointing at a node that does not exist
     # -> must be REJECTED (ThreadSpec edge validation)
@@ -385,6 +416,7 @@ def main():
                      ("basic_threads", basic_threads),
                      ("basic_exceptions", basic_exceptions),
                      ("conditionals_else", conditionals_else),
+                     ("throw_exception", throw_exception),
                      ("malformed_missing_node", malformed)]:
         path = os.path.join(OUT, f"{name}.json")
         with open(path, "w") as f:
