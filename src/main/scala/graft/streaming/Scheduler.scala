@@ -58,7 +58,15 @@ case class SchedulerState(
   * Scale notes: state is partitioned by `wfRunId` (the only key the
   * reference ever shards on); use the RocksDB state store provider +
   * checkpointing for large cardinalities; `spark.sql.shuffle.partitions`
-  * sizes the state RDD. Timer parity (R3) comes from
+  * sizes the state RDD. Size it to STATE VOLUME at first start, not to
+  * the batch default: every state partition is a store instance paying
+  * fixed update/commit overhead per micro-batch, so near-empty
+  * partitions are pure per-batch cost (measured round 6: a 32→4
+  * partition right-size on an 11 MB-state join was 2.8× — see
+  * StreamBatch.withStatePartitions for the sizing rule), while
+  * under-partitioned state spills; the count is frozen into the
+  * checkpoint, so pick it for peak state (reference parity: Kafka
+  * Streams fixes it at topic-partition count the same way). Timer parity (R3) comes from
   * ProcessingTimeTimeout re-armed to the earliest pending timer each
   * invocation, with a ~1 s trigger interval mirroring the reference's
   * punctuator (Constants.java:36).
