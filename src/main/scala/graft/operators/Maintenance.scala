@@ -111,9 +111,35 @@ object Maintenance {
       .orderBy($"column_name")
   }
 
+  /** Histogram bucket width over `o_totalprice`. FIXED width, because
+    * a data-dependent (min/max-scaled) width needs a bounds pass
+    * first — two scans where one suffices; a production ANALYZE picks
+    * the width from the previous run's stats the same way. */
+  val HIST_WIDTH = 10000.0
+
+  /** Equi-width histogram — the other half of ANALYZE next to
+    * [[tableStats]]: per-bucket row counts, what a cost-based
+    * optimizer's selectivity estimates consume. One scan, map-side
+    * combined count per bucket (≤ a few hundred groups regardless of
+    * table size). Bucket = floor(v / width): identical IEEE division
+    * + floor on both engines, so counts hash-match exactly. */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select(floor($"o_totalprice" / HIST_WIDTH).cast("long").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"))
+      .select($"bucket",
+        round($"bucket" * HIST_WIDTH, 1).as("lo"),
+        round(($"bucket" + 1) * HIST_WIDTH, 1).as("hi"),
+        $"n_rows")
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compact_files" -> (compactFiles _),
     "maint_table_stats" -> (tableStats _),
+    "maint_histogram" -> (histogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +154,12 @@ object Maintenance {
         |FROM (SELECT 'compacted' AS stage, * FROM t
         |      UNION ALL SELECT 'fragmented', * FROM t)
         |ORDER BY stage""".stripMargin,
+    "maint_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS bucket,
+        | round(floor(o_totalprice / 10000.0) * 10000.0, 1) AS lo,
+        | round((floor(o_totalprice / 10000.0) + 1) * 10000.0, 1) AS hi,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
     "maint_table_stats" ->
       """SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
         | CAST(n_nonnull AS BIGINT) AS n_nonnull,

@@ -269,6 +269,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), plan.take(3000))
   }
 
+  test("maint_histogram is one scan with map-side combined counts") {
+    val plan = planOf(Maintenance.histogram(spark, dir))
+    assert(scanCount(plan) == 1, plan.take(2500))
+    assert(plan.contains("partial_count"), plan.take(2500))
+  }
+
   test("compaction is shuffle-free: coalesce, never an exchange") {
     val root = Maintenance.ensure(spark, dir)
     val plan = planOf(spark.read.parquet(s"$root/fragmented").coalesce(2))
