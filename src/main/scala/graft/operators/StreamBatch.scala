@@ -230,10 +230,64 @@ object StreamBatch {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** Streaming SESSION WINDOWS — the fourth stateful-operator family
+    * next to the windowed aggregate (q23), the stream-stream join
+    * (q26), and stateful dedup (q31), and the only one whose state
+    * MERGES: a late-ish event can fuse two open sessions into one, so
+    * the state operator maintains mergeable per-key interval state
+    * (Spark's sessionWindow state store), not independent buckets.
+    * Per-user 30-minute-gap sessions over events. Complete mode, like
+    * q23: the exact, batching-independent variant a batch oracle can
+    * replay (append mode withholds sessions inside the final watermark
+    * horizon of an AvailableNow drain — output would depend on where
+    * the file drain stops). The cost is state = O(open+emitted
+    * sessions); the 24/7 deployment flips to watermark + append and
+    * pays that with bounded state instead, same operator. Session
+    * boundary semantics: a gap of EXACTLY 30 min starts a new session
+    * (event time >= previous session end), replayed in the oracle as
+    * `diff >= gap`. */
+  def streamingSessions(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
+    import s.implicits._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+
+    val sessions = Tables.eventsTsFromNanos(
+      Tables.eventsReadStream(s, dir, rawSchema))
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events")
+
+    // Unlike q23/q26/q31 (whose results are bounded — days×types, join
+    // matches, key set), the session count scales WITH THE DATA, so a
+    // memory sink + driver collect is the wrong shape. foreachBatch
+    // writes each complete-mode emission to parquet DISTRIBUTED (the
+    // AvailableNow drain's last batch is the final full result) and
+    // the answer is read back as an ordinary distributed frame — no
+    // driver materialization at any size.
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-stream-sessions").toString
+    val q = sessions.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    drain(q, "q38_streaming_sessions")
+
+    s.read.parquet(out)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_streaming_daily_agg" -> (streamingDailyAgg _),
     "q26_stream_stream_join" -> (streamingIntervalJoin _),
     "q31_streaming_dedup_keys" -> (streamingDedupKeys _),
+    "q38_streaming_sessions" -> (streamingSessions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -252,5 +306,27 @@ object StreamBatch {
     "q31_streaming_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // batch replay of gap sessionization: new session when the gap to
+    // the previous event is >= 30 min (Spark merges only on strict
+    // interval overlap); session_end = last event + gap, exactly the
+    // session_window.end Spark emits
+    "q38_streaming_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }
