@@ -81,12 +81,16 @@ object Tables {
       spark: SparkSession,
       dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // optional admission throttle (files per micro-batch) — the knob a
+    // 24/7 deployment uses to bound batch size, and what
+    // MultiBatchSpec uses to prove the streaming queries' results are
+    // batching-INDEPENDENT rather than single-drain artifacts
+    val r0 = spark.conf.getOption("graft.stream.maxFilesPerTrigger")
+      .foldLeft(spark.readStream.schema(schema))(
+        (r, n) => r.option("maxFilesPerTrigger", n))
     val p = new java.io.File(s"$dir/events.parquet")
-    if (p.isDirectory)
-      spark.readStream.schema(schema).parquet(p.getPath)
-    else
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (p.isDirectory) r0.parquet(p.getPath)
+    else r0.option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 
   /** On-disk bytes of the events table (flat file or directory of
