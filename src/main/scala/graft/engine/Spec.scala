@@ -267,6 +267,87 @@ object SpecCodec {
             throw new SpecValidationError("condition missing comparator")))
       })
 
+  // ---- encoding (the SDK's serialized document shape) ----
+
+  /** Render a spec to the reference SDK's wire shape —
+    * `spec.json(by_alias=True)` of the pydantic models
+    * (lhctl/lh_lib/schema/wf_spec_schema.py: camelCase aliases,
+    * explicit nulls for unset optionals, model field order) — so specs
+    * built programmatically here can be exported to, and re-imported
+    * by, anything speaking the reference's format.
+    * `decode(encode(spec)) == spec` for any validated spec
+    * (CodecRoundTripSpec fuzzes this). */
+  def encode(spec: WFSpec): String = LHJson.render(ListMap[String, Any](
+    "created" -> null,
+    "name" -> spec.name,
+    "status" -> "STOPPED",
+    "statusMessage" -> null,
+    "desiredStatus" -> "RUNNING",
+    "threadSpecs" -> spec.threadSpecs.map { case (n, t) => n -> threadTree(t) },
+    "interruptEvents" -> null,
+    "entrypointThreadName" -> spec.entrypointThreadName,
+    "wfDeployerClassName" -> null,
+    "deployMetadata" -> null))
+
+  private def threadTree(t: ThreadSpec): ListMap[String, Any] = ListMap(
+    "name" -> t.name,
+    "entrypointNodeName" -> t.entrypointNodeName,
+    "variableDefs" -> t.variableDefs.map { case (n, d) =>
+      n -> ListMap[String, Any](
+        "type" -> d.varType, "defaultValue" -> d.defaultValue)
+    },
+    "interruptDefs" -> (if (t.interruptDefs.isEmpty) null
+      else t.interruptDefs.map { case (e, i) =>
+        e -> ListMap[String, Any]("handlerThreadName" -> i.handlerThreadName)
+      }),
+    "nodes" -> t.nodes.map { case (n, nd) => n -> nodeTree(nd) },
+    "edges" -> t.edges.map(edgeTree))
+
+  private def nodeTree(n: Node): ListMap[String, Any] = ListMap(
+    "timeoutSeconds" -> n.timeoutSeconds.map(assignTree).orNull,
+    "numRetries" -> n.numRetries,
+    "nodeType" -> n.nodeType,
+    "outgoingEdges" -> Vector.empty,
+    "variables" -> (if (n.variables.isEmpty) null
+      else n.variables.map { case (v, a) => v -> assignTree(a) }),
+    "externalEventDefName" -> n.externalEventDefName.orNull,
+    "threadWaitThreadId" -> n.threadWaitThreadId.map(assignTree).orNull,
+    "threadSpawnThreadSpecName" -> n.threadSpawnThreadSpecName.orNull,
+    "variableMutations" ->
+      n.variableMutations.map { case (v, m) => v -> mutationTree(m) },
+    "taskDefName" -> n.taskDefName.orNull,
+    "exceptionToThrow" -> n.exceptionToThrow.orNull,
+    "baseExceptionhandler" -> n.baseExceptionhandler
+      .map(h => ListMap[String, Any](
+        "handlerThreadSpecName" -> h.handlerThreadSpecName)).orNull,
+    "customExceptionHandlers" -> (if (n.customExceptionHandlers.isEmpty) null
+      else ListMap.from(n.customExceptionHandlers.toSeq.sortBy(_._1)
+        .map { case (e, h) =>
+          e -> ListMap[String, Any](
+            "handlerThreadSpecName" -> h.handlerThreadSpecName)
+        })))
+
+  private def assignTree(a: VariableAssignment): ListMap[String, Any] = ListMap(
+    "wfRunVariableName" -> a.wfRunVariableName.orNull,
+    "literalValue" -> a.literalValue,
+    "wfRunMetadata" -> a.wfRunMetadata.orNull,
+    "jsonPath" -> a.jsonPath.orNull,
+    "defaultValue" -> a.defaultValue)
+
+  private def mutationTree(m: VariableMutation): ListMap[String, Any] = ListMap(
+    "operation" -> m.operation,
+    "jsonPath" -> m.jsonPath.orNull,
+    "literalValue" -> m.literalValue,
+    "sourceVariable" -> m.sourceVariable.map(assignTree).orNull)
+
+  private def edgeTree(e: Edge): ListMap[String, Any] = ListMap(
+    "sourceNodeName" -> e.sourceNodeName,
+    "sinkNodeName" -> e.sinkNodeName,
+    "condition" -> e.condition.map(c => ListMap[String, Any](
+      "leftSide" -> assignTree(c.leftSide),
+      "rightSide" -> assignTree(c.rightSide),
+      "comparator" -> c.comparator)).orNull)
+
   // ---- validation (reference: WFSpec.validate + ThreadSpec.validate) ----
 
   def validate(spec: WFSpec): WFSpec = {
