@@ -93,6 +93,32 @@ object StreamBatch {
     } finally q.stop()
   }
 
+  /** Drain a streaming frame to parquet DISTRIBUTED and read the result
+    * back as an ordinary distributed frame — the shape for any streaming
+    * result whose row count scales with the data, where a memory sink +
+    * driver `collect()` would be a driver OOM at scale. Complete mode
+    * overwrites (each emission is the full result; the AvailableNow
+    * drain's last batch wins); append mode appends (each emission is a
+    * delta, the union of all batches is the answer). Readback pins the
+    * streaming frame's own schema so a drain whose every batch was empty
+    * (no part-files on disk) still yields a valid empty frame instead of
+    * a schema-inference error. */
+  private def drainToParquet(
+      s: SparkSession, df: DataFrame, mode: String, name: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft-stream-$name").toString
+    val writeMode = if (mode == "complete") "overwrite" else "append"
+    val q = df.writeStream
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode(writeMode).parquet(out)
+      }
+      .start()
+    drain(q, name)
+    s.read.schema(df.schema).parquet(out)
+  }
+
   /** Daily event counts per type, computed by a streaming query. */
   def streamingDailyAgg(s: SparkSession, dir: String): DataFrame =
       withStatePartitions(s, dir) {
@@ -167,25 +193,13 @@ object StreamBatch {
              |buy_ts >= view_ts AND
              |buy_ts <= view_ts + INTERVAL 1 HOUR""".stripMargin))
 
-    val table = s"graft_stream_join_${nameCounter.incrementAndGet()}"
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(table)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    drain(q, "q26_stream_stream_join")
-
-    // result is bounded by purchases × views-in-preceding-hour — at
-    // sf0.1 a few thousand rows; collect to detach from the dropped
-    // memory sink, exactly as streamingDailyAgg does
-    val rows = s.table(table)
+    // match count grows linearly with the corpus (every view×purchase
+    // pair within the hour), so the result must stay distributed:
+    // append-mode emissions land in parquet per batch and the answer is
+    // their union — no driver materialization at any size
+    drainToParquet(s, joined, "append", "q26_stream_stream_join")
       .select($"view_user".as("user_id"), $"view_id", $"buy_id",
         $"view_ts", $"buy_ts")
-      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
-      .collect().toSeq
-    s.catalog.dropTempView(table)
-    rows.toDF("user_id", "view_id", "buy_id", "view_ts", "buy_ts")
       .orderBy($"view_id", $"buy_id")
   }
 
@@ -215,18 +229,10 @@ object StreamBatch {
       .select($"user_id", $"event_type")
       .dropDuplicates("user_id", "event_type")
 
-    val table = s"graft_stream_dedup_${nameCounter.incrementAndGet()}"
-    val q = deduped.writeStream
-      .format("memory")
-      .queryName(table)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    drain(q, "q31_streaming_dedup_keys")
-
-    val rows = s.table(table).as[(Long, String)].collect().toSeq
-    s.catalog.dropTempView(table)
-    rows.toDF("user_id", "event_type")
+    // the distinct user×event_type key set grows with the corpus, so
+    // the result stays distributed (parquet readback, not a memory-sink
+    // collect)
+    drainToParquet(s, deduped, "append", "q31_streaming_dedup_keys")
       .orderBy($"user_id", $"event_type")
   }
 
@@ -260,25 +266,10 @@ object StreamBatch {
       .select($"user_id", $"w.start".as("session_start"),
         $"w.end".as("session_end"), $"n_events")
 
-    // Unlike q23/q26/q31 (whose results are bounded — days×types, join
-    // matches, key set), the session count scales WITH THE DATA, so a
-    // memory sink + driver collect is the wrong shape. foreachBatch
-    // writes each complete-mode emission to parquet DISTRIBUTED (the
-    // AvailableNow drain's last batch is the final full result) and
-    // the answer is read back as an ordinary distributed frame — no
-    // driver materialization at any size.
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-stream-sessions").toString
-    val q = sessions.writeStream
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(out)
-      }
-      .start()
-    drain(q, "q38_streaming_sessions")
-
-    s.read.parquet(out)
+    // session count scales WITH THE DATA, so the result stays
+    // distributed: complete-mode emissions overwrite the parquet dir
+    // (the AvailableNow drain's last batch is the final full result)
+    drainToParquet(s, sessions, "complete", "q38_streaming_sessions")
       .select($"user_id", $"session_start", $"session_end", $"n_events")
       .orderBy($"user_id", $"session_start")
   }
