@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -46,6 +45,37 @@ object Similarity {
   private def cosine =
     dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))
 
+  /** Rank a scored candidate frame (query_id, neighbor_id, cos) into
+    * per-query top-K through the bounded [[graft.functions.TopK.TopKAgg]]
+    * typed Aggregator — NOT `row_number().over(Window)`. With 10 queries
+    * a window sorts corpus-sized partitions on 10 tasks (the exact
+    * pathology q25 exists to demonstrate); the aggregator participates
+    * in partial aggregation, so each map task ships at most K entries
+    * per query it saw — shuffle volume O(K·queries·mapTasks), not
+    * O(candidates). Order is total and identical to the window variant
+    * (cos DESC, neighbor_id ASC; cosines are per-row sequential folds,
+    * bit-stable under any partitioning), so the result — and the
+    * window-SQL DuckDB oracle — is unchanged. Double rank is safe here
+    * (unlike the samplers' 64-bit hash ranks): cos IS a Double. */
+  private def rankTopK(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    import graft.functions.TopK
+    val topk = new TopK.TopKAgg(K).toColumn.name("topk")
+    scored.select(col("query_id"), col("cos"), col("neighbor_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => TopK.Entry(r._2, r._3))
+      .agg(topk)
+      .flatMap { case (q, entries) =>
+        entries.iterator.zipWithIndex.map { case (e, i) =>
+          (q, (i + 1).toLong, e.key)
+        }
+      }
+      .toDF("query_id", "rank", "neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Exact top-k cosine neighbors for the first 10 vectors. */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -58,12 +88,7 @@ object Similarity {
       .join(emb.as("b"), $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
         cosine.as("cos"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"neighbor_id")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= K)
-      .select($"query_id", $"rank", $"neighbor_id")
-      .orderBy($"query_id", $"rank")
+    rankTopK(scored)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -125,12 +150,7 @@ object Similarity {
         $"probe" === $"b.bucket" && $"qid" =!= $"b.vec_id")
       .select($"qid".as("query_id"), $"b.vec_id".as("neighbor_id"),
         (dot($"qv", $"b.v") / ($"qnorm" * $"b.norm")).as("cos"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"neighbor_id")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= K)
-      .select($"query_id", $"rank", $"neighbor_id")
-      .orderBy($"query_id", $"rank")
+    rankTopK(scored)
   }
 
   /** Clusters probed per query in [[ivfTopK]]. */
@@ -183,12 +203,7 @@ object Similarity {
       .join(corpus.as("b"), $"probe" === $"b.cell" && $"qid" =!= $"b.vec_id")
       .select($"qid".as("query_id"), $"b.vec_id".as("neighbor_id"),
         (dot($"qv", $"b.v") / ($"qnorm" * $"b.norm")).as("cos"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"neighbor_id")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= K)
-      .select($"query_id", $"rank", $"neighbor_id")
-      .orderBy($"query_id", $"rank")
+    rankTopK(scored)
   }
 
   /** int8 scalar quantization of the embedding column — the storage
@@ -460,12 +475,7 @@ object Similarity {
       .join(candidates.as("b"), $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
         cosine.as("cos"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"neighbor_id")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= K)
-      .select($"query_id", $"rank", $"neighbor_id")
-      .orderBy($"query_id", $"rank")
+    rankTopK(scored)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

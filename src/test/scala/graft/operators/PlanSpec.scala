@@ -260,6 +260,19 @@ class PlanSpec extends AnyFunSuite {
       .getOrElse("")
     assert(docSchema.contains("doc_id") && !docSchema.contains("text"),
       docSchema)
+    // final rank via the bounded partial-combining aggregator, not a
+    // window sort of corpus-sized per-query partitions on 10 tasks
+    assert(plan.contains("partial_topkagg"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("every ANN ranker partial-combines; no window sort of candidates") {
+    for (q <- Seq(Similarity.bruteForceTopK _, Similarity.lshTopK _,
+                  Similarity.ivfTopK _)) {
+      val plan = planOf(q(spark, dir))
+      assert(plan.contains("partial_topkagg"), plan.take(3000))
+      assert(!plan.contains("Window"), plan.take(3000))
+    }
   }
 
   test("maint_table_stats reads orders once, not once per column") {
