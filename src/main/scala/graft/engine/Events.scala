@@ -108,6 +108,30 @@ object EventCodec {
       case _ => dflt
     }
 
+  /** Epoch millis of an ISO-8601 datetime string. Both producer
+    * families must decode: the reference Java engine's Jackson writes
+    * java.util.Date as epoch millis, but the Python SDK's pydantic v1
+    * `.json()` renders datetime as ISO-8601 — tz-aware
+    * (`…+00:00`, a producer using datetime.now(timezone.utc)) or naive
+    * (`2022-02-22T12:00:00.123456`, the reference worker's plain
+    * datetime.now(), executor/worker.py:133,190) — naive is read as
+    * UTC, the only consistent choice for a distributed fold. */
+  private[engine] def isoToMillis(s: String): Long =
+    try java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(s)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
+  /** Timestamp field in either wire form: epoch millis (Java engine)
+    * or ISO-8601 string (Python SDK). */
+  private def timestamp(mm: ListMap[String, Any], k: String): Long =
+    mm.get(k) match {
+      case Some(s: String) => isoToMillis(s)
+      case _ => long(mm, k)
+    }
+
   def decodeWFEvent(json: String): WFEvent = {
     val o = m(parse(json))
     WFEvent(
@@ -115,7 +139,7 @@ object EventCodec {
       wfSpecName = str(o, "wfSpecName").getOrElse(""),
       wfRunId = str(o, "wfRunId").getOrElse(
         throw new VarSubError("WFEvent missing wfRunId")),
-      timestamp = long(o, "timestamp"),
+      timestamp = timestamp(o, "timestamp"),
       // Jackson deserializes a missing Java int field to 0 (reference
       // WFEvent.threadId); -1 ("broadcast") must be explicit on the wire
       threadId = int(o, "threadId", 0),
@@ -178,7 +202,11 @@ object EventCodec {
         field match {
           case "threadId" => threadId = p.getIntValue
           case "taskRunPosition" => pos = p.getIntValue
-          case "timestamp" => ts = p.getLongValue
+          case "timestamp" =>
+            // SDK wire carries ISO-8601 here (pydantic datetime);
+            // the Java engine's Jackson carries epoch millis
+            ts = if (p.currentToken() == VALUE_STRING) isoToMillis(p.getText)
+                 else p.getLongValue
           case "taskDefVersionNumber" => ver = p.getIntValue
           case "startedEvent" if p.currentToken() == START_OBJECT =>
             var workerId = ""; var stdin: Option[String] = None
@@ -274,7 +302,7 @@ object EventCodec {
       externalEventDefName = str(o, "externalEventDefName").getOrElse(
         throw new VarSubError("external event missing externalEventDefName")),
       content = o.getOrElse("content", null),
-      timestamp = long(o, "timestamp"))
+      timestamp = timestamp(o, "timestamp"))
   }
 
   def encodeExternalEvent(p: ExternalEventPayload): String =

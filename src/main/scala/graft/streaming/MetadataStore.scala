@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.engine.{SpecCodec, SpecValidationError, WFSpec}
+import graft.engine.{ExternalEventDef, ResourceCodec, SpecCodec,
+  SpecValidationError, TaskDef, WFSpec}
 
 /** Metadata-resource store (SURVEY.md §2.5 Q1/Q4/Q6/Q8 + §2.1 S4):
   * CRUD for WFSpec / TaskDef / ExternalEventDef documents.
@@ -54,6 +55,23 @@ class MetadataStore(spark: SparkSession, rootDir: String) {
     * name — the reference validates little beyond identity). */
   def postResource(kind: String, id: String, name: String, json: String): Unit =
     append(kind, id, name, json, deleted = false)
+
+  /** POST a TaskDef wire document (TaskDefSchema shape): decode +
+    * validate, then persist under id = name (TaskDef.getObjectId,
+    * TaskDef.java:36). Returns the decoded resource. */
+  def postTaskDef(json: String): TaskDef = {
+    val td = ResourceCodec.decodeTaskDef(json)
+    append(Kind.TaskDef, td.objectId, td.name, json, deleted = false)
+    td
+  }
+
+  /** POST an ExternalEventDef wire document (ExternalEventDefSchema
+    * shape), id = name (ExternalEventDef.java:14). */
+  def postExternalEventDef(json: String): ExternalEventDef = {
+    val ed = ResourceCodec.decodeExternalEventDef(json)
+    append(Kind.ExternalEventDef, ed.objectId, ed.name, json, deleted = false)
+    ed
+  }
 
   /** DELETE = tombstone (the reference produces a null record to the ID
     * topic, GETable.sendNullRecord:134-140). */

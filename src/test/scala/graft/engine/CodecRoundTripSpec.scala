@@ -33,6 +33,66 @@ class CodecRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("TaskDef fixture round-trips and decodes field-exactly") {
+    val json = fixture("taskdef_greet")
+    val td = ResourceCodec.decodeTaskDef(json)
+    assert(td.name == "basic_wf-greet")
+    assert(td.objectId == "basic_wf-greet") // TaskDef.getObjectId = name
+    assert(td.kafkaTopic == "basic_wf-greet") // per-TaskDef queue topic
+    assert(td.versionNumber == 0 && td.partitions == 3)
+    assert(td.status == "RUNNING" && td.statusMessage.isEmpty)
+    assert(td.requiredVars == ListMap(
+      "name" -> WFRunVariableDef(VarType.STRING)))
+    // deployMetadata is an opaque JSON *string* (compile.py:103-106)
+    assert(td.deployMetadata.exists(_.contains("\"taskType\": \"PYTHON\"")))
+    val again = ResourceCodec.decodeTaskDef(ResourceCodec.encodeTaskDef(td))
+    assert(again == td, "TaskDef diverged after round-trip")
+  }
+
+  test("ExternalEventDef fixture round-trips") {
+    val ed = ResourceCodec.decodeExternalEventDef(
+      fixture("externaleventdef_my_name"))
+    assert(ed == ExternalEventDef("my-name", "RUNNING"))
+    val again = ResourceCodec.decodeExternalEventDef(
+      ResourceCodec.encodeExternalEventDef(ed))
+    assert(again == ed)
+  }
+
+  test("malformed resource documents are rejected") {
+    intercept[SpecValidationError](ResourceCodec.decodeTaskDef("{}"))
+    intercept[SpecValidationError](ResourceCodec.decodeTaskDef(
+      """{"name": "t", "requiredVars": {"x": {"type": "NOT_A_TYPE"}}}"""))
+    intercept[SpecValidationError](ResourceCodec.decodeTaskDef(
+      """{"name": "t", "status": "NOT_A_STATUS"}"""))
+    intercept[SpecValidationError](
+      ResourceCodec.decodeExternalEventDef("""{"status": "RUNNING"}"""))
+  }
+
+  test("WFEvent fixtures decode: SDK ISO timestamps, string content") {
+    // the worker-produced TASK_EVENT envelope (executor/worker.py:190-203):
+    // naive-ISO timestamps read as UTC, content is the TaskRunEvent JSON
+    val taskEv = EventCodec.decodeWFEvent(fixture("wfevent_task_event"))
+    assert(taskEv.wfSpecId == "my_workflow" && taskEv.wfSpecName == "")
+    assert(taskEv.eventType == WFEventType.TASK_EVENT)
+    assert(taskEv.timestamp ==
+      java.time.Instant.parse("2022-02-22T12:00:00.200Z").toEpochMilli)
+    val tre = EventCodec.decodeTaskRunEvent(taskEv.content)
+    assert(tre.taskRunPosition == 2)
+    assert(tre.timestamp ==
+      java.time.Instant.parse("2022-02-22T12:00:00.123Z").toEpochMilli)
+    assert(tre.endedEvent.exists(_.result.stdout.contains("Hello, Obi-Wan!")))
+
+    // the EXTERNAL_EVENT envelope: tz-aware ISO, payload content string
+    val extEv = EventCodec.decodeWFEvent(fixture("wfevent_external_event"))
+    assert(extEv.eventType == WFEventType.EXTERNAL_EVENT)
+    assert(extEv.threadId == -1)
+    val payload = EventCodec.decodeExternalEvent(extEv.content)
+    assert(payload.externalEventDefName == "my-name")
+    assert(payload.content == "Obi-Wan")
+    assert(payload.timestamp ==
+      java.time.Instant.parse("2022-02-22T12:00:00.100Z").toEpochMilli)
+  }
+
   private def randomSpec(rnd: Random): WFSpec = {
     val nNodes = 2 + rnd.nextInt(4)
     val types = Vector(NodeType.TASK, NodeType.TASK, NodeType.NOP,

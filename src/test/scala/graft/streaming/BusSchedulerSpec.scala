@@ -157,6 +157,144 @@ class BusSchedulerSpec extends AnyFunSuite {
     }
   }
 
+  private def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/wirespecs/$name.json")
+    require(in != null, s"missing fixture $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Wire + deploy + transport + fold + query in ONE path: the
+    * committed SDK-serialized documents (basic_wf.json + its TaskDef /
+    * ExternalEventDef) are POSTed to the MetadataStore exactly as
+    * lhctl would, the scheduler deploys from `deployedSpecs()`, the
+    * run executes over real bus topics, the external event arrives as
+    * the LITERAL fixture bytes (SDK envelope: ISO timestamps, payload
+    * as a JSON string, threadId -1 broadcast), and the final state is
+    * read back through the Q1/Q2 snapshot query surface. */
+  test("wire fixtures end-to-end: deploy basic_wf.json, fold over bus, query") {
+    val root = Files.createTempDirectory("graft-bus-wire").toString
+    val ckpt = Files.createTempDirectory("graft-bus-wire-ckpt").toString
+    val metaRoot = Files.createTempDirectory("graft-bus-wire-meta").toString
+
+    // deploy the SDK-compiled documents through the CRUD surface
+    val store = new MetadataStore(spark, metaRoot)
+    val wfSpec = store.postWfSpec(fixture("basic_wf"))
+    store.postTaskDef(fixture("taskdef_greet"))
+    store.postExternalEventDef(fixture("externaleventdef_my_name"))
+    val specs = store.deployedSpecs()
+    assert(specs.keySet == Set("my_workflow"))
+
+    val wireEventsTopic = s"wfEvents__${wfSpec.name}"
+    val wireStateTopic = s"${Scheduler.STATE_TOPIC_PREFIX}${wfSpec.name}"
+
+    val events = Scheduler.busEventSource(spark, root, "wfEvents__.*")
+    val outputs = Scheduler(events, specs)
+    val query = Scheduler.busWireSink(outputs, root, ckpt)
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+
+    // loopback worker for the two basic_wf task queues (reference
+    // examples/workflows/basic_wf.py task functions)
+    @volatile var workerStop = false
+    val worker = new Thread(() => {
+      var cursor = Map.empty[(String, Int), Long]
+      val taskTopics = Seq("basic_wf-ask_for_name", "basic_wf-greet")
+      while (!workerStop) {
+        for (topic <- taskTopics; p <- GraftBus.partitions(root, topic)) {
+          val from = cursor.getOrElse((topic, p), 0L)
+          val until = GraftBus.nextOffset(root, topic, p)
+          GraftBus.read(root, topic, p, from, until).foreach { rec =>
+            val tsr = EventCodec.decodeTsr(rec.value)
+            val out = topic match {
+              case "basic_wf-ask_for_name" => "Hey what's your name?"
+              case _ =>
+                s"Hello there, ${tsr.variableSubstitutions
+                  .getOrElse("name", null)}!"
+            }
+            val t = now()
+            Seq(
+              TaskRunEvent(tsr.threadId, tsr.taskRunPosition, t, 0,
+                Some(TaskRunStartedPayload("wire-worker", None)), None),
+              TaskRunEvent(tsr.threadId, tsr.taskRunPosition, t + 1, 0, None,
+                Some(TaskRunEndedPayload(TaskRunResult(
+                  Some(LHJson.render(out)), None, success = true, 0))))
+            ).zipWithIndex.foreach { case (tre, i) =>
+              GraftBus.send(root, wireEventsTopic, tsr.wfRunId,
+                EventCodec.encodeWFEvent(WFEvent(
+                  wfSpec.objectId, wfSpec.name, tsr.wfRunId, t + i,
+                  tsr.threadId, WFEventType.TASK_EVENT,
+                  EventCodec.encodeTaskRunEvent(tre))))
+            }
+          }
+          cursor += (topic, p) -> until
+        }
+        Thread.sleep(50)
+      }
+    })
+    worker.setDaemon(true)
+
+    def latestState(): Option[WFRunState] = {
+      val snaps = GraftBus.partitions(root, wireStateTopic).flatMap(p =>
+        GraftBus.read(root, wireStateTopic, p, 0,
+          GraftBus.nextOffset(root, wireStateTopic, p)))
+      if (snaps.isEmpty) None
+      else Some(StateCodec.decode(snaps.maxBy(_.offset).value))
+    }
+    def awaitState(what: String)(pred: WFRunState => Boolean): Unit = {
+      val deadline = now() + 30000
+      while (!latestState().exists(pred) && now() < deadline)
+        Thread.sleep(150)
+      assert(latestState().exists(pred),
+        s"timed out waiting for $what; lastState=${latestState()}")
+    }
+
+    try {
+      worker.start()
+      // start the run under the id the WFEvent fixtures carry
+      GraftBus.send(root, wireEventsTopic, "wire-run-1",
+        EventCodec.encodeWFEvent(WFEvent(
+          wfSpec.objectId, wfSpec.name, "wire-run-1", now(), 0,
+          WFEventType.WF_RUN_STARTED,
+          EventCodec.encodeRunRequest(WFRunRequest(
+            ListMap.empty, wfSpec.objectId, Some("wire-run-1"))))))
+
+      // the run must reach the WAIT-EVENT node (first task folded)
+      awaitState("ask_for_name completion")(s =>
+        s.threadRuns.headOption.exists(_.taskRuns.exists(tr =>
+          tr.status == Status.COMPLETED)))
+
+      // deliver the external event as the LITERAL committed fixture
+      // bytes — the scheduler source decodes the SDK envelope itself
+      GraftBus.send(root, wireEventsTopic, "wire-run-1",
+        fixture("wfevent_external_event"))
+
+      awaitState("run completion")(_.status == Status.COMPLETED)
+      val st = latestState().get
+      val thr = st.threadRuns(0)
+      assert(thr.taskRuns.length == 3, s"got ${thr.taskRuns.length} taskRuns")
+      // the fixture payload content flowed: assigned to the variable,
+      // substituted into greet, echoed by the worker
+      assert(thr.variables("my_name_var") == "Obi-Wan")
+      assert(thr.taskRuns.last.stdout == "Hello there, Obi-Wan!")
+
+      // snapshot query surface over the state topic (Q1 + Q2/Q9)
+      import spark.implicits._
+      val snaps = GraftBus.partitions(root, wireStateTopic).flatMap(p =>
+        GraftBus.read(root, wireStateTopic, p, 0,
+          GraftBus.nextOffset(root, wireStateTopic, p)))
+        .map(r => (r.key, r.value, r.offset))
+        .toDF("wfRunId", "json", "seq")
+      val latest = StateTable.latest(snaps)
+      assert(StateTable.byId(latest, "wire-run-1").count() == 1)
+      assert(StateTable.searchByVariable(latest, "my_name_var", "Obi-Wan")
+        .as[String].collect().toSeq == Seq("wire-run-1"))
+    } finally {
+      workerStop = true
+      query.stop()
+    }
+  }
+
   test("bus source resumes from checkpointed Kafka-shaped offsets") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-bus-resume").toString

@@ -42,6 +42,38 @@ class MetadataStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.getAllIds(store.Kind.TaskDef).isEmpty)
   }
 
+  private def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/wirespecs/$name.json")
+    require(in != null, s"missing fixture $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  test("wire TaskDef / ExternalEventDef documents through CRUD") {
+    // the SDK's compiled TaskDef document (TaskDefSchema shape), POSTed
+    // like lhctl does: decoded, validated, keyed by name
+    val td = store.postTaskDef(fixture("taskdef_greet"))
+    assert(td.name == "basic_wf-greet" && td.partitions == 3)
+    val stored = store.getByNameOrId(store.Kind.TaskDef, "basic_wf-greet")
+    assert(stored.isDefined)
+    // the stored document is the original wire bytes — re-decoding it
+    // yields the same resource (no lossy normalization in the store)
+    assert(graft.engine.ResourceCodec.decodeTaskDef(stored.get) == td)
+
+    val ed = store.postExternalEventDef(fixture("externaleventdef_my_name"))
+    assert(ed.name == "my-name")
+    assert(store.getAllIds(store.Kind.ExternalEventDef) == Seq("my-name"))
+
+    // bad documents are rejected before anything is persisted
+    intercept[SpecValidationError](store.postTaskDef(
+      """{"versionNumber": 0}"""))
+    assert(!store.getAllIds(store.Kind.TaskDef).contains(""))
+
+    // tombstone removes the TaskDef like any resource
+    store.delete(store.Kind.TaskDef, td.objectId)
+    assert(store.getById(store.Kind.TaskDef, td.objectId).isEmpty)
+  }
+
   test("validation rejects bad specs like the reference's POST API") {
     // entrypoint thread missing
     intercept[SpecValidationError](store.postWfSpec(

@@ -409,6 +409,122 @@ def malformed():
     return doc
 
 
+# ---- resource + event envelope wire shapes ----------------------------
+#
+# The WFSpec fixtures above pin the biggest wire seam; these pin the
+# remaining ones: the TaskDef / ExternalEventDef resource documents the
+# SDK POSTs to the API (compiled by lh_sdk/compile.py:68-107 into
+# TaskDefSchema / ExternalEventDefSchema, wf_spec_schema.py:186-213)
+# and the WFEvent envelope a real producer puts on the event topic
+# (WFEventSchema, task_run_event_schema.py:69-76; produced at
+# executor/worker.py:145-152,190-203 with `.json(by_alias=True)`).
+# Same serialization rules as the WFSpec fixtures: camelCase aliases,
+# explicit nulls for unset optionals, model-declaration field order,
+# enums as string values. pydantic v1 renders datetime as ISO-8601
+# (naive datetime.now() -> no UTC offset, which is what the reference
+# worker actually produces) — NOT the epoch millis the Java engine's
+# Jackson emits, so the Scala decoder must accept both.
+
+
+def taskdef_greet():
+    # the SDK's compiled TaskDef for examples/workflows/basic_wf.py's
+    # greet(name: str) task (compile.py:68-107: requiredVars from the
+    # function signature, deployMetadata a JSON *string* of
+    # DockerTaskDeployMetadata, wf_spec_schema.py:222-231)
+    deploy_meta = {
+        "dockerImage": "lh-task-basic_wf-greet:latest",
+        "metadata": "",
+        "customValidatorClassName": None,
+        "taskExecutorClassName": None,
+        "taskType": "PYTHON",
+        "env": {},
+        "pythonModule": "basic_wf",
+        "pythonFunction": "greet",
+    }
+    # field order: wf_spec_schema.py TaskDefSchema (186-204)
+    return {
+        "created": None,
+        "versionNumber": 0,
+        "requiredVars": {
+            "name": {"type": "STRING", "defaultValue": None},
+        },
+        "partitions": 3,
+        "name": "basic_wf-greet",
+        "status": "RUNNING",
+        "statusMessage": None,
+        "taskDeployerClassName": None,
+        "deployMetadata": json.dumps(deploy_meta),
+    }
+
+
+def externaleventdef_my_name():
+    # field order: wf_spec_schema.py ExternalEventDefSchema (207-213)
+    return {
+        "created": None,
+        "name": "my-name",
+        "status": "RUNNING",
+    }
+
+
+def wfevent_task_event():
+    # the exact envelope the Python worker produces for a completed
+    # greet task (worker.py:183-203): wfSpecName is never set by the
+    # worker -> explicit null; content is the TaskRunEventSchema JSON
+    # *string*; timestamps are naive-ISO from datetime.now()
+    ended = {
+        # TaskRunEventSchema field order (task_run_event_schema.py:37-43)
+        "taskDefVersionNumber": 0,
+        "threadId": 0,
+        "taskRunPosition": 2,
+        "timestamp": "2022-02-22T12:00:00.123456",
+        "startedEvent": None,
+        "endedEvent": {
+            # TaskRunEndedEvent order (:29-34); result first
+            "result": {
+                "stdout": "Hello, Obi-Wan!",
+                "stderr": None,
+                "success": True,
+                "returncode": 0,
+            },
+            "threadId": 0,
+            "taskRunPosition": 2,
+            "reason": None,
+            "message": None,
+        },
+    }
+    # WFEventSchema field order (task_run_event_schema.py:69-76)
+    return {
+        "wfSpecId": "my_workflow",
+        "wfSpecName": None,
+        "wfRunId": "wire-run-1",
+        "timestamp": "2022-02-22T12:00:00.200000",
+        "threadId": 0,
+        "type": "TASK_EVENT",
+        "content": json.dumps(ended),
+    }
+
+
+def wfevent_external_event():
+    # EXTERNAL_EVENT envelope: content is the ExternalEventPayloadSchema
+    # JSON string (wf_run_schema.py:107-112); tz-aware ISO timestamp (a
+    # producer using datetime.now(timezone.utc) emits the +00:00 form)
+    payload = {
+        "externalEventDefId": "my-name",
+        "externalEventDefName": "my-name",
+        "content": "Obi-Wan",
+        "timestamp": "2022-02-22T12:00:00.100000+00:00",
+    }
+    return {
+        "wfSpecId": "my_workflow",
+        "wfSpecName": "my_workflow",
+        "wfRunId": "wire-run-1",
+        "timestamp": "2022-02-22T12:00:00.150000+00:00",
+        "threadId": -1,
+        "type": "EXTERNAL_EVENT",
+        "content": json.dumps(payload),
+    }
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     for name, fn in [("basic_wf", basic_wf), ("conditionals", conditionals),
@@ -417,7 +533,11 @@ def main():
                      ("basic_exceptions", basic_exceptions),
                      ("conditionals_else", conditionals_else),
                      ("throw_exception", throw_exception),
-                     ("malformed_missing_node", malformed)]:
+                     ("malformed_missing_node", malformed),
+                     ("taskdef_greet", taskdef_greet),
+                     ("externaleventdef_my_name", externaleventdef_my_name),
+                     ("wfevent_task_event", wfevent_task_event),
+                     ("wfevent_external_event", wfevent_external_event)]:
         path = os.path.join(OUT, f"{name}.json")
         with open(path, "w") as f:
             json.dump(fn(), f, indent=1)
