@@ -85,6 +85,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Self-gating artifact: per-query ratio against the ONE frozen
+    // reference table (FrozenBaseline, measured under this exact
+    // harness), plus the list of rows over the 2x gate — so a round's
+    // BENCH JSON carries its own gate verdict instead of requiring a
+    // cross-document join against an accreted BASELINE.md.
+    val ratios = results.flatMap { case (k, v) =>
+      FrozenBaseline.sec.get(k).map(f => k -> v / f)
+    }
+    val vsFrozen = ratios
+      .map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val over2x = ratios.filter(_._2 > 2.0).map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val frozenTotal = results
+      .flatMap { case (k, _) => FrozenBaseline.sec.get(k) }.sum
+    val totalRatio =
+      if (frozenTotal > 0) f"${total / frozenTotal}%.3f" else "null"
     // Approximate-path quality, tracked per round alongside speed.
     // Two recalls, because they answer different questions:
     //  - corpus: fraction of brute-force (exact) top-k pairs the LSH
@@ -137,7 +154,7 @@ object Bench {
         }.mkString("{", ",", "}")
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"stream_timing":$streamTiming,"recall":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_lsh_planted_twin_top1":$recallPlanted}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_lsh_planted_twin_top1":$recallPlanted}}"""
     // The artifact must not depend on a bounded stdout tail surviving
     // (round 5's driver capture lost 25 queries mid-JSON): write the
     // full JSON to a stable file, then print it, with the path as the
