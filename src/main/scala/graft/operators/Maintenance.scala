@@ -136,10 +136,48 @@ object Maintenance {
       .orderBy($"bucket")
   }
 
+  /** Buckets in the stats-derived histogram. */
+  val ANALYZED_BUCKETS = 64
+
+  /** The full production ANALYZE loop [[histogram]]'s docstring
+    * gestures at: pass 1 is [[tableStats]] itself (ONE scan), whose
+    * o_totalprice min/max — a single bounded row collected to the
+    * driver — derive the bucket width; pass 2 buckets the table by
+    * that width in ONE more scan. Two scans total, each individually
+    * pinned to one scan; no third.
+    *
+    * Determinism across engines: the width is computed from the stats
+    * pass's ROUNDED min/max (2dp — safe on 2-decimal money, never an
+    * exact .xx5 halfway) with identical IEEE double arithmetic on both
+    * sides ((mx-mn)/64, (v-mn)/w, floor, and bucket*w+mn reassembly),
+    * so buckets and bounds hash-match with no further rounding. The
+    * max row lands in the last bucket via least(.., 63) — the standard
+    * closed-top-bucket convention. */
+  def histogramFromStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (mn, mx) = tableStats(s, dir)
+      .filter($"column_name" === "o_totalprice")
+      .select($"min_v", $"max_v").as[(Double, Double)]
+      .collect().head
+    require(mx > mn, s"degenerate o_totalprice range [$mn, $mx]")
+    val w = (mx - mn) / ANALYZED_BUCKETS
+    Tables(s, dir, "orders")
+      .select(least(floor(($"o_totalprice" - mn) / w),
+        lit(ANALYZED_BUCKETS - 1L)).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"))
+      .select($"bucket",
+        ($"bucket" * w + mn).as("lo"),
+        (($"bucket" + 1) * w + mn).as("hi"),
+        $"n_rows")
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compact_files" -> (compactFiles _),
     "maint_table_stats" -> (tableStats _),
     "maint_histogram" -> (histogram _),
+    "maint_histogram_analyzed" -> (histogramFromStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -160,6 +198,20 @@ object Maintenance {
         | round((floor(o_totalprice / 10000.0) + 1) * 10000.0, 1) AS hi,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM orders GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
+    // replays BOTH passes: the stats CTE re-derives the rounded
+    // min/max the Spark side took from its tableStats pass, then the
+    // identical IEEE bucket/bounds arithmetic
+    "maint_histogram_analyzed" ->
+      """WITH s AS (SELECT round(min(o_totalprice), 2) AS mn,
+        |  round(max(o_totalprice), 2) AS mx FROM orders),
+        |p AS (SELECT mn, (mx - mn) / 64 AS w FROM s),
+        |b AS (SELECT least(CAST(floor((o.o_totalprice - p.mn) / p.w)
+        |    AS BIGINT), 63) AS bucket
+        |  FROM orders o, p)
+        |SELECT b.bucket, b.bucket * p.w + p.mn AS lo,
+        |  (b.bucket + 1) * p.w + p.mn AS hi,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM b, p GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
     "maint_table_stats" ->
       """SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
         | CAST(n_nonnull AS BIGINT) AS n_nonnull,

@@ -288,6 +288,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(2500))
   }
 
+  test("maint_histogram_analyzed bucketing pass adds ONE scan, no third") {
+    // pass 1 (tableStats) runs eagerly inside the builder and is
+    // already pinned to one scan above; the returned plan is pass 2 —
+    // it must be a single further scan with map-side combined counts
+    val plan = planOf(Maintenance.histogramFromStats(spark, dir))
+    assert(scanCount(plan) == 1, plan.take(2500))
+    assert(plan.contains("partial_count"), plan.take(2500))
+  }
+
   test("compaction is shuffle-free: coalesce, never an exchange") {
     val root = Maintenance.ensure(spark, dir)
     val plan = planOf(spark.read.parquet(s"$root/fragmented").coalesce(2))
