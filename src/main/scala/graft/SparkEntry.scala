@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AltSources, AsofJoin, Bucketed, Curation,
+import graft.operators.{AltSources, AsofJoin, Bucketed, Cdc, Curation,
   Decontaminate, Dedup, EngineQueries, Maintenance, Multimodal,
   Partitioned, RangeJoin, Relational, Similarity, StreamBatch,
   TextAnalysis}
@@ -24,7 +24,7 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       AsofJoin.queries ++ Curation.queries ++ RangeJoin.queries ++
       StreamBatch.queries ++ Decontaminate.queries ++ Bucketed.queries ++ Partitioned.queries ++ AltSources.queries ++
-      Maintenance.queries
+      Maintenance.queries ++ Cdc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       AsofJoin.oracles ++ Curation.oracles ++ RangeJoin.oracles ++
       StreamBatch.oracles ++ Decontaminate.oracles ++ Bucketed.oracles ++ Partitioned.oracles ++ AltSources.oracles ++
-      Maintenance.oracles
+      Maintenance.oracles ++ Cdc.oracles
 }

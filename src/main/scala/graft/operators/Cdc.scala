@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** CDC upsert/MERGE — the lakehouse write-path operator the
+  * MetadataStore's compacted log gestures at ("at scale this is a
+  * Delta MERGE", MetadataStore.scala): apply a keyed change feed
+  * (updates + deletes) to a base table, latest-per-key wins.
+  *
+  * Scale shape: the production MERGE is a per-key reconciliation —
+  * base joined to changes on the key. The join carries NO hint: a
+  * typical CDC batch is tiny relative to the base, so AQE broadcasts
+  * it and the base table never shuffles (one scan, no exchange); a
+  * backfill-sized change set flips to a shuffle join, which is then
+  * the right plan. Deletes filter, updates coalesce column-wise —
+  * no window, no sort until the bounded output.
+  *
+  * The change feed here is derived deterministically from the base
+  * (keys ending in 3 get a price update, keys ending in 7 a delete)
+  * so the DuckDB oracle replays feed + merge from first principles;
+  * the output is the per-priority rollup of the merged table — five
+  * bounded rows that are wrong if any update was missed, any delete
+  * survived, or any untouched row was altered.
+  */
+object Cdc {
+
+  def upsertApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    // the synthetic CDC batch: U rows re-price, D rows tombstone
+    val changes = Tables(s, dir, "orders")
+      .filter($"o_orderkey" % 10 === 3 || $"o_orderkey" % 10 === 7)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 10 === 3, "U").otherwise("D").as("op"),
+        round($"o_totalprice" + 1000.0, 2).as("new_totalprice"))
+    val merged = base.join(changes, Seq("o_orderkey"), "left")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select($"o_orderkey", $"o_orderpriority",
+        coalesce($"new_totalprice", $"o_totalprice").as("o_totalprice"))
+    merged.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum($"o_totalprice"), 2).as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_upsert_apply" -> (upsertApply _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_upsert_apply" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE 'D' END AS op,
+        |    round(o_totalprice + 1000.0, 2) AS new_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 10 = 3 OR o_orderkey % 10 = 7),
+        |merged AS (
+        |  SELECT b.o_orderkey, b.o_orderpriority,
+        |    coalesce(c.new_totalprice, b.o_totalprice) AS o_totalprice
+        |  FROM orders b LEFT JOIN changes c USING (o_orderkey)
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+  )
+}

@@ -232,7 +232,58 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** Corpus-lexicon vocabulary size for [[vocabCoverage]]. */
+  val VOCAB_V = 30
+
+  /** Corpus-derived lexicon quality score (the CCNet-style idea —
+    * score documents by how well their tokens match a language model
+    * built FROM the corpus — with the LM reduced to a top-V unigram
+    * lexicon so every number is integer-exact and oracle-replayable;
+    * a real deployment swaps in a KenLM scorer at the same two-pass
+    * shape):
+    *
+    *  - pass 1 builds the lexicon: token counts in ONE scan (map-side
+    *    combined, shuffle O(distinct tokens)), then the top-V by
+    *    (count DESC, token ASC) via sort+limit — which plans as
+    *    TakeOrderedAndProject, a bounded per-partition heap, NOT a
+    *    global sort (the q8 property). Only the V-row lexicon is
+    *    collected and broadcast — bounded at any corpus size, the
+    *    same contract as the kmeans centroids.
+    *  - pass 2 scores: tokens explode, broadcast-join the lexicon,
+    *    one partial-aggregated groupBy(doc_id). Per-token credit is
+    *    the QUANTIZED inverse rank `floor(1e9/rank + 0.5)` summed as
+    *    a LONG — double summation order across shuffled rows is
+    *    nondeterministic, integer summation is exact and commutative,
+    *    so the score hash-matches under any partitioning (same trick
+    *    as the samplers' integer ranks; a float mean here would be
+    *    the one nondeterminism in the whole text family).
+    *
+    * Output per doc: token count, in-lexicon count, and the integer
+    * score (callers derive coverage = n_in_vocab/n_tokens and the
+    * mean-credit quality themselves — emitting the raw integers
+    * instead of a rounded ratio sidesteps the .xxx5 half-even
+    * divergence documented in the verify gotchas). */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def toks = Tables(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val top = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(VOCAB_V)
+      .as[(String, Long)].collect() // bounded: V rows
+    val vocab = top.zipWithIndex
+      .map { case ((w, _), i) => (w, i + 1L) }
+      .toSeq.toDF("w", "rank")
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count($"rank").as("n_in_vocab"),
+        coalesce(sum(floor(lit(1.0e9) / $"rank" + 0.5).cast("long")),
+          lit(0L)).as("score_q"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> (vocabCoverage _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
@@ -244,6 +295,24 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // lexicon ranks replayed with the same (count DESC, token ASC)
+    // total order; the quantized inverse-rank credit is identical IEEE
+    // division + floor, summed in exact integer arithmetic
+    "text_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         |vocab AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rank
+         |  FROM cnt ORDER BY c DESC, w LIMIT $VOCAB_V)
+         |SELECT t.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(v.rank) AS BIGINT) AS n_in_vocab,
+         |  CAST(coalesce(sum(
+         |    CAST(floor(1000000000.0 / v.rank + 0.5) AS BIGINT)), 0)
+         |    AS BIGINT) AS score_q
+         |FROM tok t LEFT JOIN vocab v ON t.w = v.w
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

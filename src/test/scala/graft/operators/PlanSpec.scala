@@ -275,6 +275,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("text_vocab_coverage scoring pass: broadcast lexicon, no window") {
+    val plan = planOf(TextAnalysis.vocabCoverage(spark, dir))
+    // only the bounded V-row lexicon broadcasts; the corpus side
+    // partial-aggregates per doc — never a corpus-wide sort
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("cdc_upsert_apply merges without window, sort, or cartesian") {
+    val plan = planOf(Cdc.upsertApply(spark, dir))
+    // per-key reconciliation is a plain equi-join (AQE picks broadcast
+    // when the change batch is small); deletes filter, updates
+    // coalesce — a window/latest-per-key shape here would sort the
+    // base table for nothing
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Cartesian"), plan.take(3000))
+    assert(plan.contains("Join"), plan.take(3000))
+  }
+
   test("maint_table_stats reads orders once, not once per column") {
     val plan = planOf(Maintenance.tableStats(spark, dir))
     assert(scanCount(plan) == 1, plan.take(3000))
