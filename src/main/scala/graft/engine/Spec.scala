@@ -340,7 +340,7 @@ object SpecCodec {
     "literalValue" -> m.literalValue,
     "sourceVariable" -> m.sourceVariable.map(assignTree).orNull)
 
-  private def edgeTree(e: Edge): ListMap[String, Any] = ListMap(
+  private[engine] def edgeTree(e: Edge): ListMap[String, Any] = ListMap(
     "sourceNodeName" -> e.sourceNodeName,
     "sinkNodeName" -> e.sinkNodeName,
     "condition" -> e.condition.map(c => ListMap[String, Any](

@@ -219,6 +219,129 @@ object StateCodec {
     "failureReason" -> t.failureReason.orNull,
     "failureMessage" -> t.failureMessage.orNull)
 
+  // ---- SDK-shape export (lhctl-compatible WFRunSchema documents) ----
+
+  /** Render a run snapshot in the reference SDK's serialized
+    * `WFRunSchema` shape (lhctl/lh_lib/schema/wf_run_schema.py:130-146
+    * and nested models) — camelCase aliases, explicit nulls,
+    * model-declaration field order, enum strings, ISO-8601 UTC
+    * datetimes — so tooling that consumes `lhctl get WFRun` documents
+    * reads this engine's state without modification. The internal
+    * [[encode]] stays the state-store format (it round-trips through
+    * [[decode]]); this is the EXPORT surface.
+    *
+    * Needs the [[WFSpec]] for two wire fields the internal snapshot
+    * does not carry: per-taskRun `nodeType` (TaskRunSchema, :43-70 —
+    * looked up from the node the taskRun names) and `wfSpecId`
+    * (TaskRunSchema carries it per task; = spec.objectId). */
+  def encodeSdk(s: WFRunState, spec: WFSpec): String =
+    render(sdkRunTree(s, spec))
+
+  private def isoUtc(millis: Long): String =
+    java.time.OffsetDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(millis),
+        java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
+
+  private def isoOrNull(t: Option[Long]): Any =
+    t.map(isoUtc).orNull
+
+  /** Field order: WFRunSchema (wf_run_schema.py:130-146). */
+  private def sdkRunTree(s: WFRunState, spec: WFSpec): ListMap[String, Any] =
+    ListMap(
+      "created" -> isoOrNull(s.startTime),
+      "objectId" -> s.objectId,
+      "wfSpecName" -> s.wfSpecName,
+      "wfSpecDigest" -> s.wfSpecDigest,
+      "threadRuns" -> s.threadRuns.map(sdkThreadTree(_, s, spec)).toVector,
+      "status" -> s.status,
+      "startTime" -> isoOrNull(s.startTime),
+      "endTime" -> isoOrNull(s.endTime),
+      "errorCode" -> s.errorCode.orNull,
+      "errorMessage" -> s.errorMessage.orNull,
+      "correlatedEvents" -> (if (s.correlatedEvents.isEmpty) null
+        else ListMap.from(s.correlatedEvents.map { case (k, cs) =>
+          k -> cs.map(sdkCorrelTree).toVector
+        })),
+      "pendingInterrupts" -> null)
+
+  /** Field order: ThreadRunSchema (wf_run_schema.py:80-98). */
+  private def sdkThreadTree(
+      t: ThreadRunState, s: WFRunState, spec: WFSpec): ListMap[String, Any] =
+    ListMap(
+      "threadSpecName" -> t.threadSpecName,
+      "upNext" -> t.upNext.map(p => ListMap[String, Any](
+        // UpNextPair order (wf_run_schema.py:30-32)
+        "edge" -> SpecCodec.edgeTree(p.edge),
+        "attemptNumber" -> p.attemptNumber)).toVector,
+      "status" -> t.status,
+      "variables" -> ListMap.from(t.variables),
+      "id" -> t.id,
+      "parentThreadId" -> t.parentThreadId.map(x => x: Any).orNull,
+      "childThreadIds" -> t.childThreadIds.toVector,
+      "activeInterruptThreadIds" -> t.activeInterruptThreadIds.toVector,
+      "handledInterruptThreadIds" -> t.handledInterruptThreadIds.toVector,
+      "taskRuns" -> t.taskRuns.map(sdkTaskTree(_, s, spec)).toVector,
+      "errorMessage" -> (if (t.errorMessage.isEmpty) null
+        else t.errorMessage),
+      "isInterruptThread" -> t.isInterruptThread,
+      "variableLocks" -> ListMap.from(
+        t.variableLocks.toSeq.sortBy(_._1)
+          .map { case (k, v) => k -> (v: Any) }),
+      "haltReasons" -> (if (t.haltReasons.isEmpty) null
+        else t.haltReasons.toVector))
+
+  /** Field order: TaskRunSchema (wf_run_schema.py:43-70). `returncode`
+    * is one word on the wire (not returnCode); `nodeType` is looked up
+    * from the spec node this taskRun names. */
+  private def sdkTaskTree(
+      t: TaskRunState, s: WFRunState, spec: WFSpec): ListMap[String, Any] = {
+    val nodeType = spec.threadSpecs.valuesIterator
+      .flatMap(_.nodes.get(t.nodeName)).map(_.nodeType)
+      .nextOption().getOrElse(NodeType.TASK)
+    ListMap(
+      "position" -> t.position,
+      "number" -> t.number,
+      "wfSpecId" -> spec.objectId,
+      "wfSpecName" -> s.wfSpecName,
+      "threadId" -> t.threadId,
+      "attemptNumber" -> t.attemptNumber,
+      "taskDefVersionNumber" ->
+        (if (t.taskDefVersionNumber < 0) null else t.taskDefVersionNumber),
+      "nodeName" -> t.nodeName,
+      "workerId" -> t.workerId,
+      "stdin" -> t.stdin,
+      "stdout" -> t.stdout,
+      "stderr" -> t.stderr,
+      "returncode" -> t.returnCode,
+      "scheduleTime" -> isoOrNull(t.scheduleTime),
+      "startTime" -> isoOrNull(t.startTime),
+      "endTime" -> isoOrNull(t.endTime),
+      "failureReason" -> t.failureReason.orNull,
+      "failureMessage" -> t.failureMessage.orNull,
+      "nodeType" -> nodeType,
+      "status" -> t.status)
+  }
+
+  /** Field order: ExternalEventCorrelSchema (wf_run_schema.py:114-119);
+    * `assignedThreadId` is a STRING on the wire (the SDK model's
+    * declared type — a reference quirk preserved as-is). */
+  private def sdkCorrelTree(c: EventCorrel): ListMap[String, Any] = ListMap(
+    "event" -> ListMap[String, Any](
+      "externalEventDefId" -> c.event.externalEventDefId,
+      "externalEventDefName" -> c.event.externalEventDefName,
+      "content" -> c.event.content,
+      "timestamp" ->
+        (if (c.event.timestamp == 0L) null else isoUtc(c.event.timestamp))),
+    "assignedTaskRunExecutionNumber" ->
+      (if (c.assignedTaskRunExecutionNumber < 0) null
+       else c.assignedTaskRunExecutionNumber),
+    "assignedNodeName" -> c.assignedNodeName.orNull,
+    "assignedThreadId" ->
+      (if (c.assignedThreadId < 0) null else c.assignedThreadId.toString),
+    "arrivalTime" -> isoUtc(c.arrivalTime))
+
   // ---- decode (state-store round trip) ----
 
   def decode(json: String): WFRunState = {

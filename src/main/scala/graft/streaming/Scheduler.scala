@@ -383,4 +383,26 @@ object StateTable {
   /** Q1: point lookup by run id. */
   def byId(latestSnapshots: DataFrame, id: String): DataFrame =
     latestSnapshots.filter(col("wfRunId") === id)
+
+  /** lhctl-compatible export: each latest snapshot re-rendered in the
+    * reference SDK's serialized `WFRunSchema` shape
+    * ([[graft.engine.StateCodec.encodeSdk]]) so downstream tooling that
+    * reads `lhctl get WFRun` documents consumes this engine's state
+    * unchanged. Distributed per-row map over the snapshot frame; only
+    * the deployed-spec map (small metadata) broadcasts. */
+  def sdkExport(
+      latestSnapshots: DataFrame,
+      specs: Map[String, graft.engine.WFSpec]): DataFrame = {
+    val spark = latestSnapshots.sparkSession
+    import spark.implicits._
+    val specsB = spark.sparkContext.broadcast(specs)
+    latestSnapshots.select(col("wfRunId"), col("json")).as[(String, String)]
+      .map { case (id, json) =>
+        val st = StateCodec.decode(json)
+        val spec = specsB.value.getOrElse(st.wfSpecName,
+          throw new graft.engine.VarSubError(
+            s"no deployed spec named ${st.wfSpecName}"))
+        (id, StateCodec.encodeSdk(st, spec))
+      }.toDF("wfRunId", "sdk_json")
+  }
 }
