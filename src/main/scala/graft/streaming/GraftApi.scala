@@ -1,0 +1,226 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+
+import graft.engine._
+import graft.streaming.bus.GraftBus
+
+/** The reference's HTTP API surface as a facade over the Spark-native
+  * pieces — every route a reference deployment serves, with the same
+  * semantics and the same `LHRPCResponse` wire envelope
+  * (lhctl/lh_lib/schema/lh_rpc_response_schema.py:15-19; route
+  * registration at GETApi.java:26-49, POSTApi.java:33-36,
+  * WFRun.overridePostAPIEndpoints, WFRun.java:308-318):
+  *
+  *  - `POST /{Type}`            → [[postResource]] (validate + persist)
+  *  - `DELETE /{Type}/{id}`     → [[deleteResource]]
+  *  - `GET /{Type}/{id}`        → [[get]] (name-or-id fallback = Q8)
+  *  - `GET /{Type}All`          → [[getAll]]
+  *  - `GET /WFRun/{id}`         → [[getWfRun]] (SDK WFRunSchema shape)
+  *  - `GET /WFRunAlias/{k}/{v}` → [[getWfRunAlias]] (Q2/Q9 search)
+  *  - `POST /WFRun`             → [[postRun]]
+  *  - `POST /externalEvent/{defId}/{wfRunId}` → [[postEvent]]
+  *  - `POST /WFRun/stop/{wfRunId}/{tid}`      → [[postStop]]
+  *  - `POST /WFRun/resume/{wfRunId}/{tid}`    → [[postResume]]
+  *
+  * HTTP itself is out of scope (the reference's Javalin server is
+  * deployment plumbing Spark doesn't need); the METHODS are the API.
+  * Run-state reads go through the per-spec state topics the scheduler
+  * sink writes — the same documents a real consumer would read.
+  */
+class GraftApi(
+    spark: SparkSession, store: MetadataStore, busRoot: String) {
+
+  // ---- LHRPCResponse envelope (model field order) ----
+
+  object RpcStatus {
+    val OK = "OK"
+    val VALIDATION_ERROR = "VALIDATION_ERROR"
+    val OBJECT_NOT_FOUND = "OBJECT_NOT_FOUND"
+    val INTERNAL_ERROR = "INTERNAL_ERROR"
+  }
+
+  private def response(
+      status: String,
+      objectId: Option[String] = None,
+      result: Any = null,
+      message: Option[String] = None): String =
+    LHJson.render(ListMap[String, Any](
+      "message" -> message.orNull,
+      "status" -> status,
+      "objectId" -> objectId.orNull,
+      "result" -> result))
+
+  /** Status of a rendered response (spec/test convenience). */
+  def statusOf(responseJson: String): String =
+    LHJson.parse(responseJson).asInstanceOf[ListMap[String, Any]]("status")
+      .asInstanceOf[String]
+
+  // ---- metadata routes ----
+
+  /** POST /{Type}: decode + validate + persist; VALIDATION_ERROR with
+    * the validator's message on a bad document, like POSTApi.post
+    * (POSTApi.java:40-87). */
+  def postResource(kind: String, json: String): String =
+    try {
+      val id = kind match {
+        case store.Kind.WFSpec => store.postWfSpec(json).objectId
+        case store.Kind.TaskDef => store.postTaskDef(json).objectId
+        case store.Kind.ExternalEventDef =>
+          store.postExternalEventDef(json).objectId
+        case other =>
+          return response(RpcStatus.VALIDATION_ERROR,
+            message = Some(s"unknown resource type $other"))
+      }
+      response(RpcStatus.OK, Some(id), LHJson.parse(json))
+    } catch {
+      case e: SpecValidationError =>
+        response(RpcStatus.VALIDATION_ERROR, message = Some(e.getMessage))
+    }
+
+  /** DELETE /{Type}/{id} (tombstone). */
+  def deleteResource(kind: String, id: String): String = {
+    if (store.getById(kind, id).isEmpty)
+      response(RpcStatus.OBJECT_NOT_FOUND, Some(id))
+    else { store.delete(kind, id); response(RpcStatus.OK, Some(id)) }
+  }
+
+  /** GET /{Type}/{id} with the reference's name-or-id fallback
+    * (LHDatabaseClient.getByNameOrId). */
+  def get(kind: String, key: String): String =
+    store.getByNameOrId(kind, key) match {
+      case Some(doc) => response(RpcStatus.OK, Some(key), LHJson.parse(doc))
+      case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(key))
+    }
+
+  /** GET /{Type}All. */
+  def getAll(kind: String): String =
+    response(RpcStatus.OK, None, store.getAllIds(kind).sorted.toVector)
+
+  // ---- run-state routes (read the scheduler's state topics) ----
+
+  private def snapshotFrame(): DataFrame = {
+    import spark.implicits._
+    val stateTopics = GraftBus.topics(busRoot)
+      .filter(_.startsWith(Scheduler.STATE_TOPIC_PREFIX))
+    val rows = for {
+      topic <- stateTopics
+      p <- GraftBus.partitions(busRoot, topic)
+      rec <- GraftBus.read(busRoot, topic, p, 0,
+        GraftBus.nextOffset(busRoot, topic, p))
+    } yield (rec.key, rec.value, rec.offset)
+    rows.toDF("wfRunId", "json", "seq")
+  }
+
+  /** GET /WFRun/{id}: the latest snapshot, exported in the SDK's
+    * serialized WFRunSchema shape so lhctl-family tooling reads it
+    * unchanged. */
+  def getWfRun(id: String): String = {
+    val latest = StateTable.byId(StateTable.latest(snapshotFrame()), id)
+      .select("json").collect().headOption.map(_.getString(0))
+    latest match {
+      case Some(json) =>
+        val st = StateCodec.decode(json)
+        store.deployedSpecs().get(st.wfSpecName) match {
+          case Some(spec) => response(RpcStatus.OK, Some(id),
+            LHJson.parse(StateCodec.encodeSdk(st, spec)))
+          case None => response(RpcStatus.INTERNAL_ERROR, Some(id),
+            message = Some(s"spec ${st.wfSpecName} not deployed"))
+        }
+      case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(id))
+    }
+  }
+
+  /** GET /WFRunAlias/{key}/{value}: Q2/Q9 variable search — every
+    * String-valued variable is an index alias (WFRun.getAliases). */
+  def getWfRunAlias(key: String, value: String): String = {
+    import spark.implicits._
+    val ids = StateTable
+      .searchByVariable(StateTable.latest(snapshotFrame()), key, value)
+      .as[String].collect().sorted.toVector
+    response(RpcStatus.OK, None, ids)
+  }
+
+  // ---- run-lifecycle routes (produce to the spec's event topic) ----
+
+  private def eventTopic(spec: WFSpec) = s"wfEvents__${spec.name}"
+
+  private def now() = System.currentTimeMillis()
+
+  /** POST /WFRun: resolve the spec (name-or-id), produce
+    * WF_RUN_STARTED. Returns the new run id as objectId. */
+  def postRun(
+      wfSpecKey: String,
+      variables: ListMap[String, Any] = ListMap.empty,
+      wfRunId: Option[String] = None): String =
+    store.getByNameOrId(store.Kind.WFSpec, wfSpecKey) match {
+      case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(wfSpecKey))
+      case Some(doc) =>
+        val spec = SpecCodec.decode(doc)
+        val runId = wfRunId.getOrElse(
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+        GraftBus.send(busRoot, eventTopic(spec), runId,
+          EventCodec.encodeWFEvent(WFEvent(
+            spec.objectId, spec.name, runId, now(), 0,
+            WFEventType.WF_RUN_STARTED,
+            EventCodec.encodeRunRequest(
+              WFRunRequest(variables, spec.objectId, Some(runId))))))
+        response(RpcStatus.OK, Some(runId))
+    }
+
+  /** POST /externalEvent/{externalEventDefId}/{wfRunId}: wrap the
+    * payload in the ExternalEventPayload envelope, broadcast threadId
+    * -1 (WFRunApiStuff.postEvent). The run's spec is resolved from its
+    * latest snapshot. */
+  def postEvent(externalEventDefId: String, wfRunId: String,
+      content: Any): String = {
+    val latest = StateTable.byId(StateTable.latest(snapshotFrame()), wfRunId)
+      .select("json").collect().headOption.map(_.getString(0))
+    latest match {
+      case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(wfRunId))
+      case Some(json) =>
+        val st = StateCodec.decode(json)
+        store.deployedSpecs().get(st.wfSpecName) match {
+          case None => response(RpcStatus.INTERNAL_ERROR, Some(wfRunId),
+            message = Some(s"spec ${st.wfSpecName} not deployed"))
+          case Some(spec) =>
+            val t = now()
+            GraftBus.send(busRoot, eventTopic(spec), wfRunId,
+              EventCodec.encodeWFEvent(WFEvent(
+                spec.objectId, spec.name, wfRunId, t, -1,
+                WFEventType.EXTERNAL_EVENT,
+                EventCodec.encodeExternalEvent(ExternalEventPayload(
+                  externalEventDefId, externalEventDefId, content, t)))))
+            response(RpcStatus.OK, Some(wfRunId))
+        }
+    }
+  }
+
+  private def lifecycle(wfRunId: String, tid: Int, evType: String): String = {
+    val latest = StateTable.byId(StateTable.latest(snapshotFrame()), wfRunId)
+      .select("json").collect().headOption.map(_.getString(0))
+    latest match {
+      case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(wfRunId))
+      case Some(json) =>
+        val st = StateCodec.decode(json)
+        store.deployedSpecs().get(st.wfSpecName) match {
+          case None => response(RpcStatus.INTERNAL_ERROR, Some(wfRunId),
+            message = Some(s"spec ${st.wfSpecName} not deployed"))
+          case Some(spec) =>
+            GraftBus.send(busRoot, eventTopic(spec), wfRunId,
+              EventCodec.encodeWFEvent(WFEvent(
+                spec.objectId, spec.name, wfRunId, now(), tid, evType, "")))
+            response(RpcStatus.OK, Some(wfRunId))
+        }
+    }
+  }
+
+  /** POST /WFRun/stop/{wfRunId}/{tid}. */
+  def postStop(wfRunId: String, tid: Int): String =
+    lifecycle(wfRunId, tid, WFEventType.WF_RUN_STOP_REQUEST)
+
+  /** POST /WFRun/resume/{wfRunId}/{tid}. */
+  def postResume(wfRunId: String, tid: Int): String =
+    lifecycle(wfRunId, tid, WFEventType.WF_RUN_RESUME_REQUEST)
+}

@@ -1,0 +1,195 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.immutable.ListMap
+
+import graft.engine._
+import graft.streaming.bus.GraftBus
+
+/** The reference's API surface, exercised route-by-route through
+  * [[GraftApi]] over the REAL bus topology: POST resources (incl. the
+  * validation-rejection and not-found paths), POST /WFRun, the
+  * external-event route, stop/resume, point GET in the SDK WFRunSchema
+  * shape, and alias search — every response in the LHRPCResponse
+  * envelope. This is the "a reference user could switch" test: the
+  * exact call sequence `lhctl deploy && lhctl run && lhctl send-event
+  * && lhctl get WFRun` performs, against Spark. */
+class GraftApiSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.session
+
+  private def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/wirespecs/$name.json")
+    require(in != null, s"missing fixture $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def parse(json: String): ListMap[String, Any] =
+    LHJson.parse(json).asInstanceOf[ListMap[String, Any]]
+
+  private def now() = System.currentTimeMillis()
+
+  test("full reference API lifecycle over bus topics") {
+    val busRoot = Files.createTempDirectory("graft-api-bus").toString
+    val ckpt = Files.createTempDirectory("graft-api-ckpt").toString
+    val metaRoot = Files.createTempDirectory("graft-api-meta").toString
+
+    val store = new MetadataStore(spark, metaRoot)
+    val api = new GraftApi(spark, store, busRoot)
+
+    // -- POST /{Type}: envelope field order + OK / VALIDATION_ERROR --
+    val posted = api.postResource(store.Kind.WFSpec, fixture("basic_wf"))
+    assert(parse(posted).keys.toSeq ==
+      Seq("message", "status", "objectId", "result"))
+    assert(api.statusOf(posted) == api.RpcStatus.OK)
+    assert(parse(posted)("objectId") == "my_workflow")
+    assert(api.statusOf(api.postResource(store.Kind.WFSpec,
+      fixture("malformed_missing_node"))) == api.RpcStatus.VALIDATION_ERROR)
+    assert(api.statusOf(api.postResource(store.Kind.TaskDef,
+      fixture("taskdef_greet"))) == api.RpcStatus.OK)
+    assert(api.statusOf(api.postResource(store.Kind.ExternalEventDef,
+      fixture("externaleventdef_my_name"))) == api.RpcStatus.OK)
+
+    // -- GET /{Type}/{id} + /{Type}All + not-found --
+    assert(api.statusOf(api.get(store.Kind.TaskDef, "basic_wf-greet"))
+      == api.RpcStatus.OK)
+    assert(api.statusOf(api.get(store.Kind.TaskDef, "ghost"))
+      == api.RpcStatus.OBJECT_NOT_FOUND)
+    assert(parse(api.getAll(store.Kind.WFSpec))("result")
+      == Vector("my_workflow"))
+
+    // deploy = the streaming query picks up deployedSpecs (Q6)
+    val events = Scheduler.busEventSource(spark, busRoot, "wfEvents__.*")
+    val outputs = Scheduler(events, store.deployedSpecs())
+    val query = Scheduler.busWireSink(outputs, busRoot, ckpt)
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+
+    // loopback worker for the two basic_wf tasks
+    @volatile var workerStop = false
+    val worker = new Thread(() => {
+      var cursor = Map.empty[(String, Int), Long]
+      val topics = Seq("basic_wf-ask_for_name", "basic_wf-greet")
+      while (!workerStop) {
+        for (topic <- topics; p <- GraftBus.partitions(busRoot, topic)) {
+          val from = cursor.getOrElse((topic, p), 0L)
+          val until = GraftBus.nextOffset(busRoot, topic, p)
+          GraftBus.read(busRoot, topic, p, from, until).foreach { rec =>
+            val tsr = EventCodec.decodeTsr(rec.value)
+            val out = topic match {
+              case "basic_wf-ask_for_name" => "Hey what's your name?"
+              case _ => s"Hello there, ${tsr.variableSubstitutions
+                .getOrElse("name", null)}!"
+            }
+            val t = now()
+            Seq(
+              TaskRunEvent(tsr.threadId, tsr.taskRunPosition, t, 0,
+                Some(TaskRunStartedPayload("api-worker", None)), None),
+              TaskRunEvent(tsr.threadId, tsr.taskRunPosition, t + 1, 0, None,
+                Some(TaskRunEndedPayload(TaskRunResult(
+                  Some(LHJson.render(out)), None, success = true, 0))))
+            ).zipWithIndex.foreach { case (tre, i) =>
+              GraftBus.send(busRoot, s"wfEvents__my_workflow", tsr.wfRunId,
+                EventCodec.encodeWFEvent(WFEvent(
+                  "my_workflow", "my_workflow", tsr.wfRunId, t + i,
+                  tsr.threadId, WFEventType.TASK_EVENT,
+                  EventCodec.encodeTaskRunEvent(tre))))
+            }
+          }
+          cursor += (topic, p) -> until
+        }
+        Thread.sleep(50)
+      }
+    })
+    worker.setDaemon(true)
+
+    def await(what: String)(pred: () => Boolean): Unit = {
+      val deadline = now() + 30000
+      while (!pred() && now() < deadline) Thread.sleep(150)
+      assert(pred(), s"timed out waiting for $what")
+    }
+    def runDoc(id: String): Option[ListMap[String, Any]] = {
+      val r = parse(api.getWfRun(id))
+      if (r("status") == api.RpcStatus.OK)
+        Some(r("result").asInstanceOf[ListMap[String, Any]])
+      else None
+    }
+    def runStatus(id: String): Option[String] =
+      runDoc(id).map(_("status").asInstanceOf[String])
+
+    try {
+      worker.start()
+
+      // -- POST /WFRun (name-or-id resolution; not-found path) --
+      assert(api.statusOf(api.postRun("ghost_spec"))
+        == api.RpcStatus.OBJECT_NOT_FOUND)
+      val started = parse(api.postRun("my_workflow",
+        wfRunId = Some("api-run-1")))
+      assert(started("status") == api.RpcStatus.OK)
+      assert(started("objectId") == "api-run-1")
+
+      // run reaches the WAIT-EVENT node
+      await("first task completion")(() => runDoc("api-run-1").exists { d =>
+        d("threadRuns").asInstanceOf[Vector[Any]].head
+          .asInstanceOf[ListMap[String, Any]]("taskRuns")
+          .asInstanceOf[Vector[Any]].exists(t =>
+            t.asInstanceOf[ListMap[String, Any]]("status") == "COMPLETED")
+      })
+
+      // -- POST /externalEvent/{defId}/{wfRunId} --
+      assert(api.statusOf(api.postEvent("my-name", "ghost-run", "x"))
+        == api.RpcStatus.OBJECT_NOT_FOUND)
+      assert(api.statusOf(api.postEvent("my-name", "api-run-1", "Obi-Wan"))
+        == api.RpcStatus.OK)
+      await("run completion")(() => runStatus("api-run-1")
+        .contains(Status.COMPLETED))
+
+      // -- GET /WFRun/{id}: the document is the SDK WFRunSchema shape --
+      val doc = runDoc("api-run-1").get
+      assert(doc.keys.toSeq.take(5) == Seq("created", "objectId",
+        "wfSpecName", "wfSpecDigest", "threadRuns"))
+      val thr = doc("threadRuns").asInstanceOf[Vector[Any]].head
+        .asInstanceOf[ListMap[String, Any]]
+      assert(thr("variables").asInstanceOf[ListMap[String, Any]]
+        ("my_name_var") == "Obi-Wan")
+
+      // -- GET /WFRunAlias/{key}/{value} --
+      val found = parse(api.getWfRunAlias("my_name_var", "Obi-Wan"))
+      assert(found("result") == Vector("api-run-1"))
+      assert(parse(api.getWfRunAlias("my_name_var", "nobody"))("result")
+        == Vector())
+
+      // -- stop / resume round-trip on a second run --
+      assert(parse(api.postRun("my_workflow",
+        wfRunId = Some("api-run-2")))("status") == api.RpcStatus.OK)
+      await("run-2 waiting for event")(() => runDoc("api-run-2").exists { d =>
+        d("threadRuns").asInstanceOf[Vector[Any]].head
+          .asInstanceOf[ListMap[String, Any]]("taskRuns")
+          .asInstanceOf[Vector[Any]].nonEmpty
+      })
+      assert(api.statusOf(api.postStop("api-run-2", 0)) == api.RpcStatus.OK)
+      await("run-2 halted")(() => runStatus("api-run-2")
+        .exists(s => s == Status.HALTED || s == Status.HALTING))
+      assert(api.statusOf(api.postResume("api-run-2", 0)) == api.RpcStatus.OK)
+      await("run-2 running again")(() => runStatus("api-run-2")
+        .contains(Status.RUNNING))
+      assert(api.statusOf(api.postEvent("my-name", "api-run-2", "R2-D2"))
+        == api.RpcStatus.OK)
+      await("run-2 completion")(() => runStatus("api-run-2")
+        .contains(Status.COMPLETED))
+
+      // -- DELETE /{Type}/{id} --
+      assert(api.statusOf(api.deleteResource(store.Kind.TaskDef,
+        "basic_wf-greet")) == api.RpcStatus.OK)
+      assert(api.statusOf(api.deleteResource(store.Kind.TaskDef,
+        "basic_wf-greet")) == api.RpcStatus.OBJECT_NOT_FOUND)
+    } finally {
+      workerStop = true
+      query.stop()
+    }
+  }
+}
