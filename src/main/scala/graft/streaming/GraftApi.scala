@@ -223,4 +223,40 @@ class GraftApi(
   /** POST /WFRun/resume/{wfRunId}/{tid}. */
   def postResume(wfRunId: String, tid: Int): String =
     lifecycle(wfRunId, tid, WFEventType.WF_RUN_RESUME_REQUEST)
+
+  /** GET /{Type}Offset/{id}/{offset}/{partition} — the read-your-writes
+    * barrier route (GETApi.waitForProcessing,
+    * APIStreamsContext.waitForProcessing:168-222): block until the
+    * scheduler has committed past (partition, offset) on `topic`, so a
+    * subsequent GET observes the write that produced that record. OK
+    * once processed; INTERNAL_ERROR with a message on timeout. */
+  def waitForProcessing(
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      topic: String, partition: Int, offset: Long,
+      timeoutMs: Long = 30000L): String =
+    try {
+      ReadYourWrites.awaitProcessed(query, topic, partition, offset, 0,
+        timeoutMs)
+      response(RpcStatus.OK)
+    } catch {
+      case e: Exception =>
+        response(RpcStatus.INTERNAL_ERROR, message = Some(e.getMessage))
+    }
+
+  /** GET /{Type}AliasSet/{aliasKey}/{aliasValue} for metadata
+    * resources — whose only alias is `{name: name}`
+    * (GETable.getAliases:142-149), so the route is a name lookup
+    * returning every matching id. */
+  def getAliasSet(kind: String, aliasKey: String, aliasValue: String): String = {
+    import spark.implicits._
+    if (aliasKey != "name")
+      response(RpcStatus.OK, None, Vector.empty[String])
+    else {
+      val ids = store.table()
+        .filter(org.apache.spark.sql.functions.col("kind") === kind &&
+          org.apache.spark.sql.functions.col("name") === aliasValue)
+        .select("id").as[String].collect().sorted.toVector
+      response(RpcStatus.OK, None, ids)
+    }
+  }
 }

@@ -182,6 +182,20 @@ class GraftApiSpec extends AnyFunSuite {
       await("run-2 completion")(() => runStatus("api-run-2")
         .contains(Status.COMPLETED))
 
+      // -- GET /{Type}Offset/... : the read-your-writes barrier route --
+      val (part, off) = GraftBus.send(busRoot, "wfEvents__my_workflow",
+        "api-run-2", EventCodec.encodeWFEvent(WFEvent(
+          "my_workflow", "my_workflow", "api-run-2", now(), 0,
+          WFEventType.WF_RUN_RESUME_REQUEST, "")))
+      assert(api.statusOf(api.waitForProcessing(query,
+        "wfEvents__my_workflow", part, off)) == api.RpcStatus.OK)
+
+      // -- GET /{Type}AliasSet/{key}/{value}: metadata name alias --
+      assert(parse(api.getAliasSet(store.Kind.WFSpec, "name",
+        "my_workflow"))("result") == Vector("my_workflow"))
+      assert(parse(api.getAliasSet(store.Kind.WFSpec, "name", "ghost"))
+        ("result") == Vector())
+
       // -- DELETE /{Type}/{id} --
       assert(api.statusOf(api.deleteResource(store.Kind.TaskDef,
         "basic_wf-greet")) == api.RpcStatus.OK)
