@@ -113,14 +113,18 @@ object Bench {
     //    true near-duplicates (cos > 0.999), the same construction as
     //    the recall spec — the number that matters for near-dup search.
     // All collects are <= queries x k rows, bounded at any corpus size.
-    val recallCorpus = try {
-      def pairs(name: String) = only(name)(spark, sfDir)
+    def pairsOf(name: String) =
+      try Some(only(name)(spark, sfDir)
         .select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exact = pairs("ann_brute_force_topk")
-      val approx = pairs("ann_lsh_topk")
-      if (exact.isEmpty) 1.0 else (exact & approx).size.toDouble / exact.size
-    } catch { case _: Throwable => -1.0 }
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      catch { case _: Throwable => None }
+    val exactPairs = pairsOf("ann_brute_force_topk")
+    def corpusRecall(name: String): Double =
+      (for { exact <- exactPairs; approx <- pairsOf(name) }
+        yield if (exact.isEmpty) 1.0
+          else (exact & approx).size.toDouble / exact.size).getOrElse(-1.0)
+    val recallCorpus = corpusRecall("ann_lsh_topk")
+    val recallIvfCorpus = corpusRecall("ann_ivf_topk")
     val recallPlanted = try {
       import spark.implicits._
       import org.apache.spark.sql.functions._
@@ -154,7 +158,7 @@ object Bench {
         }.mkString("{", ",", "}")
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_lsh_planted_twin_top1":$recallPlanted}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_ivf_vs_brute_corpus":$recallIvfCorpus,"ann_lsh_planted_twin_top1":$recallPlanted}}"""
     // The artifact must not depend on a bounded stdout tail surviving
     // (round 5's driver capture lost 25 queries mid-JSON): write the
     // full JSON to a stable file, then print it, with the path as the

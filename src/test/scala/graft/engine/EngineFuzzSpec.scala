@@ -222,6 +222,13 @@ class EngineFuzzSpec extends AnyFunSuite {
         val json = StateCodec.encode(st)
         assert(StateCodec.encode(StateCodec.decode(json)) == json,
           s"seed=$seed codec round-trip")
+        // the SDK-shape export never throws and always yields a
+        // well-formed WFRunSchema document, whatever the fuzz produced
+        val sdk = LHJson.parse(StateCodec.encodeSdk(st, spec))
+          .asInstanceOf[scala.collection.immutable.ListMap[String, Any]]
+        assert(sdk.keys.toSeq.take(2) == Seq("created", "objectId"),
+          s"seed=$seed sdk export shape")
+        assert(sdk("status") == st.status, s"seed=$seed sdk status")
         // TSR output is well-formed
         tsrs.foreach(t => assert(t.taskDefName.nonEmpty && t.wfRunId == "run-1"))
       }
