@@ -195,6 +195,48 @@ class PlanSpec extends AnyFunSuite {
 
   // formatted explain prints each node twice (tree + detail section);
   // count scans via the numbered detail headers
+  test("AQE splits a skewed join partition at runtime (no manual salt)") {
+    // q17 demonstrates MANUAL salting; this pins the other leg of the
+    // skew story — AQE's runtime re-plan — by executing a sort-merge
+    // join where one key owns ~90% of the rows and asserting the
+    // executed plan recorded a skew split. Thresholds are lowered to
+    // make the tiny fixture trigger the same detection rule production
+    // data hits at real sizes (size > factor × median AND > threshold).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, when}
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // force sort-merge: a broadcast join has no skewed shuffle to fix
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      val left = spark.range(200000)
+        .select(when($"id" % 10 =!= 0, lit(0L)).otherwise($"id").as("k"),
+          $"id".as("v"))
+      val right = spark.range(0, 200, 1)
+        .select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = left.join(right, "k")
+      // drive THIS df's own QueryExecution (a .count() would execute a
+      // different plan and leave joined's AQE plan un-finalized)
+      graft.BenchExec.materialize(joined)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE did not record a skew split:\n" + plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   private def scanCount(plan: String): Int =
     plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
 
