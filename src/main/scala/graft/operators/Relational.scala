@@ -434,6 +434,27 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the
+    * decorrelation family EXISTS (q19) doesn't exercise: Catalyst
+    * rewrites the per-row dependent subquery into a DomainJoin and
+    * ultimately a ranked join, instead of re-executing the inner query
+    * per outer row (which is what LATERAL means naively and what would
+    * never survive a fact-scale outer side). Top-2 orders per
+    * high-balance customer, SQL-surface formulation of the q7/q25
+    * top-n shape. */
+  def q39LateralTopn(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |WHERE c_acctbal > 9000.0
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
+  }
+
   /** Date/time scalar surface: extraction, truncation, arithmetic —
     * with explicit casts where Spark and DuckDB output types differ. */
   def q20DatetimeFuncs(s: SparkSession, dir: String): DataFrame = {
@@ -512,6 +533,7 @@ object Relational {
     "q24_sessionization" -> (q24Sessionization _),
     "q21_sole_problem_supplier" -> (q21SoleProblemSupplier _),
     "q19_sql_exists_subquery" -> (q19SqlSurface _),
+    "q39_lateral_topn" -> (q39LateralTopn _),
     "q20_datetime_funcs" -> (q20DatetimeFuncs _),
     "q1_pricing_agg" -> (q1Pricing _),
     "q2_filter_pushdown" -> (q2FilterPushdown _),
@@ -577,6 +599,15 @@ object Relational {
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
+    "q39_lateral_topn" ->
+      """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS t
+        |WHERE c_acctbal > 9000.0
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin,
     "q20_datetime_funcs" ->
       """SELECT o_orderkey,
         | cast(year(o_orderdate) AS BIGINT) AS yr,

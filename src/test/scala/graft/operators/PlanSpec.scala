@@ -195,6 +195,16 @@ class PlanSpec extends AnyFunSuite {
 
   // formatted explain prints each node twice (tree + detail section);
   // count scans via the numbered detail headers
+  test("q39 lateral subquery decorrelates: ranked join, no cartesian") {
+    val plan = planOf(Relational.q39LateralTopn(spark, dir))
+    // Catalyst must rewrite the per-row dependent subquery into a
+    // set-based plan — a correlated LIMIT becomes a per-key rank —
+    // never a nested-loop/cartesian re-execution per outer row
+    assert(!plan.contains("Cartesian"), plan.take(3000))
+    assert(plan.contains("Window") || plan.contains("rank"), plan.take(3000))
+    assert(plan.contains("Join"), plan.take(3000))
+  }
+
   test("AQE splits a skewed join partition at runtime (no manual salt)") {
     // q17 demonstrates MANUAL salting; this pins the other leg of the
     // skew story — AQE's runtime re-plan — by executing a sort-merge
