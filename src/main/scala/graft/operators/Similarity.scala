@@ -478,7 +478,39 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** Fixed-point scale for [[covarianceQ]]: 1e6 ⇒ per-entry
+    * quantization error ≤ n·5e-7 — documented, deterministic. */
+  val MOMENT_SCALE = 1000000.0
+
+  /** One-pass Gram/second-moment matrix over the embedding corpus —
+    * what PCA / whitening / Mahalanobis scoring consumes — via the
+    * bounded [[graft.functions.MomentAgg]] typed Aggregator: each map
+    * task ships ONE d(d+1)/2-long buffer (exact fixed-point sums, so
+    * the result is bit-stable under any partitioning and
+    * hash-matchable by the oracle), and only the single bounded
+    * moment array reaches the driver — never a per-row pair
+    * materialization. Output: upper-triangle (i, j, q_sum) rows plus
+    * the row count n under (-1, -1) so callers can normalize. */
+  def covarianceQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"embedding".cast("array<double>")).as[Array[Double]]
+    val dim = Tables(s, dir, "embeddings")
+      .select(size($"embedding")).as[Int].first()
+    val agg = new graft.functions.MomentAgg(dim, MOMENT_SCALE).toColumn
+    val nRows = emb.count()
+    val sums: Array[Long] = emb.select(agg).head()
+    val tri = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val rows = ((-1, -1), nRows) +: tri.zipWithIndex.map {
+      case ((i, j), k) => ((i, j), sums(k))
+    }
+    rows.map { case ((i, j), q) => (i.toLong, j.toLong, q) }
+      .toDF("i", "j", "q_sum")
+      .orderBy($"i", $"j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_covariance_q" -> (covarianceQ _),
     "ann_filtered_topk" -> (filteredTopK _),
     "ann_brute_force_topk" -> (bruteForceTopK _),
     "ann_lsh_topk" -> (lshTopK _),
@@ -490,6 +522,31 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical IEEE product + floor quantization per (row, i, j),
+    // summed in exact integer arithmetic — replayed by unnesting the
+    // upper-triangle index pairs per row; the (-1,-1) row carries n.
+    // range(1,65) pins the testdata embedding dim (64, all SFs) —
+    // DuckDB's range() cannot take lateral column arguments; the Spark
+    // side reads the dim from the data
+    "emb_covariance_q" ->
+      """WITH e AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT i.i AS i, j.j AS j,
+        |    CAST(floor(e.v[CAST(i.i AS INTEGER)]
+        |      * e.v[CAST(j.j AS INTEGER)] * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM e,
+        |    range(1, 65) i(i),
+        |    range(1, 65) j(j)
+        |  WHERE j.j >= i.i),
+        |tri AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+        |    CAST(sum(q) AS BIGINT) AS q_sum
+        |  FROM p GROUP BY 1, 2),
+        |n AS (SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+        |  CAST(count(*) AS BIGINT) AS q_sum FROM e)
+        |SELECT * FROM n UNION ALL SELECT * FROM tri
+        |ORDER BY i, j""".stripMargin,
     // squared-L2 re-derived with the same sequential fold order
     // ((0+d0²)+d1²+…) so the doubles — and therefore the argmin
     // ordering and the rounded output — are bit-identical.

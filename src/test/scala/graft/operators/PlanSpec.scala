@@ -195,6 +195,19 @@ class PlanSpec extends AnyFunSuite {
 
   // formatted explain prints each node twice (tree + detail section);
   // count scans via the numbered detail headers
+  test("emb_covariance_q partial-combines one bounded buffer per task") {
+    // the moment matrix is a typed-Aggregator fold: map tasks ship ONE
+    // d(d+1)/2-long buffer each, never per-row (i,j) pair rows
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("embedding")
+        .cast("array<double>")).as[Array[Double]]
+    val agg = new graft.functions.MomentAgg(64, 1e6).toColumn
+    val plan = planOf(emb.select(agg).toDF())
+    assert(plan.contains("partial_momentagg"), plan.take(3000))
+    assert(!plan.contains("Generate"), plan.take(3000)) // no explode
+  }
+
   test("q39 lateral subquery decorrelates: ranked join, no cartesian") {
     val plan = planOf(Relational.q39LateralTopn(spark, dir))
     // Catalyst must rewrite the per-row dependent subquery into a
