@@ -1,7 +1,7 @@
 package graft
 
 /** The operative per-query 2x-gate reference: ONE number per query,
-  * all 87 measured in ONE run under ONE context — `graft.Bench` full
+  * all 88 measured in ONE run under ONE context — `graft.Bench` full
   * run (min-of-3 timed reps, plans warmed on sf0.001, full
   * materialization) at sf0.1, local[32], 32 shuffle partitions, idle
   * box, 2026-08-13, post-round-7 plan changes (ANN aggregator rank,
@@ -22,92 +22,93 @@ object FrozenBaseline {
     "sf0.1, local[32], 32 shuffle partitions, idle box, 2026-08-13 r7"
 
   val sec: Map[String, Double] = Map(
-    "ann_brute_force_topk" -> 0.24,
+    "ann_brute_force_topk" -> 0.26,
     "ann_filtered_topk" -> 0.31,
-    "ann_ivf_topk" -> 0.40,
-    "ann_lsh_topk" -> 0.40,
-    "cdc_upsert_apply" -> 0.30,
-    "dedup_clusters" -> 4.66,
-    "dedup_embedding_cosine" -> 0.97,
-    "dedup_exact" -> 0.27,
-    "dedup_minhash_lsh" -> 3.88,
-    "dedup_ngram_jaccard" -> 5.48,
-    "dedup_semantic_ivf" -> 0.28,
-    "dedup_simhash" -> 0.85,
-    "e15_conditional_path" -> 0.50,
-    "e2_jsonpath_props" -> 0.47,
-    "e2b_jsonpath_indefinite" -> 0.64,
-    "emb_kmeans_assign" -> 0.44,
-    "emb_kmeans_update" -> 0.25,
-    "emb_quantize_int8" -> 0.37,
-    "m1_retry_fold" -> 0.82,
-    "m3_handler_fold" -> 0.53,
-    "m4_interrupt_fold" -> 0.54,
-    "m6_stop_resume" -> 0.84,
+    "ann_ivf_topk" -> 0.44,
+    "ann_lsh_topk" -> 0.48,
+    "cdc_upsert_apply" -> 0.32,
+    "dedup_clusters" -> 5.22,
+    "dedup_embedding_cosine" -> 1.06,
+    "dedup_exact" -> 0.28,
+    "dedup_minhash_lsh" -> 4.20,
+    "dedup_ngram_jaccard" -> 6.07,
+    "dedup_semantic_ivf" -> 0.38,
+    "dedup_simhash" -> 1.05,
+    "e15_conditional_path" -> 0.55,
+    "e2_jsonpath_props" -> 0.53,
+    "e2b_jsonpath_indefinite" -> 0.73,
+    "emb_covariance_q" -> 0.37,
+    "emb_kmeans_assign" -> 0.43,
+    "emb_kmeans_update" -> 0.24,
+    "emb_quantize_int8" -> 0.36,
+    "m1_retry_fold" -> 0.78,
+    "m3_handler_fold" -> 0.46,
+    "m4_interrupt_fold" -> 0.44,
+    "m6_stop_resume" -> 0.81,
     "maint_compact_files" -> 0.26,
-    "maint_histogram" -> 0.16,
-    "maint_histogram_analyzed" -> 0.84,
-    "maint_table_stats" -> 0.49,
-    "mm_binary_stats" -> 0.14,
-    "mm_feature_extract" -> 0.26,
-    "mm_frame_sample" -> 0.29,
-    "n2_external_event_timeout" -> 0.69,
-    "n3_threads_locks" -> 0.59,
+    "maint_histogram" -> 0.18,
+    "maint_histogram_analyzed" -> 1.04,
+    "maint_table_stats" -> 0.61,
+    "mm_binary_stats" -> 0.15,
+    "mm_feature_extract" -> 0.24,
+    "mm_frame_sample" -> 0.31,
+    "n2_external_event_timeout" -> 0.65,
+    "n3_threads_locks" -> 0.56,
     "pack_sequences" -> 0.18,
-    "pipeline_curation" -> 2.30,
-    "q10_distinct_agg" -> 0.36,
-    "q11_anti_join" -> 0.21,
-    "q12_rollup" -> 0.25,
-    "q13_events_daily" -> 0.17,
+    "pipeline_curation" -> 2.20,
+    "q10_distinct_agg" -> 0.31,
+    "q11_anti_join" -> 0.19,
+    "q12_rollup" -> 0.26,
+    "q13_events_daily" -> 0.15,
     "q14_scalar_funcs" -> 0.16,
-    "q15_events_running_window" -> 0.41,
-    "q16_above_avg_orders" -> 0.56,
-    "q17_salted_skew_agg" -> 0.24,
-    "q18_asof_join" -> 0.69,
-    "q19_sql_exists_subquery" -> 0.70,
-    "q1_pricing_agg" -> 0.24,
-    "q20_datetime_funcs" -> 0.33,
-    "q21_sole_problem_supplier" -> 0.63,
-    "q22_range_join_binned" -> 0.25,
-    "q23_streaming_daily_agg" -> 0.66,
-    "q24_sessionization" -> 0.51,
-    "q25_topk_aggregator" -> 0.40,
-    "q26_stream_stream_join" -> 1.83,
-    "q27_bucketed_join" -> 0.20,
-    "q28_pivot" -> 0.23,
-    "q29_percentile_disc" -> 0.19,
-    "q2_filter_pushdown" -> 0.18,
-    "q2_var_index_search" -> 0.76,
+    "q15_events_running_window" -> 0.39,
+    "q16_above_avg_orders" -> 0.54,
+    "q17_salted_skew_agg" -> 0.20,
+    "q18_asof_join" -> 0.62,
+    "q19_sql_exists_subquery" -> 0.61,
+    "q1_pricing_agg" -> 0.20,
+    "q20_datetime_funcs" -> 0.32,
+    "q21_sole_problem_supplier" -> 0.59,
+    "q22_range_join_binned" -> 0.28,
+    "q23_streaming_daily_agg" -> 0.76,
+    "q24_sessionization" -> 0.53,
+    "q25_topk_aggregator" -> 0.46,
+    "q26_stream_stream_join" -> 2.02,
+    "q27_bucketed_join" -> 0.22,
+    "q28_pivot" -> 0.24,
+    "q29_percentile_disc" -> 0.21,
+    "q2_filter_pushdown" -> 0.19,
+    "q2_var_index_search" -> 0.79,
     "q30_partition_pruned" -> 0.09,
-    "q31_streaming_dedup_keys" -> 0.63,
+    "q31_streaming_dedup_keys" -> 0.64,
     "q32_schema_evolution" -> 0.13,
     "q33_json_source" -> 0.18,
     "q34_csv_source" -> 0.17,
-    "q35_range_frame" -> 0.32,
-    "q36_grouping_sets" -> 0.17,
-    "q37_full_outer_join" -> 0.28,
-    "q38_streaming_sessions" -> 1.06,
-    "q39_lateral_topn" -> 0.72,
-    "q3_shipping_priority" -> 0.40,
-    "q4_order_priority_semijoin" -> 0.46,
-    "q5_local_supplier" -> 0.46,
-    "q6_forecast_revenue" -> 0.11,
-    "q7_window_topn" -> 0.38,
+    "q35_range_frame" -> 0.39,
+    "q36_grouping_sets" -> 0.21,
+    "q37_full_outer_join" -> 0.34,
+    "q38_streaming_sessions" -> 1.37,
+    "q39_lateral_topn" -> 0.84,
+    "q3_shipping_priority" -> 0.43,
+    "q4_order_priority_semijoin" -> 0.51,
+    "q5_local_supplier" -> 0.57,
+    "q6_forecast_revenue" -> 0.15,
+    "q7_window_topn" -> 0.39,
     "q8_sort_limit" -> 0.12,
-    "q9_set_ops" -> 0.34,
-    "r1_mutation_chain" -> 1.14,
-    "sample_fixed_k" -> 0.22,
-    "sample_stratified" -> 0.33,
-    "sample_token_budget" -> 0.23,
+    "q9_set_ops" -> 0.35,
+    "r1_mutation_chain" -> 1.13,
+    "sample_fixed_k" -> 0.21,
+    "sample_stratified" -> 0.38,
+    "sample_token_budget" -> 0.24,
     "text_decontaminate" -> 0.60,
-    "text_fingerprint" -> 0.42,
-    "text_langid" -> 0.39,
-    "text_pii_scrub" -> 3.08,
-    "text_quality_score" -> 0.39,
-    "text_repetition_stats" -> 0.40,
+    "text_fingerprint" -> 0.47,
+    "text_langid" -> 0.45,
+    "text_pii_scrub" -> 3.23,
+    "text_quality_score" -> 0.37,
+    "text_repetition_stats" -> 0.44,
     "text_rolling_fingerprint" -> 0.13,
-    "text_tfidf_top_terms" -> 0.65,
-    "text_token_count" -> 0.35,
-    "text_vocab_coverage" -> 0.50,
+    "text_tfidf_top_terms" -> 0.57,
+    "text_token_count" -> 0.34,
+    "text_vocab_coverage" -> 0.37,
   )
 }
