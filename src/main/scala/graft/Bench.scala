@@ -98,10 +98,20 @@ object Bench {
       .mkString("{", ",", "}")
     val over2x = ratios.filter(_._2 > 2.0).map(_._1).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val frozenTotal = results
+    // Aggregate ratio over the INTERSECTION with the frozen table on
+    // BOTH sides — queries added since the freeze are excluded from the
+    // numerator too (they'd otherwise inflate the aggregate), and
+    // reported by name so the artifact shows what the ratio omits.
+    val frozenMatched = results
+      .filter { case (k, _) => FrozenBaseline.sec.contains(k) }
+    val frozenTotal = frozenMatched
       .flatMap { case (k, _) => FrozenBaseline.sec.get(k) }.sum
     val totalRatio =
-      if (frozenTotal > 0) f"${total / frozenTotal}%.3f" else "null"
+      if (frozenTotal > 0) f"${frozenMatched.map(_._2).sum / frozenTotal}%.3f"
+      else "null"
+    val unfrozen = results.map(_._1)
+      .filterNot(FrozenBaseline.sec.contains).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Approximate-path quality, tracked per round alongside speed.
     // Two recalls, because they answer different questions:
     //  - corpus: fraction of brute-force (exact) top-k pairs the LSH
@@ -125,6 +135,22 @@ object Bench {
           else (exact & approx).size.toDouble / exact.size).getOrElse(-1.0)
     val recallCorpus = corpusRecall("ann_lsh_topk")
     val recallIvfCorpus = corpusRecall("ann_ivf_topk")
+    // IVF recall/cost CURVE: corpus recall vs brute force and wall time
+    // at NPROBE ∈ {1, 2, 4}, so the recall-vs-join-volume tradeoff is a
+    // measured dial per round, not the single operating point.
+    val ivfCurve = Seq(1, 2, 4).map { np =>
+      val t0 = System.nanoTime()
+      val pairs =
+        try Some(graft.operators.Similarity.ivfTopKAt(spark, sfDir, np)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        catch { case _: Throwable => None }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rec = (for { exact <- exactPairs; approx <- pairs }
+        yield if (exact.isEmpty) 1.0
+          else (exact & approx).size.toDouble / exact.size).getOrElse(-1.0)
+      s""""nprobe_$np":{"recall":$rec,"sec":$sec}"""
+    }.mkString("{", ",", "}")
     val recallPlanted = try {
       import spark.implicits._
       import org.apache.spark.sql.functions._
@@ -158,7 +184,7 @@ object Bench {
         }.mkString("{", ",", "}")
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_ivf_vs_brute_corpus":$recallIvfCorpus,"ann_lsh_planted_twin_top1":$recallPlanted}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"unfrozen_queries":$unfrozen,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_ivf_vs_brute_corpus":$recallIvfCorpus,"ann_lsh_planted_twin_top1":$recallPlanted},"ivf_curve":$ivfCurve}"""
     // The artifact must not depend on a bounded stdout tail surviving
     // (round 5's driver capture lost 25 queries mid-JSON): write the
     // full JSON to a stable file, then print it, with the path as the

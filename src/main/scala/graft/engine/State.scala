@@ -297,9 +297,16 @@ object StateCodec {
     * from the spec node this taskRun names. */
   private def sdkTaskTree(
       t: TaskRunState, s: WFRunState, spec: WFSpec): ListMap[String, Any] = {
-    val nodeType = spec.threadSpecs.valuesIterator
+    // resolve the node in the taskRun's OWN threadSpec (via its
+    // threadId → threadSpecName), not the first threadSpec defining a
+    // same-named node — two threadSpecs (e.g. entrypoint + interrupt
+    // handler) may define same-named nodes of different types
+    val nodeType = s.threadRuns.find(_.id == t.threadId)
+      .flatMap(tr => spec.threadSpecs.get(tr.threadSpecName))
       .flatMap(_.nodes.get(t.nodeName)).map(_.nodeType)
-      .nextOption().getOrElse(NodeType.TASK)
+      .orElse(spec.threadSpecs.valuesIterator
+        .flatMap(_.nodes.get(t.nodeName)).map(_.nodeType).nextOption())
+      .getOrElse(NodeType.TASK)
     ListMap(
       "position" -> t.position,
       "number" -> t.number,

@@ -17,16 +17,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * partitioning, with a documented quantization error bound of
   * n · 0.5/scale per entry.
   *
-  * Scale shape: a typed Aggregator with a bounded d(d+1)/2-long
-  * buffer; partial aggregation ships ONE buffer per map task
-  * regardless of row count, and the result is a single bounded array
-  * — the moment matrix never materializes per-row anywhere (the
-  * explode-to-pairs formulation would push d²/2 rows per document
-  * through the shuffle instead).
+  * Scale shape: a typed Aggregator with a bounded d(d+1)/2+1-long
+  * buffer (the trailing slot counts rows, so normalization needs NO
+  * separate count() scan — the whole statistic is one pass); partial
+  * aggregation ships ONE buffer per map task regardless of row count,
+  * and the result is a single bounded array — the moment matrix never
+  * materializes per-row anywhere (the explode-to-pairs formulation
+  * would push d²/2 rows per document through the shuffle instead).
   */
 final class MomentAgg(dim: Int, scale: Double)
     extends Aggregator[Array[Double], Array[Long], Array[Long]] {
-  private val n = dim * (dim + 1) / 2
+  private val n = dim * (dim + 1) / 2 + 1 // + trailing row-count slot
 
   override def zero: Array[Long] = new Array[Long](n)
 
@@ -42,6 +43,7 @@ final class MomentAgg(dim: Int, scale: Double)
       }
       i += 1
     }
+    buf(n - 1) += 1L
     buf
   }
 

@@ -173,11 +173,54 @@ object Maintenance {
       .orderBy($"bucket")
   }
 
+  /** Buckets in the equi-height histogram. */
+  val EQUIHEIGHT_BUCKETS = 16
+
+  /** EQUI-HEIGHT histogram over `o_totalprice` — the CBO standard the
+    * equi-width pair does not cover (equal-frequency buckets adapt to
+    * skew; equal-width buckets starve dense ranges). Bucket bounds are
+    * EXACT order statistics in q29's bit-portable style: rank-based
+    * integer selection (`bucket = i·B div n` over the global (value,
+    * key) rank), pure integer arithmetic both engines replay
+    * identically — never an interpolating quantile function.
+    *
+    * Scale shape — global ranks WITHOUT the global-window pathology
+    * (one task sorting the world, the exact q25 anti-pattern): the
+    * narrow (v, id) projection is distributively range-sorted
+    * (multi-partition range exchange), then `zipWithIndex` assigns
+    * global indices from per-partition sizes — one tiny count job,
+    * then a per-partition offset add; no partition ever holds more
+    * than its range slice. This is the one genuinely imperative
+    * per-partition step, which is what the RDD escape hatch is for;
+    * everything after is a map-side-combined B-group aggregate.
+    * Two data passes total: the count scan and the sort+bucket pass
+    * (the zipWithIndex size job reuses the sorted partitions). */
+  def equiheightHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = EQUIHEIGHT_BUCKETS.toLong
+    val o = Tables(s, dir, "orders")
+      .select($"o_totalprice".as("v"), $"o_orderkey".as("id"))
+    val n = o.count()
+    require(n >= b, s"fewer rows ($n) than buckets ($b)")
+    val bucketed = o.orderBy($"v", $"id")
+      .as[(Double, Long)].rdd
+      .zipWithIndex
+      .map { case ((v, _), i) => (i * b / n, v) } // exact integer rank math
+    bucketed.toDF("bucket", "v")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        round(min($"v"), 2).as("lo"),
+        round(max($"v"), 2).as("hi"))
+      .select($"bucket", $"n_rows", $"lo", $"hi")
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compact_files" -> (compactFiles _),
     "maint_table_stats" -> (tableStats _),
     "maint_histogram" -> (histogram _),
     "maint_histogram_analyzed" -> (histogramFromStats _),
+    "maint_histogram_equiheight" -> (equiheightHistogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -212,6 +255,19 @@ object Maintenance {
         |  (b.bucket + 1) * p.w + p.mn AS hi,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM b, p GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
+    // rank-based integer bucket selection replayed exactly: same
+    // (value, key) total order, same 0-based rank, same integer
+    // `i*B div n` — DuckDB `//` is integer division like Spark's
+    // long/long
+    "maint_histogram_equiheight" ->
+      """WITH s AS (SELECT o_totalprice AS v,
+        |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS i
+        |  FROM orders),
+        |n AS (SELECT count(*) AS c FROM orders)
+        |SELECT CAST((i * 16) // n.c AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM s, n GROUP BY 1 ORDER BY bucket""".stripMargin,
     "maint_table_stats" ->
       """SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
         | CAST(n_nonnull AS BIGINT) AS n_nonnull,

@@ -169,7 +169,14 @@ object Similarity {
     * test inputs) — which is exactly the IVF inverted-list build
     * at 100 TB. Recall comes from probing multiple cells: a neighbor
     * straddling a Voronoi boundary is caught by the second probe. */
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKAt(s, dir, NPROBE)
+
+  /** [[ivfTopK]] with an explicit probe count — the recall-vs-join-
+    * volume dial. Bench measures NPROBE ∈ {1, 2, 4} per round so the
+    * tradeoff is a recorded curve, not a constant. */
+  private[graft] def ivfTopKAt(
+      s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -194,7 +201,7 @@ object Similarity {
           var s2 = 0.0; var i = 0
           while (i < v.length) { val d = v(i) - c(i); s2 += d * d; i += 1 }
           (s2, cid)
-        }.sortBy(identity).take(NPROBE)
+        }.sortBy(identity).take(nprobe)
           .map { case (_, cid) => (id, v, l2norm(v), cid) }
       }
       .toDF("qid", "qv", "qnorm", "probe")
@@ -482,24 +489,33 @@ object Similarity {
     * quantization error ≤ n·5e-7 — documented, deterministic. */
   val MOMENT_SCALE = 1000000.0
 
-  /** One-pass Gram/second-moment matrix over the embedding corpus —
-    * what PCA / whitening / Mahalanobis scoring consumes — via the
-    * bounded [[graft.functions.MomentAgg]] typed Aggregator: each map
-    * task ships ONE d(d+1)/2-long buffer (exact fixed-point sums, so
-    * the result is bit-stable under any partitioning and
-    * hash-matchable by the oracle), and only the single bounded
-    * moment array reaches the driver — never a per-row pair
-    * materialization. Output: upper-triangle (i, j, q_sum) rows plus
-    * the row count n under (-1, -1) so callers can normalize. */
+  /** Gram/second-moment matrix over the embedding corpus — what PCA /
+    * whitening / Mahalanobis scoring consumes — via the bounded
+    * [[graft.functions.MomentAgg]] typed Aggregator: each map task
+    * ships ONE d(d+1)/2+1-long buffer (exact fixed-point sums plus an
+    * embedded row count, so the result is bit-stable under any
+    * partitioning and hash-matchable by the oracle), and only the
+    * single bounded moment array reaches the driver — never a per-row
+    * pair materialization. ONE data-proportional scan: the row count
+    * rides in the aggregation buffer's trailing slot (no separate
+    * count() pass); the only other action is a single-row `first()`
+    * that reads the dim, asserted == 64 because the DuckDB oracle's
+    * `range(1, 65)` pins it statically (DuckDB range() cannot take
+    * lateral column arguments — a different corpus dim must update
+    * both sides together). Output: upper-triangle (i, j, q_sum) rows
+    * plus the row count n under (-1, -1) so callers can normalize. */
   def covarianceQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
       .select($"embedding".cast("array<double>")).as[Array[Double]]
     val dim = Tables(s, dir, "embeddings")
       .select(size($"embedding")).as[Int].first()
+    require(dim == 64,
+      s"embedding dim $dim != 64: the static DuckDB oracle (range(1,65)) " +
+        "would silently compare mismatched triangles — update both sides")
     val agg = new graft.functions.MomentAgg(dim, MOMENT_SCALE).toColumn
-    val nRows = emb.count()
     val sums: Array[Long] = emb.select(agg).head()
+    val nRows = sums.last
     val tri = for { i <- 0 until dim; j <- i until dim } yield (i, j)
     val rows = ((-1, -1), nRows) +: tri.zipWithIndex.map {
       case ((i, j), k) => ((i, j), sums(k))

@@ -93,30 +93,57 @@ object StreamBatch {
     } finally q.stop()
   }
 
+  // most recent drain output dir per query name: deleted (bounded
+  // cleanup) when the same query drains again in this JVM — by then its
+  // readback frame has been consumed (queries run sequentially)
+  private val lastDrainDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Drain a streaming frame to parquet DISTRIBUTED and read the result
     * back as an ordinary distributed frame — the shape for any streaming
     * result whose row count scales with the data, where a memory sink +
-    * driver `collect()` would be a driver OOM at scale. Complete mode
-    * overwrites (each emission is the full result; the AvailableNow
-    * drain's last batch wins); append mode appends (each emission is a
-    * delta, the union of all batches is the answer). Readback pins the
-    * streaming frame's own schema so a drain whose every batch was empty
-    * (no part-files on disk) still yields a valid empty frame instead of
-    * a schema-inference error. */
+    * driver `collect()` would be a driver OOM at scale. Each micro-batch
+    * OVERWRITES its own `batch_<id>` subdir, so a replayed/retried batch
+    * id is idempotent (at-least-once foreachBatch never duplicates
+    * rows). Complete mode reads only the highest batch id (each emission
+    * is the full result — the AvailableNow drain's last batch wins);
+    * append mode reads the union of all batch subdirs (each emission is
+    * a delta). Readback pins the streaming frame's own schema so a drain
+    * whose every batch was empty (no part-files on disk) still yields a
+    * valid empty frame instead of a schema-inference error. */
   private def drainToParquet(
       s: SparkSession, df: DataFrame, mode: String, name: String): DataFrame = {
     val out = java.nio.file.Files
       .createTempDirectory(s"graft-stream-$name").toString
-    val writeMode = if (mode == "complete") "overwrite" else "append"
+    Option(lastDrainDir.put(name, out)).foreach { prev =>
+      // previous drain's readback was consumed before this re-drain
+      val root = java.nio.file.Paths.get(prev)
+      if (java.nio.file.Files.isDirectory(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     val q = df.writeStream
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode(writeMode).parquet(out)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/batch_$id")
       }
       .start()
     drain(q, name)
-    s.read.schema(df.schema).parquet(out)
+    val batchDirs = {
+      val root = new java.io.File(out)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+        .sortBy(f => f.getName.stripPrefix("batch_").toLong)
+        .map(_.toString)
+    }
+    val read =
+      if (batchDirs.isEmpty) Seq(out) // empty drain: schema-pinned empty
+      else if (mode == "complete") Seq(batchDirs.last)
+      else batchDirs.toSeq
+    s.read.schema(df.schema).parquet(read: _*)
   }
 
   /** Daily event counts per type, computed by a streaming query. */
@@ -274,11 +301,139 @@ object StreamBatch {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Stream-stream LEFT OUTER interval join, promoted to an
+    * oracle-checked query (StreamOuterJoinSpec pins the incremental
+    * semantics: null rows emit on watermark, state expires). The
+    * reference shape this mirrors is the external-event timeout path
+    * (N2/M2): "did a correlated event arrive within the window, else
+    * emit the timeout row" is exactly a left-outer temporal
+    * correlation.
+    *
+    * Why the harness is more than an AvailableNow drain: an unmatched
+    * view's null row is WATERMARK-GATED — it may only emit once no
+    * purchase can still arrive — so a plain file drain withholds the
+    * data-dependent tail inside the final watermark horizon and no
+    * batch oracle could replay the result. This formulation completes
+    * the stream: the real files are SYMLINKED into a staging dir
+    * (no data copy), and after the real data drains, two rounds of
+    * far-future sentinel rows (negative user_id, filtered at
+    * readback, never seen by the oracle) are appended. Sentinel round
+    * 1 advances both sides' watermarks past every real join window;
+    * round 2 guarantees a subsequent batch EXECUTES with that
+    * advanced watermark (state eviction applies the previous batch's
+    * watermark), so every real unmatched view emits its null row
+    * exactly once, deterministically — no reliance on no-data
+    * micro-batch scheduling. A 24/7 deployment runs the identical
+    * plan minus the sentinel harness: its stream never ends, so the
+    * watermark itself completes every window.
+    *
+    * State at scale: both sides keep ~1 hour + delay of events per
+    * key (interval condition bounds state, StreamOuterJoinSpec
+    * asserts expiry); emissions land in per-batch parquet dirs
+    * distributed — no driver materialization at any size. */
+  def streamingLeftOuterJoin(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+
+    // staging: symlinks to the real part files (no copy), so the
+    // stream can be extended with sentinel files
+    val staging = java.nio.file.Files.createTempDirectory("graft-louter-src")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val parts =
+      if (java.nio.file.Files.isDirectory(src))
+        java.nio.file.Files.list(src).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      else Seq(src)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.createSymbolicLink(
+        staging.resolve(f"real_$i%05d.parquet"), f.toAbsolutePath)
+    }
+
+    val events = Tables.eventsTsFromNanos(
+      s.readStream.schema(rawSchema).parquet(staging.toString))
+    def side(tpe: String, prefix: String) =
+      events
+        .filter($"event_type" === tpe)
+        .select($"event_id".as(s"${prefix}_id"),
+          $"user_id".as(s"${prefix}_user"), $"ts".as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("view", "view").join(side("purchase", "buy"),
+      expr("""view_user = buy_user AND
+             |buy_ts >= view_ts AND
+             |buy_ts <= view_ts + INTERVAL 1 HOUR""".stripMargin),
+      "leftOuter")
+    // sentinel exclusion happens at READBACK, never inside the
+    // streaming plan: a pre-join filter would push below the watermark
+    // node and stop the sentinels from advancing it
+
+    val maxTsNanos = s.read.parquet(s"$dir/events.parquet")
+      .agg(max($"ts")).as[Long].head()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-stream-q40").toString
+    val t0 = System.nanoTime()
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/batch_$id")
+      }
+      .start()
+    try {
+      q.processAllAvailable() // all real data (one batch: no file cap)
+      // sentinel rounds: matched view+purchase pairs (negative ids) a
+      // day apart, two days past the data — each round's pair joins
+      // immediately, leaving no sentinel state behind
+      def sentinel(round: Int): Unit = {
+        val ts = maxTsNanos + (2L + round) * 86400L * 1000000000L
+        val uid = -(round + 1L)
+        def row(eid: Long, tpe: String) =
+          org.apache.spark.sql.Row.fromSeq(rawSchema.fieldNames.toSeq.map {
+            case "event_id" => eid
+            case "ts" => ts
+            case "user_id" => uid
+            case "event_type" => tpe
+            case "value" => 0.0
+            case _ => "{}" // props
+          })
+        val rows = Seq(row(uid, "view"), row(uid - 10L, "purchase"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-louter-sent")
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), rawSchema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator.asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(part,
+          staging.resolve(f"sentinel_$round%02d.parquet"))
+      }
+      sentinel(0); q.processAllAvailable() // watermark past every window
+      sentinel(1); q.processAllAvailable() // a batch RUNS with it: evict
+    } finally q.stop()
+    lastDrainTimings.put("q40_stream_left_outer",
+      ((System.nanoTime() - t0) / 1e9, (System.nanoTime() - t0) / 1e9,
+        q.recentProgress.length))
+
+    val batchDirs = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .map(_.toString).toSeq
+    val back =
+      if (batchDirs.isEmpty) s.read.schema(joined.schema).parquet(out)
+      else s.read.schema(joined.schema).parquet(batchDirs: _*)
+    back
+      .filter($"view_user" >= 0) // drop sentinel-derived rows
+      .select($"view_user".as("user_id"), $"view_id", $"buy_id",
+        $"view_ts", $"buy_ts")
+      .orderBy($"view_id", $"buy_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_streaming_daily_agg" -> (streamingDailyAgg _),
     "q26_stream_stream_join" -> (streamingIntervalJoin _),
     "q31_streaming_dedup_keys" -> (streamingDedupKeys _),
     "q38_streaming_sessions" -> (streamingSessions _),
+    "q40_stream_left_outer" -> (streamingLeftOuterJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +452,19 @@ object StreamBatch {
     "q31_streaming_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // batch replay of the left-outer interval join: the sentinel
+    // harness guarantees every unmatched view's null row emitted, so
+    // the streaming result equals the complete batch LEFT JOIN
+    "q40_stream_left_outer" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
+        | v.ts AS view_ts, p.ts AS buy_ts
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        | ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, buy_id""".stripMargin,
     // batch replay of gap sessionization: new session when the gap to
     // the previous event is >= 30 min (Spark merges only on strict
     // interval overlap); session_end = last event + gap, exactly the

@@ -100,29 +100,60 @@ class GraftApi(
 
   // ---- run-state routes (read the scheduler's state topics) ----
 
-  private def snapshotFrame(): DataFrame = {
-    import spark.implicits._
-    val stateTopics = GraftBus.topics(busRoot)
-      .filter(_.startsWith(Scheduler.STATE_TOPIC_PREFIX))
-    val rows = for {
-      topic <- stateTopics
-      p <- GraftBus.partitions(busRoot, topic)
-      rec <- GraftBus.read(busRoot, topic, p, 0,
-        GraftBus.nextOffset(busRoot, topic, p))
-    } yield (rec.key, rec.value, rec.offset)
-    rows.toDF("wfRunId", "json", "seq")
+  /** The scheduler's run-state topics as a DISTRIBUTED frame: the
+    * `graft-bus` DSv2 batch read — the same topics a real consumer
+    * reads, scanned executor-side (one input partition per
+    * topic-partition), never iterated on the driver. A `key` point
+    * lookup is applied BEFORE the select so it pushes into the scan
+    * ([[graft.streaming.bus.BusScanBuilder]]): the partition readers
+    * skip non-matching records at the source and only the requested
+    * run's snapshots ever become rows. */
+  private[streaming] def snapshotFrame(
+      key: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val raw = spark.read.format("graft-bus")
+      .option("path", busRoot)
+      .option("subscribePattern",
+        java.util.regex.Pattern.quote(Scheduler.STATE_TOPIC_PREFIX) + ".*")
+      .load()
+    val pruned = key.fold(raw)(k =>
+      raw.filter(col("key") === lit(k.getBytes("UTF-8"))))
+    pruned.select(
+      col("key").cast("string").as("wfRunId"),
+      col("value").cast("string").as("json"),
+      col("offset").as("seq"),
+      col("topic"))
   }
+
+  /** Key-pruned point lookup: the latest snapshot of ONE run plus the
+    * state topic it came from (`wfRunState__<specName>` — the topic
+    * name carries the run's spec, so no snapshot decode or spec scan is
+    * needed to resolve it). Collects at most one row. */
+  private[streaming] def latestSnapshotFrame(wfRunId: String): DataFrame =
+    StateTable.latest(snapshotFrame(Some(wfRunId)))
+
+  private def latestSnapshot(wfRunId: String): Option[(String, String)] =
+    latestSnapshotFrame(wfRunId)
+      .select("json", "topic").collect().headOption
+      .map(r => (r.getString(0), r.getString(1)))
+
+  /** Resolve the deployed WFSpec named by a run-state topic via the
+    * metadata store's point lookup (Q8) — never a full deployed-spec
+    * scan per request. */
+  private def specForTopic(topic: String): Option[WFSpec] =
+    store.getByNameOrId(store.Kind.WFSpec,
+      topic.stripPrefix(Scheduler.STATE_TOPIC_PREFIX))
+      .map(SpecCodec.decode)
 
   /** GET /WFRun/{id}: the latest snapshot, exported in the SDK's
     * serialized WFRunSchema shape so lhctl-family tooling reads it
-    * unchanged. */
-  def getWfRun(id: String): String = {
-    val latest = StateTable.byId(StateTable.latest(snapshotFrame()), id)
-      .select("json").collect().headOption.map(_.getString(0))
-    latest match {
-      case Some(json) =>
+    * unchanged. Read path: key-pruned distributed scan (at most one
+    * row collected) + one metadata point lookup for the spec. */
+  def getWfRun(id: String): String =
+    latestSnapshot(id) match {
+      case Some((json, topic)) =>
         val st = StateCodec.decode(json)
-        store.deployedSpecs().get(st.wfSpecName) match {
+        specForTopic(topic) match {
           case Some(spec) => response(RpcStatus.OK, Some(id),
             LHJson.parse(StateCodec.encodeSdk(st, spec)))
           case None => response(RpcStatus.INTERNAL_ERROR, Some(id),
@@ -130,10 +161,12 @@ class GraftApi(
         }
       case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(id))
     }
-  }
 
   /** GET /WFRunAlias/{key}/{value}: Q2/Q9 variable search — every
-    * String-valued variable is an index alias (WFRun.getAliases). */
+    * String-valued variable is an index alias (WFRun.getAliases).
+    * The predicate evaluates DISTRIBUTED over the batch-read state
+    * topics; only matching run ids (bounded by matches) reach the
+    * driver. */
   def getWfRunAlias(key: String, value: String): String = {
     import spark.implicits._
     val ids = StateTable
@@ -148,81 +181,114 @@ class GraftApi(
 
   private def now() = System.currentTimeMillis()
 
+  /** Read-your-writes barrier wired into the POST routes (reference:
+    * POSTApi blocks inside the request, POSTApi.java:53-58): when a
+    * scheduler [[org.apache.spark.sql.streaming.StreamingQuery]] is
+    * supplied, a produce-route response is withheld until the scheduler
+    * has committed past the produced record — so POST-then-GET observes
+    * the write with no manual barrier call. */
+  private def awaitIfRequested(
+      await: Option[org.apache.spark.sql.streaming.StreamingQuery],
+      topic: String, partition: Int, offset: Long, timeoutMs: Long): Unit =
+    await.foreach(q =>
+      ReadYourWrites.awaitProcessed(q, topic, partition, offset, 0, timeoutMs))
+
   /** POST /WFRun: resolve the spec (name-or-id), produce
-    * WF_RUN_STARTED. Returns the new run id as objectId. */
+    * WF_RUN_STARTED. Returns the new run id as objectId. With `await`,
+    * blocks until the scheduler has processed the event (the
+    * reference's synchronous-write contract). */
   def postRun(
       wfSpecKey: String,
       variables: ListMap[String, Any] = ListMap.empty,
-      wfRunId: Option[String] = None): String =
+      wfRunId: Option[String] = None,
+      await: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
+      timeoutMs: Long = 30000L): String =
     store.getByNameOrId(store.Kind.WFSpec, wfSpecKey) match {
       case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(wfSpecKey))
       case Some(doc) =>
         val spec = SpecCodec.decode(doc)
         val runId = wfRunId.getOrElse(
           java.util.UUID.randomUUID().toString.replace("-", ""))
-        GraftBus.send(busRoot, eventTopic(spec), runId,
+        val (part, off) = GraftBus.send(busRoot, eventTopic(spec), runId,
           EventCodec.encodeWFEvent(WFEvent(
             spec.objectId, spec.name, runId, now(), 0,
             WFEventType.WF_RUN_STARTED,
             EventCodec.encodeRunRequest(
               WFRunRequest(variables, spec.objectId, Some(runId))))))
+        awaitIfRequested(await, eventTopic(spec), part, off, timeoutMs)
         response(RpcStatus.OK, Some(runId))
     }
 
   /** POST /externalEvent/{externalEventDefId}/{wfRunId}: wrap the
     * payload in the ExternalEventPayload envelope, broadcast threadId
-    * -1 (WFRunApiStuff.postEvent). The run's spec is resolved from its
-    * latest snapshot. */
+    * -1 (WFRunApiStuff.postEvent). The def is validated against the
+    * registered ExternalEventDefs (unknown def → OBJECT_NOT_FOUND,
+    * like the reference resolving the def before posting) and the
+    * resolved name is used for `externalEventDefName`; the run's spec
+    * comes from its state topic + a metadata point lookup. */
   def postEvent(externalEventDefId: String, wfRunId: String,
-      content: Any): String = {
-    val latest = StateTable.byId(StateTable.latest(snapshotFrame()), wfRunId)
-      .select("json").collect().headOption.map(_.getString(0))
-    latest match {
-      case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(wfRunId))
-      case Some(json) =>
-        val st = StateCodec.decode(json)
-        store.deployedSpecs().get(st.wfSpecName) match {
-          case None => response(RpcStatus.INTERNAL_ERROR, Some(wfRunId),
-            message = Some(s"spec ${st.wfSpecName} not deployed"))
-          case Some(spec) =>
-            val t = now()
-            GraftBus.send(busRoot, eventTopic(spec), wfRunId,
-              EventCodec.encodeWFEvent(WFEvent(
-                spec.objectId, spec.name, wfRunId, t, -1,
-                WFEventType.EXTERNAL_EVENT,
-                EventCodec.encodeExternalEvent(ExternalEventPayload(
-                  externalEventDefId, externalEventDefId, content, t)))))
-            response(RpcStatus.OK, Some(wfRunId))
+      content: Any,
+      await: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
+      timeoutMs: Long = 30000L): String =
+    store.getByNameOrId(
+        store.Kind.ExternalEventDef, externalEventDefId) match {
+      case None =>
+        response(RpcStatus.OBJECT_NOT_FOUND, Some(externalEventDefId),
+          message = Some(s"no ExternalEventDef $externalEventDefId"))
+      case Some(defDoc) =>
+        val eed = ResourceCodec.decodeExternalEventDef(defDoc)
+        latestSnapshot(wfRunId) match {
+          case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(wfRunId))
+          case Some((_, topic)) =>
+            specForTopic(topic) match {
+              case None => response(RpcStatus.INTERNAL_ERROR, Some(wfRunId),
+                message = Some(s"spec for $topic not deployed"))
+              case Some(spec) =>
+                val t = now()
+                val (part, off) = GraftBus.send(
+                  busRoot, eventTopic(spec), wfRunId,
+                  EventCodec.encodeWFEvent(WFEvent(
+                    spec.objectId, spec.name, wfRunId, t, -1,
+                    WFEventType.EXTERNAL_EVENT,
+                    EventCodec.encodeExternalEvent(ExternalEventPayload(
+                      externalEventDefId, eed.name, content, t)))))
+                awaitIfRequested(await, eventTopic(spec), part, off, timeoutMs)
+                response(RpcStatus.OK, Some(wfRunId))
+            }
         }
     }
-  }
 
-  private def lifecycle(wfRunId: String, tid: Int, evType: String): String = {
-    val latest = StateTable.byId(StateTable.latest(snapshotFrame()), wfRunId)
-      .select("json").collect().headOption.map(_.getString(0))
-    latest match {
+  private def lifecycle(
+      wfRunId: String, tid: Int, evType: String,
+      await: Option[org.apache.spark.sql.streaming.StreamingQuery],
+      timeoutMs: Long): String =
+    latestSnapshot(wfRunId) match {
       case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(wfRunId))
-      case Some(json) =>
-        val st = StateCodec.decode(json)
-        store.deployedSpecs().get(st.wfSpecName) match {
+      case Some((_, topic)) =>
+        specForTopic(topic) match {
           case None => response(RpcStatus.INTERNAL_ERROR, Some(wfRunId),
-            message = Some(s"spec ${st.wfSpecName} not deployed"))
+            message = Some(s"spec for $topic not deployed"))
           case Some(spec) =>
-            GraftBus.send(busRoot, eventTopic(spec), wfRunId,
+            val (part, off) = GraftBus.send(busRoot, eventTopic(spec), wfRunId,
               EventCodec.encodeWFEvent(WFEvent(
                 spec.objectId, spec.name, wfRunId, now(), tid, evType, "")))
+            awaitIfRequested(await, eventTopic(spec), part, off, timeoutMs)
             response(RpcStatus.OK, Some(wfRunId))
         }
     }
-  }
 
   /** POST /WFRun/stop/{wfRunId}/{tid}. */
-  def postStop(wfRunId: String, tid: Int): String =
-    lifecycle(wfRunId, tid, WFEventType.WF_RUN_STOP_REQUEST)
+  def postStop(wfRunId: String, tid: Int,
+      await: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
+      timeoutMs: Long = 30000L): String =
+    lifecycle(wfRunId, tid, WFEventType.WF_RUN_STOP_REQUEST, await, timeoutMs)
 
   /** POST /WFRun/resume/{wfRunId}/{tid}. */
-  def postResume(wfRunId: String, tid: Int): String =
-    lifecycle(wfRunId, tid, WFEventType.WF_RUN_RESUME_REQUEST)
+  def postResume(wfRunId: String, tid: Int,
+      await: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
+      timeoutMs: Long = 30000L): String =
+    lifecycle(wfRunId, tid, WFEventType.WF_RUN_RESUME_REQUEST, await,
+      timeoutMs)
 
   /** GET /{Type}Offset/{id}/{offset}/{partition} — the read-your-writes
     * barrier route (GETApi.waitForProcessing,

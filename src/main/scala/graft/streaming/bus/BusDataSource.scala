@@ -10,14 +10,15 @@ import org.apache.spark.sql.connector.catalog.{
   SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
-  InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{
   DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder,
   WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -102,22 +103,13 @@ final class BusTable(props: Map[String, String])
   override def schema(): StructType = BusDataSource.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA) // sink rows are (topic,key,value)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = BusDataSource.SCHEMA
-        override def toMicroBatchStream(checkpointLocation: String)
-            : MicroBatchStream =
-          new BusMicroBatchStream(root,
-            Option(options.get("subscribe")),
-            Option(options.get("subscribepattern")),
-            Option(options.get("startingoffsets")))
-      }
-    }
+    new BusScanBuilder(root, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -129,15 +121,63 @@ final class BusTable(props: Map[String, String])
     }
 }
 
-/** Micro-batch reader: latestOffset scans the bus directories (the
-  * "broker metadata" round-trip), each (topic, partition) becomes one
-  * input partition reading its dense offset range. */
-final class BusMicroBatchStream(
-    root: String, subscribe: Option[String], pattern: Option[String],
-    startingOffsets: Option[String] = None)
-    extends MicroBatchStream {
+/** Scan builder with key-equality pushdown: a `key = <bytes>` predicate
+  * (the point-lookup shape every run-state route compiles to) reaches
+  * the partition readers, which then skip non-matching records at the
+  * source instead of materializing the whole log into rows first. The
+  * record files must still be opened — the key lives inside the record,
+  * exactly as in Kafka, where a key filter cannot skip segment reads —
+  * so the filter is also returned as a post-scan residual and Spark
+  * re-applies it (correctness never depends on the prune). */
+final class BusScanBuilder(root: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters {
 
-  private def matchedTopics: Seq[String] = {
+  private var keyEq: Option[String] = None
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.collect {
+      case f @ EqualTo("key", v: Array[Byte]) =>
+        keyEq = Some(new String(v, "UTF-8")); f
+    }
+    filters // residual: Spark re-applies everything after the scan
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new BusScan(root,
+    Option(options.get("subscribe")),
+    Option(options.get("subscribepattern")),
+    Option(options.get("startingoffsets")),
+    keyEq)
+}
+
+/** Scan supporting both batch (full log, [0, nextOffset) per
+  * partition) and micro-batch execution over the same partition
+  * readers. `pushedKey` is exposed so plan-inspection tests can assert
+  * a route's read path is key-pruned. */
+final class BusScan(
+    root: String, subscribe: Option[String], pattern: Option[String],
+    startingOffsets: Option[String], val pushedKey: Option[String])
+    extends Scan {
+
+  override def readSchema(): StructType = BusDataSource.SCHEMA
+  override def description(): String =
+    s"graft-bus root=$root keyFilter=${pushedKey.getOrElse("<none>")}"
+
+  override def toBatch: Batch = new BusBatch(root, subscribe, pattern,
+    pushedKey)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new BusMicroBatchStream(root, subscribe, pattern, startingOffsets)
+}
+
+/** Topic selection shared by the batch and micro-batch readers:
+  * `subscribe` (comma list) or `subscribePattern` (regex), else all. */
+private[bus] object BusTopics {
+  def matched(
+      root: String, subscribe: Option[String],
+      pattern: Option[String]): Seq[String] = {
     val all = GraftBus.topics(root)
     (subscribe, pattern) match {
       case (Some(list), _) =>
@@ -149,6 +189,39 @@ final class BusMicroBatchStream(
       case _ => all
     }
   }
+}
+
+/** Distributed batch read of the whole bus log: one input partition per
+  * (topic, partition), each read executor-side — the shape the
+  * run-state query routes serve from (a driver-side loop over
+  * `GraftBus.read` would be O(all records) driver I/O per request). */
+final class BusBatch(
+    root: String, subscribe: Option[String], pattern: Option[String],
+    keyFilter: Option[String]) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (for {
+      t <- BusTopics.matched(root, subscribe, pattern)
+      p <- GraftBus.partitions(root, t)
+      until = GraftBus.nextOffset(root, t, p)
+      if until > 0
+    } yield BusInputPartition(root, t, p, 0L, until, keyFilter)
+      : InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BusPartitionReaderFactory
+}
+
+/** Micro-batch reader: latestOffset scans the bus directories (the
+  * "broker metadata" round-trip), each (topic, partition) becomes one
+  * input partition reading its dense offset range. */
+final class BusMicroBatchStream(
+    root: String, subscribe: Option[String], pattern: Option[String],
+    startingOffsets: Option[String] = None)
+    extends MicroBatchStream {
+
+  private def matchedTopics: Seq[String] =
+    BusTopics.matched(root, subscribe, pattern)
 
   /** Kafka's `startingOffsets` contract: `earliest` (this source's
     * default — a file-backed bus is a short replayable log, unlike
@@ -231,15 +304,20 @@ final class BusMicroBatchStream(
 }
 
 final case class BusInputPartition(
-    root: String, topic: String, partition: Int, from: Long, until: Long)
+    root: String, topic: String, partition: Int, from: Long, until: Long,
+    keyFilter: Option[String] = None)
     extends InputPartition
 
 final class BusPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val bp = p.asInstanceOf[BusInputPartition]
     new PartitionReader[InternalRow] {
-      private val records = GraftBus
-        .read(bp.root, bp.topic, bp.partition, bp.from, bp.until).iterator
+      // lazy record-at-a-time read (never the whole range in memory),
+      // with the pushed key filter applied before row materialization
+      private val records = (bp.from until bp.until).iterator
+        .map(off =>
+          GraftBus.read(bp.root, bp.topic, bp.partition, off, off + 1).head)
+        .filter(r => bp.keyFilter.forall(_ == r.key))
       private var cur: BusRecord = _
       override def next(): Boolean =
         if (records.hasNext) { cur = records.next(); true } else false

@@ -182,6 +182,28 @@ class GraftApiSpec extends AnyFunSuite {
       await("run-2 completion")(() => runStatus("api-run-2")
         .contains(Status.COMPLETED))
 
+      // -- GET /WFRun read path is KEY-PRUNED: the point lookup pushes
+      // its key filter into the graft-bus scan (partition readers skip
+      // non-matching records at the source), never a full driver read --
+      val lookupScan = api.latestSnapshotFrame("api-run-1")
+        .queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.scan
+        }
+      assert(lookupScan.exists {
+        case s: graft.streaming.bus.BusScan =>
+          s.pushedKey.contains("api-run-1")
+        case _ => false
+      }, s"getWfRun scan is not key-pruned: $lookupScan")
+
+      // -- POST with the read-your-writes barrier (reference: POSTApi
+      // blocks inside the request): POST then IMMEDIATE GET observes
+      // the run, no manual barrier call --
+      assert(parse(api.postRun("my_workflow", wfRunId = Some("api-run-3"),
+        await = Some(query)))("status") == api.RpcStatus.OK)
+      assert(runDoc("api-run-3").isDefined,
+        "POST /WFRun with barrier: immediate GET must observe the run")
+
       // -- GET /{Type}Offset/... : the read-your-writes barrier route --
       val (part, off) = GraftBus.send(busRoot, "wfEvents__my_workflow",
         "api-run-2", EventCodec.encodeWFEvent(WFEvent(
