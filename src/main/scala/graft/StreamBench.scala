@@ -243,6 +243,65 @@ object StreamBench {
     query.stop()
     require(completed.size == n, s"only ${completed.size}/$n completed")
     println(f"""{"metric":"speedtest_streaming_bus_$n","value":$wallSec%.2f,"unit":"sec","runs_per_sec":${n / wallSec}%.0f,"task_roundtrips_per_sec":${n * 50 / wallSec}%.0f}""")
+    if (sys.env.contains("SPARK_GRAFT_SERVE_BENCH")) serveBench(spark, spec, root, n)
     spark.stop()
+  }
+
+  /** Serving-layer latency over the state the speed test just wrote
+    * (n runs × 51 snapshots each on the bus state topic) — BASELINE.md
+    * `query_latency`, measured instead of asserted:
+    *
+    *  - `serve_point_lookup_bus`: `GET /WFRun/{id}` through [[
+    *    graft.streaming.GraftApi]] — key-pruned distributed bus scan +
+    *    SDK export, the uncompacted worst case (reads grow with
+    *    history);
+    *  - `serve_alias_search_bus`: `GET /WFRunAlias` — full predicate
+    *    scan of latest snapshots;
+    *  - `serve_point_lookup_compacted`: the same point lookup against
+    *    [[graft.streaming.CompactedStateStore]] base∪delta — the
+    *    24/7 deployment's read path, O(live runs) not O(history).
+    *
+    * p50 of `reps` timed calls after 2 warmups, printed as one JSON
+    * line per metric. */
+  private def serveBench(
+      spark: SparkSession, spec: WFSpec, root: String, n: Int): Unit = {
+    import graft.streaming.{CompactedStateStore, GraftApi, MetadataStore,
+      StateTable}
+    val metaRoot = java.nio.file.Files
+      .createTempDirectory("graft-servebench-meta").toString
+    val store = new MetadataStore(spark, metaRoot)
+    store.postWfSpec(SpecCodec.encode(spec))
+    val api = new GraftApi(spark, store, root)
+
+    def p50ms(reps: Int)(body: => Unit): Double = {
+      (1 to 2).foreach(_ => body) // plan/codegen warmup
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+      }.sorted
+      times(times.length / 2)
+    }
+    val ids = (0 until 9).map(i => s"speed-${i * (n - 1) / 8}")
+    var cursor = 0
+    def nextId(): String = { cursor = (cursor + 1) % ids.length; ids(cursor) }
+
+    val pointBus = p50ms(9) {
+      require(api.statusOf(api.getWfRun(nextId())) == api.RpcStatus.OK)
+    }
+    val aliasBus = p50ms(5)(api.getWfRunAlias("thing", "task-1"))
+
+    // compacted base: fold the state topic into one base file, then
+    // point-lookup against base∪delta (here delta = empty)
+    val compDir = java.nio.file.Files
+      .createTempDirectory("graft-servebench-comp").toString
+    val comp = new CompactedStateStore(compDir)
+    comp.append(api.snapshotFrame())
+    comp.compact(spark)
+    val pointCompacted = p50ms(9) {
+      require(StateTable.byId(comp.read(spark), nextId())
+        .select("json").collect().length == 1)
+    }
+    println(f"""{"metric":"serve_point_lookup_bus_$n","p50_ms":$pointBus%.1f,"reps":9}""")
+    println(f"""{"metric":"serve_alias_search_bus_$n","p50_ms":$aliasBus%.1f,"reps":5}""")
+    println(f"""{"metric":"serve_point_lookup_compacted_$n","p50_ms":$pointCompacted%.1f,"reps":9}""")
   }
 }

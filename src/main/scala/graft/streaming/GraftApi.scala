@@ -108,7 +108,7 @@ class GraftApi(
     * ([[graft.streaming.bus.BusScanBuilder]]): the partition readers
     * skip non-matching records at the source and only the requested
     * run's snapshots ever become rows. */
-  private[streaming] def snapshotFrame(
+  private[graft] def snapshotFrame(
       key: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val raw = spark.read.format("graft-bus")
@@ -129,7 +129,7 @@ class GraftApi(
     * state topic it came from (`wfRunState__<specName>` — the topic
     * name carries the run's spec, so no snapshot decode or spec scan is
     * needed to resolve it). Collects at most one row. */
-  private[streaming] def latestSnapshotFrame(wfRunId: String): DataFrame =
+  private[graft] def latestSnapshotFrame(wfRunId: String): DataFrame =
     StateTable.latest(snapshotFrame(Some(wfRunId)))
 
   private def latestSnapshot(wfRunId: String): Option[(String, String)] =

@@ -32,6 +32,36 @@ class MaintenanceSpec extends AnyFunSuite {
       s"mean file size did not grow: $meanBefore -> $meanAfter")
   }
 
+  test("equi-height histogram: equal-frequency buckets, exact rank bounds") {
+    import spark.implicits._
+    val b = Maintenance.EQUIHEIGHT_BUCKETS
+    val out = Maintenance.equiheightHistogram(spark, dir).collect()
+    val n = graft.sources.Tables(spark, dir, "orders").count()
+    assert(out.length == b, s"expected $b buckets, got ${out.length}")
+    assert(out.map(_.getLong(1)).sum == n, "bucket counts must sum to n")
+    // equal frequency: every bucket holds floor(n/B) or ceil(n/B) rows
+    // (rank-partitioning guarantee — the whole point vs equi-width)
+    val (lo, hi) = (n / b, n / b + (if (n % b == 0) 0 else 1))
+    out.foreach { r =>
+      assert(r.getLong(1) >= lo && r.getLong(1) <= hi,
+        s"bucket ${r.getLong(0)} has ${r.getLong(1)} rows, want [$lo,$hi]")
+    }
+    // buckets tile the value range in order: lo_k <= hi_k <= lo_{k+1}
+    out.sliding(2).foreach {
+      case Array(a, c) =>
+        assert(a.getDouble(2) <= a.getDouble(3) &&
+          a.getDouble(3) <= c.getDouble(2),
+          s"bucket bounds not monotone: $a -> $c")
+      case _ => ()
+    }
+    // no Window anywhere in the plan: the global rank must come from
+    // the distributed range sort + per-partition indexing, never a
+    // single-task window over the whole table (the q25 pathology)
+    val plan = Maintenance.equiheightHistogram(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global-window sort crept in:\n$plan")
+  }
+
   test("table stats carry exact ndv and bounds") {
     import spark.implicits._
     val out = Maintenance.tableStats(spark, dir).collect()
