@@ -1,7 +1,8 @@
 package graft
 
 /** The operative per-query 2x-gate reference: ONE number per query,
-  * all 88 measured in ONE run under ONE context — `graft.Bench` full
+  * 88 measured in ONE run under ONE context (+2 round-8 rows and one
+  * triaged re-freeze, marked inline) — `graft.Bench` full
   * run (min-of-3 timed reps, plans warmed on sf0.001, full
   * materialization) at sf0.1, local[32], 32 shuffle partitions, idle
   * box, 2026-08-13, post-round-7 plan changes (ANN aggregator rank,
@@ -49,7 +50,11 @@ object FrozenBaseline {
     "maint_histogram" -> 0.18,
     "maint_histogram_analyzed" -> 1.04,
     "maint_table_stats" -> 0.61,
-    "mm_binary_stats" -> 0.15,
+    // re-frozen round 8: the r7 0.15 floor no longer reproduces even
+    // isolated (BenchOne min-of-14 = 0.26 on an idle box, no code
+    // change on the path since the freeze — host I/O drift on a
+    // sub-second scan-bound query); BASELINE.md round-8 triage
+    "mm_binary_stats" -> 0.26,
     "mm_feature_extract" -> 0.24,
     "mm_frame_sample" -> 0.31,
     "n2_external_event_timeout" -> 0.65,
@@ -89,6 +94,10 @@ object FrozenBaseline {
     "q37_full_outer_join" -> 0.34,
     "q38_streaming_sessions" -> 1.37,
     "q39_lateral_topn" -> 0.84,
+    // round-8 additions, isolated BenchOne min-of-8 same box/harness
+    // (q40 pays 3 micro-batch rounds: real drain + 2 sentinel rounds)
+    "q40_stream_left_outer" -> 4.42,
+    "maint_histogram_equiheight" -> 0.51,
     "q3_shipping_priority" -> 0.43,
     "q4_order_priority_semijoin" -> 0.51,
     "q5_local_supplier" -> 0.57,

@@ -300,8 +300,18 @@ object StreamBench {
       require(StateTable.byId(comp.read(spark), nextId())
         .select("json").collect().length == 1)
     }
+    // the FULL route (snapshot + spec lookup + SDK export) served from
+    // the compacted base — the 24/7 deployment's configuration
+    val apiComp = new GraftApi(spark, store, root, Some(comp))
+    val pointApiComp = p50ms(9) {
+      require(apiComp.statusOf(apiComp.getWfRun(nextId()))
+        == apiComp.RpcStatus.OK)
+    }
+    val aliasComp = p50ms(5)(apiComp.getWfRunAlias("thing", "task-1"))
     println(f"""{"metric":"serve_point_lookup_bus_$n","p50_ms":$pointBus%.1f,"reps":9}""")
     println(f"""{"metric":"serve_alias_search_bus_$n","p50_ms":$aliasBus%.1f,"reps":5}""")
     println(f"""{"metric":"serve_point_lookup_compacted_$n","p50_ms":$pointCompacted%.1f,"reps":9}""")
+    println(f"""{"metric":"serve_point_lookup_api_compacted_$n","p50_ms":$pointApiComp%.1f,"reps":9}""")
+    println(f"""{"metric":"serve_alias_search_api_compacted_$n","p50_ms":$aliasComp%.1f,"reps":5}""")
   }
 }

@@ -27,10 +27,18 @@ import graft.streaming.bus.GraftBus
   * HTTP itself is out of scope (the reference's Javalin server is
   * deployment plumbing Spark doesn't need); the METHODS are the API.
   * Run-state reads go through the per-spec state topics the scheduler
-  * sink writes — the same documents a real consumer would read.
+  * sink writes — the same documents a real consumer would read — OR,
+  * when a [[CompactedStateStore]] is supplied, through its
+  * base∪delta parquet (the RocksDB-compacted analogue, reference
+  * SchedulerTopology.java:130-146): reads stay O(live runs) instead
+  * of O(snapshot history), and the measured gap at 1000 runs × 51
+  * snapshots is ~21× (serve bench in [[graft.StreamBench]]). A 24/7
+  * deployment serves from the compacted store; the bus path is the
+  * zero-infra variant for short-lived jobs and tests.
   */
 class GraftApi(
-    spark: SparkSession, store: MetadataStore, busRoot: String) {
+    spark: SparkSession, store: MetadataStore, busRoot: String,
+    compacted: Option[CompactedStateStore] = None) {
 
   // ---- LHRPCResponse envelope (model field order) ----
 
@@ -125,52 +133,81 @@ class GraftApi(
       col("topic"))
   }
 
-  /** Key-pruned point lookup: the latest snapshot of ONE run plus the
-    * state topic it came from (`wfRunState__<specName>` — the topic
-    * name carries the run's spec, so no snapshot decode or spec scan is
-    * needed to resolve it). Collects at most one row. */
+  /** Latest snapshot per run: the compacted store's base∪delta when
+    * one is supplied (already latest-folded, files touched O(live
+    * runs)), else the latest-fold over the distributed bus batch read.
+    * A point-lookup `key` prunes BEFORE the fold either way — through
+    * parquet predicate pushdown (the wfRunId filter passes through the
+    * latest window because it IS the window's partition key) or the
+    * bus scan's key pushdown. */
+  private def latestFrame(key: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    compacted match {
+      case Some(c) =>
+        val base = c.read(spark)
+        key.fold(base)(k => base.filter(col("wfRunId") === k))
+      case None => StateTable.latest(snapshotFrame(key))
+    }
+  }
+
+  /** Key-pruned point lookup frame (spec hook for plan assertions). */
   private[graft] def latestSnapshotFrame(wfRunId: String): DataFrame =
-    StateTable.latest(snapshotFrame(Some(wfRunId)))
+    latestFrame(Some(wfRunId))
 
-  private def latestSnapshot(wfRunId: String): Option[(String, String)] =
-    latestSnapshotFrame(wfRunId)
-      .select("json", "topic").collect().headOption
-      .map(r => (r.getString(0), r.getString(1)))
+  /** Collects at most one row: (snapshot json, spec name). The spec
+    * name comes from whichever column the frame carries without a
+    * JSON decode — the state topic name (`wfRunState__<specName>`) on
+    * the bus path, the scheduler's `wfSpecName` column on a
+    * scheduler-written compacted store — falling back to the decoded
+    * snapshot. */
+  private def latestSnapshot(wfRunId: String): Option[(String, String)] = {
+    val frame = latestFrame(Some(wfRunId))
+    val cols = frame.columns.toSet
+    if (cols.contains("topic"))
+      frame.select("json", "topic").collect().headOption.map(r =>
+        (r.getString(0),
+          r.getString(1).stripPrefix(Scheduler.STATE_TOPIC_PREFIX)))
+    else if (cols.contains("wfSpecName"))
+      frame.select("json", "wfSpecName").collect().headOption.map(r =>
+        (r.getString(0), r.getString(1)))
+    else
+      frame.select("json").collect().headOption.map { r =>
+        val json = r.getString(0)
+        (json, StateCodec.decode(json).wfSpecName)
+      }
+  }
 
-  /** Resolve the deployed WFSpec named by a run-state topic via the
-    * metadata store's point lookup (Q8) — never a full deployed-spec
-    * scan per request. */
-  private def specForTopic(topic: String): Option[WFSpec] =
-    store.getByNameOrId(store.Kind.WFSpec,
-      topic.stripPrefix(Scheduler.STATE_TOPIC_PREFIX))
-      .map(SpecCodec.decode)
+  /** Resolve a deployed WFSpec by name via the metadata store's point
+    * lookup (Q8) — never a full deployed-spec scan per request. */
+  private def specByName(name: String): Option[WFSpec] =
+    store.getByNameOrId(store.Kind.WFSpec, name).map(SpecCodec.decode)
 
   /** GET /WFRun/{id}: the latest snapshot, exported in the SDK's
     * serialized WFRunSchema shape so lhctl-family tooling reads it
-    * unchanged. Read path: key-pruned distributed scan (at most one
-    * row collected) + one metadata point lookup for the spec. */
+    * unchanged. Read path: key-pruned scan (at most one row
+    * collected) + one metadata point lookup for the spec. */
   def getWfRun(id: String): String =
     latestSnapshot(id) match {
-      case Some((json, topic)) =>
+      case Some((json, specName)) =>
         val st = StateCodec.decode(json)
-        specForTopic(topic) match {
+        specByName(specName) match {
           case Some(spec) => response(RpcStatus.OK, Some(id),
             LHJson.parse(StateCodec.encodeSdk(st, spec)))
           case None => response(RpcStatus.INTERNAL_ERROR, Some(id),
-            message = Some(s"spec ${st.wfSpecName} not deployed"))
+            message = Some(s"spec $specName not deployed"))
         }
       case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(id))
     }
 
   /** GET /WFRunAlias/{key}/{value}: Q2/Q9 variable search — every
     * String-valued variable is an index alias (WFRun.getAliases).
-    * The predicate evaluates DISTRIBUTED over the batch-read state
-    * topics; only matching run ids (bounded by matches) reach the
-    * driver. */
+    * The predicate evaluates DISTRIBUTED (columnar over the `aliases`
+    * map column when the frame carries one); only matching run ids
+    * (bounded by matches) reach the driver. */
   def getWfRunAlias(key: String, value: String): String = {
     import spark.implicits._
     val ids = StateTable
-      .searchByVariable(StateTable.latest(snapshotFrame()), key, value)
+      .searchByVariable(latestFrame(None), key, value)
       .as[String].collect().sorted.toVector
     response(RpcStatus.OK, None, ids)
   }
@@ -239,10 +276,10 @@ class GraftApi(
         val eed = ResourceCodec.decodeExternalEventDef(defDoc)
         latestSnapshot(wfRunId) match {
           case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(wfRunId))
-          case Some((_, topic)) =>
-            specForTopic(topic) match {
+          case Some((_, specName)) =>
+            specByName(specName) match {
               case None => response(RpcStatus.INTERNAL_ERROR, Some(wfRunId),
-                message = Some(s"spec for $topic not deployed"))
+                message = Some(s"spec $specName not deployed"))
               case Some(spec) =>
                 val t = now()
                 val (part, off) = GraftBus.send(
@@ -264,10 +301,10 @@ class GraftApi(
       timeoutMs: Long): String =
     latestSnapshot(wfRunId) match {
       case None => response(RpcStatus.OBJECT_NOT_FOUND, Some(wfRunId))
-      case Some((_, topic)) =>
-        specForTopic(topic) match {
+      case Some((_, specName)) =>
+        specByName(specName) match {
           case None => response(RpcStatus.INTERNAL_ERROR, Some(wfRunId),
-            message = Some(s"spec for $topic not deployed"))
+            message = Some(s"spec $specName not deployed"))
           case Some(spec) =>
             val (part, off) = GraftBus.send(busRoot, eventTopic(spec), wfRunId,
               EventCodec.encodeWFEvent(WFEvent(
