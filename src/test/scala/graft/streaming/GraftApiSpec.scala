@@ -218,6 +218,21 @@ class GraftApiSpec extends AnyFunSuite {
       assert(parse(api.getAliasSet(store.Kind.WFSpec, "name", "ghost"))
         ("result") == Vector())
 
+      // -- compacted serving mode: the same routes over a
+      // CompactedStateStore give byte-identical answers (the 24/7
+      // deployment's configuration; reads O(live runs)) --
+      val compDir = Files.createTempDirectory("graft-api-comp").toString
+      val comp = new CompactedStateStore(compDir)
+      comp.append(api.snapshotFrame())
+      comp.compact(spark)
+      val apiComp = new GraftApi(spark, store, busRoot, Some(comp))
+      assert(apiComp.getWfRun("api-run-1") == api.getWfRun("api-run-1"),
+        "compacted-mode GET /WFRun must be byte-identical to bus mode")
+      assert(apiComp.getWfRunAlias("my_name_var", "Obi-Wan")
+        == api.getWfRunAlias("my_name_var", "Obi-Wan"))
+      assert(apiComp.statusOf(apiComp.getWfRun("ghost-run"))
+        == api.RpcStatus.OBJECT_NOT_FOUND)
+
       // -- DELETE /{Type}/{id} --
       assert(api.statusOf(api.deleteResource(store.Kind.TaskDef,
         "basic_wf-greet")) == api.RpcStatus.OK)
