@@ -99,6 +99,20 @@ object StreamBatch {
   private val lastDrainDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Register `newDir` as `name`'s live temp dir, deleting the one the
+    * previous invocation left (its readback was consumed by then). */
+  private def trackTemp(name: String, newDir: String): Unit =
+    Option(lastDrainDir.put(name, newDir)).foreach(deleteRecursively)
+
   /** Drain a streaming frame to parquet DISTRIBUTED and read the result
     * back as an ordinary distributed frame — the shape for any streaming
     * result whose row count scales with the data, where a memory sink +
@@ -115,15 +129,7 @@ object StreamBatch {
       s: SparkSession, df: DataFrame, mode: String, name: String): DataFrame = {
     val out = java.nio.file.Files
       .createTempDirectory(s"graft-stream-$name").toString
-    Option(lastDrainDir.put(name, out)).foreach { prev =>
-      // previous drain's readback was consumed before this re-drain
-      val root = java.nio.file.Paths.get(prev)
-      if (java.nio.file.Files.isDirectory(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+    trackTemp(name, out)
     val q = df.writeStream
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
@@ -342,6 +348,7 @@ object StreamBatch {
     // staging: symlinks to the real part files (no copy), so the
     // stream can be extended with sentinel files
     val staging = java.nio.file.Files.createTempDirectory("graft-louter-src")
+    trackTemp("q40_stream_left_outer:staging", staging.toString)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val parts =
       if (java.nio.file.Files.isDirectory(src))
@@ -374,6 +381,7 @@ object StreamBatch {
       .agg(max($"ts")).as[Long].head()
     val out = java.nio.file.Files
       .createTempDirectory("graft-stream-q40").toString
+    trackTemp("q40_stream_left_outer", out)
     val t0 = System.nanoTime()
     val q = joined.writeStream
       .outputMode("append")
@@ -406,6 +414,7 @@ object StreamBatch {
           .find(_.getFileName.toString.endsWith(".parquet")).get
         java.nio.file.Files.move(part,
           staging.resolve(f"sentinel_$round%02d.parquet"))
+        deleteRecursively(tmp.toString)
       }
       sentinel(0); q.processAllAvailable() // watermark past every window
       sentinel(1); q.processAllAvailable() // a batch RUNS with it: evict

@@ -148,6 +148,7 @@ final class BusScanBuilder(root: String, options: CaseInsensitiveStringMap)
     Option(options.get("subscribe")),
     Option(options.get("subscribepattern")),
     Option(options.get("startingoffsets")),
+    Option(options.get("endingoffsets")),
     keyEq)
 }
 
@@ -157,7 +158,8 @@ final class BusScanBuilder(root: String, options: CaseInsensitiveStringMap)
   * a route's read path is key-pruned. */
 final class BusScan(
     root: String, subscribe: Option[String], pattern: Option[String],
-    startingOffsets: Option[String], val pushedKey: Option[String])
+    startingOffsets: Option[String], endingOffsets: Option[String],
+    val pushedKey: Option[String])
     extends Scan {
 
   override def readSchema(): StructType = BusDataSource.SCHEMA
@@ -165,15 +167,18 @@ final class BusScan(
     s"graft-bus root=$root keyFilter=${pushedKey.getOrElse("<none>")}"
 
   override def toBatch: Batch = new BusBatch(root, subscribe, pattern,
-    pushedKey)
+    startingOffsets, endingOffsets, pushedKey)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new BusMicroBatchStream(root, subscribe, pattern, startingOffsets)
 }
 
-/** Topic selection shared by the batch and micro-batch readers:
-  * `subscribe` (comma list) or `subscribePattern` (regex), else all. */
+/** Topic selection and offset-spec resolution shared by the batch and
+  * micro-batch readers: `subscribe` (comma list) or `subscribePattern`
+  * (regex), else all; offset specs follow Kafka's contract
+  * (`earliest`, `latest`, or a per-partition JSON map with -2/-1
+  * sentinels, which must cover every matched topic-partition). */
 private[bus] object BusTopics {
   def matched(
       root: String, subscribe: Option[String],
@@ -189,24 +194,99 @@ private[bus] object BusTopics {
       case _ => all
     }
   }
+
+  private def earliestAll(
+      root: String, topics: Seq[String]): Map[String, Map[Int, Long]] =
+    topics.map(t =>
+      t -> GraftBus.partitions(root, t).map(p => p -> 0L).toMap).toMap
+
+  private def latestAll(
+      root: String, topics: Seq[String]): Map[String, Map[Int, Long]] =
+    topics.map(t => t -> GraftBus.partitions(root, t)
+      .map(p => p -> GraftBus.nextOffset(root, t, p)).toMap).toMap
+
+  /** Resolve an offsets option to a concrete per-partition map over
+    * `topics`. `what` names the option in errors; `defaultLatest`
+    * selects the absent-option default (Kafka: batch starting =
+    * earliest, batch ending = latest). */
+  def resolveOffsets(
+      root: String, topics: Seq[String], spec: Option[String],
+      what: String, defaultLatest: Boolean): Map[String, Map[Int, Long]] =
+    spec.map(_.trim).filter(_.nonEmpty) match {
+      case None =>
+        if (defaultLatest) latestAll(root, topics)
+        else earliestAll(root, topics)
+      case Some(s) if s.equalsIgnoreCase("earliest") =>
+        earliestAll(root, topics)
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        latestAll(root, topics)
+      case Some(json) if json.startsWith("{") =>
+        val requested = BusDataSource.parseOffsets(json)
+        // Kafka's contract: a specific-offsets map must cover every
+        // subscribed TopicPartition — a missing entry (or a typo'd
+        // topic, which is an entry for an unsubscribed topic) is an
+        // ERROR, never a silent fall-back.
+        val unknown = requested.keySet -- topics.toSet
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$what names topics not matched by this source: " +
+              s"${unknown.toSeq.sorted.mkString(", ")} (matched: " +
+              s"${topics.sorted.mkString(", ")})")
+        val missing = topics.flatMap { t =>
+          val have = requested.getOrElse(t, Map.empty[Int, Long]).keySet
+          GraftBus.partitions(root, t).filterNot(have.contains)
+            .map(p => s"$t-$p")
+        }
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$what must cover all matched topic-partitions; " +
+              s"missing: ${missing.sorted.mkString(", ")}")
+        requested.map { case (t, ps) =>
+          t -> ps.map { case (p, o) =>
+            p -> (o match {
+              case -2L => 0L
+              case -1L => GraftBus.nextOffset(root, t, p)
+              case n if n >= 0 => n
+              case bad => throw new IllegalArgumentException(
+                s"$what: invalid offset $bad for $t-$p")
+            })
+          }
+        }
+      case Some(bad) => throw new IllegalArgumentException(
+        s"$what must be 'earliest', 'latest', or an offset JSON map, " +
+          s"got: $bad")
+    }
 }
 
-/** Distributed batch read of the whole bus log: one input partition per
+/** Distributed batch read of the bus log: one input partition per
   * (topic, partition), each read executor-side — the shape the
   * run-state query routes serve from (a driver-side loop over
-  * `GraftBus.read` would be O(all records) driver I/O per request). */
+  * `GraftBus.read` would be O(all records) driver I/O per request).
+  * Honors Kafka's batch options: `startingOffsets` (default earliest)
+  * and `endingOffsets` (default latest), each `earliest`/`latest`/
+  * per-partition JSON with -2/-1 sentinels. */
 final class BusBatch(
     root: String, subscribe: Option[String], pattern: Option[String],
+    startingOffsets: Option[String], endingOffsets: Option[String],
     keyFilter: Option[String]) extends Batch {
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val topics = BusTopics.matched(root, subscribe, pattern)
+    val from = BusTopics.resolveOffsets(
+      root, topics, startingOffsets, "startingOffsets",
+      defaultLatest = false)
+    val until = BusTopics.resolveOffsets(
+      root, topics, endingOffsets, "endingOffsets", defaultLatest = true)
     (for {
-      t <- BusTopics.matched(root, subscribe, pattern)
+      t <- topics
       p <- GraftBus.partitions(root, t)
-      until = GraftBus.nextOffset(root, t, p)
-      if until > 0
-    } yield BusInputPartition(root, t, p, 0L, until, keyFilter)
+      lo = from.getOrElse(t, Map.empty[Int, Long]).getOrElse(p, 0L)
+      hi = until.getOrElse(t, Map.empty[Int, Long])
+        .getOrElse(p, GraftBus.nextOffset(root, t, p))
+      if hi > lo
+    } yield BusInputPartition(root, t, p, lo, hi, keyFilter)
       : InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BusPartitionReaderFactory
@@ -233,45 +313,14 @@ final class BusMicroBatchStream(
     * restores the committed offsets instead, exactly like Kafka. */
   override def initialOffset(): Offset =
     startingOffsets.map(_.trim).filter(_.nonEmpty) match {
+      // empty map = "earliest for everything, incl. topics that appear
+      // later" (pattern subscription); an explicit map would pin the
+      // topic set at first start
       case None => BusOffset(Map.empty)
       case Some(s) if s.equalsIgnoreCase("earliest") => BusOffset(Map.empty)
-      case Some(s) if s.equalsIgnoreCase("latest") =>
-        latestOffset().asInstanceOf[BusOffset]
-      case Some(json) if json.startsWith("{") =>
-        val requested = BusDataSource.parseOffsets(json)
-        // Kafka's contract: a specific-offsets map must cover every
-        // subscribed TopicPartition — a missing entry (or a typo'd
-        // topic, which is an entry for an unsubscribed topic) is an
-        // ERROR, never a silent fall-back to earliest.
-        val unknown = requested.keySet -- matchedTopics.toSet
-        if (unknown.nonEmpty)
-          throw new IllegalArgumentException(
-            s"startingOffsets names topics not matched by this source: " +
-              s"${unknown.toSeq.sorted.mkString(", ")} (matched: " +
-              s"${matchedTopics.sorted.mkString(", ")})")
-        val missing = matchedTopics.flatMap { t =>
-          val have = requested.getOrElse(t, Map.empty[Int, Long]).keySet
-          GraftBus.partitions(root, t).filterNot(have.contains)
-            .map(p => s"$t-$p")
-        }
-        if (missing.nonEmpty)
-          throw new IllegalArgumentException(
-            "startingOffsets must cover all matched topic-partitions; " +
-              s"missing: ${missing.sorted.mkString(", ")}")
-        BusOffset(requested.map { case (t, ps) =>
-          t -> ps.map { case (p, o) =>
-            p -> (o match {
-              case -2L => 0L
-              case -1L => GraftBus.nextOffset(root, t, p)
-              case n if n >= 0 => n
-              case bad => throw new IllegalArgumentException(
-                s"startingOffsets: invalid offset $bad for $t-$p")
-            })
-          }
-        })
-      case Some(bad) => throw new IllegalArgumentException(
-        "startingOffsets must be 'earliest', 'latest', or an offset " +
-          s"JSON map, got: $bad")
+      case Some(spec) => BusOffset(BusTopics.resolveOffsets(
+        root, matchedTopics, Some(spec), "startingOffsets",
+        defaultLatest = false))
     }
 
   override def latestOffset(): Offset =
