@@ -187,32 +187,60 @@ object Maintenance {
     * Scale shape — global ranks WITHOUT the global-window pathology
     * (one task sorting the world, the exact q25 anti-pattern): the
     * narrow (v, id) projection is distributively range-sorted
-    * (multi-partition range exchange), then `zipWithIndex` assigns
-    * global indices from per-partition sizes — one tiny count job,
-    * then a per-partition offset add; no partition ever holds more
-    * than its range slice. This is the one genuinely imperative
-    * per-partition step, which is what the RDD escape hatch is for;
-    * everything after is a map-side-combined B-group aggregate.
-    * Two data passes total: the count scan and the sort+bucket pass
-    * (the zipWithIndex size job reuses the sorted partitions). */
-  def equiheightHistogram(s: SparkSession, dir: String): DataFrame = {
+    * (multi-partition range exchange) and PERSISTED (spill-to-disk —
+    * the standard cost of an exact multi-order-statistic; the
+    * alternative is paying the reduce-side sort twice), then
+    * `zipWithIndex` assigns global indices from the cached
+    * per-partition sizes; no partition ever holds more than its range
+    * slice. This is the one genuinely imperative per-partition step,
+    * which is what the RDD escape hatch is for; everything after is a
+    * map-side-combined B-group aggregate whose B-row result is
+    * materialized eagerly so the cache can be released before
+    * returning. Two data passes total: the count scan and the
+    * sort+bucket pass. */
+  /** The distributed range-sort stage (plan pinned in MaintenanceSpec:
+    * RangePartitioning exchange, never a single partition). */
+  private[operators] def equiheightSorted(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_totalprice".as("v"), $"o_orderkey".as("id"))
+      .orderBy($"v", $"id")
+  }
+
+  /** The rank→bucket aggregation over an (already sorted) RDD (plan
+    * pinned in MaintenanceSpec: partial-combined aggregate, no
+    * Window). */
+  private[operators] def equiheightAgg(
+      s: SparkSession,
+      sorted: org.apache.spark.rdd.RDD[(Double, Long)],
+      n: Long): DataFrame = {
     import s.implicits._
     val b = EQUIHEIGHT_BUCKETS.toLong
-    val o = Tables(s, dir, "orders")
-      .select($"o_totalprice".as("v"), $"o_orderkey".as("id"))
-    val n = o.count()
-    require(n >= b, s"fewer rows ($n) than buckets ($b)")
-    val bucketed = o.orderBy($"v", $"id")
-      .as[(Double, Long)].rdd
-      .zipWithIndex
-      .map { case ((v, _), i) => (i * b / n, v) } // exact integer rank math
-    bucketed.toDF("bucket", "v")
+    sorted.zipWithIndex
+      .map { case ((v, _), i) => (i * b / n, v) } // exact integer ranks
+      .toDF("bucket", "v")
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_rows"),
         round(min($"v"), 2).as("lo"),
         round(max($"v"), 2).as("hi"))
       .select($"bucket", $"n_rows", $"lo", $"hi")
       .orderBy($"bucket")
+  }
+
+  def equiheightHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = equiheightSorted(s, dir)
+    val n = o.count()
+    require(n >= EQUIHEIGHT_BUCKETS, s"fewer rows ($n) than buckets")
+    val sorted = o.as[(Double, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = equiheightAgg(s, sorted, n)
+        .as[(Long, Long, Double, Double)]
+        .collect() // B rows — bounded at any table size
+      rows.toSeq.toDF("bucket", "n_rows", "lo", "hi")
+    } finally sorted.unpersist(blocking = false)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,14 +288,14 @@ object Maintenance {
     // `i*B div n` — DuckDB `//` is integer division like Spark's
     // long/long
     "maint_histogram_equiheight" ->
-      """WITH s AS (SELECT o_totalprice AS v,
-        |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS i
-        |  FROM orders),
-        |n AS (SELECT count(*) AS c FROM orders)
-        |SELECT CAST((i * 16) // n.c AS BIGINT) AS bucket,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
-        |FROM s, n GROUP BY 1 ORDER BY bucket""".stripMargin,
+      s"""WITH s AS (SELECT o_totalprice AS v,
+         |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS i
+         |  FROM orders),
+         |n AS (SELECT count(*) AS c FROM orders)
+         |SELECT CAST((i * $EQUIHEIGHT_BUCKETS) // n.c AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
+         |FROM s, n GROUP BY 1 ORDER BY bucket""".stripMargin,
     "maint_table_stats" ->
       """SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
         | CAST(n_nonnull AS BIGINT) AS n_nonnull,

@@ -499,20 +499,20 @@ object Similarity {
     * pair materialization. ONE data-proportional scan: the row count
     * rides in the aggregation buffer's trailing slot (no separate
     * count() pass); the only other action is a single-row `first()`
-    * that reads the dim, asserted == 64 because the DuckDB oracle's
-    * `range(1, 65)` pins it statically (DuckDB range() cannot take
-    * lateral column arguments — a different corpus dim must update
-    * both sides together). Output: upper-triangle (i, j, q_sum) rows
-    * plus the row count n under (-1, -1) so callers can normalize. */
+    * that reads the dim, which the operator handles GENERALLY (any
+    * embedding width). The DuckDB oracle alone pins the fixture dim
+    * via `range(1, 65)` (DuckDB range() cannot take lateral column
+    * arguments); a corpus with any other dim fails the gate LOUDLY —
+    * d(d+1)/2+1 output rows vs the oracle's 2081 is a row-count
+    * mismatch, never a silent hash pass. Output: upper-triangle
+    * (i, j, q_sum) rows plus the row count n under (-1, -1) so
+    * callers can normalize. */
   def covarianceQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
       .select($"embedding".cast("array<double>")).as[Array[Double]]
     val dim = Tables(s, dir, "embeddings")
       .select(size($"embedding")).as[Int].first()
-    require(dim == 64,
-      s"embedding dim $dim != 64: the static DuckDB oracle (range(1,65)) " +
-        "would silently compare mismatched triangles — update both sides")
     val agg = new graft.functions.MomentAgg(dim, MOMENT_SCALE).toColumn
     val sums: Array[Long] = emb.select(agg).head()
     val nRows = sums.last

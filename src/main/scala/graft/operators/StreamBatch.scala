@@ -99,12 +99,23 @@ object StreamBatch {
   private val lastDrainDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // Files.list/walk hold an open directory fd until the STREAM is
+  // closed (exhausting the iterator is not enough) — same convention
+  // as GraftBus.listDir; every listing here goes through these
+  private def listDir[A](p: java.nio.file.Path)(
+      f: Iterator[java.nio.file.Path] => A): A = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(p)
+    try f(s.iterator.asScala) finally s.close()
+  }
+
   private def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.isDirectory(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val s = java.nio.file.Files.walk(root)
+      val all = try s.iterator.asScala.toSeq finally s.close()
+      all.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 
@@ -352,8 +363,8 @@ object StreamBatch {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val parts =
       if (java.nio.file.Files.isDirectory(src))
-        java.nio.file.Files.list(src).iterator.asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        listDir(src)(
+          _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
       else Seq(src)
     parts.zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.createSymbolicLink(
@@ -383,6 +394,7 @@ object StreamBatch {
       .createTempDirectory("graft-stream-q40").toString
     trackTemp("q40_stream_left_outer", out)
     val t0 = System.nanoTime()
+    var firstDrainSec = -1.0
     val q = joined.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -391,6 +403,7 @@ object StreamBatch {
       .start()
     try {
       q.processAllAvailable() // all real data (one batch: no file cap)
+      firstDrainSec = (System.nanoTime() - t0) / 1e9
       // sentinel rounds: matched view+purchase pairs (negative ids) a
       // day apart, two days past the data — each round's pair joins
       // immediately, leaving no sentinel state behind
@@ -410,17 +423,22 @@ object StreamBatch {
         val tmp = java.nio.file.Files.createTempDirectory("graft-louter-sent")
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), rawSchema)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator.asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val part = listDir(tmp)(
+          _.find(_.getFileName.toString.endsWith(".parquet")).get)
         java.nio.file.Files.move(part,
           staging.resolve(f"sentinel_$round%02d.parquet"))
         deleteRecursively(tmp.toString)
       }
       sentinel(0); q.processAllAvailable() // watermark past every window
       sentinel(1); q.processAllAvailable() // a batch RUNS with it: evict
+      lastDrainProgress.put("q40_stream_left_outer",
+        q.recentProgress.toSeq.map(_.json))
     } finally q.stop()
+    // startup/steady split: the first drain covers query start + the
+    // whole real-data batch; the remainder is the two sentinel rounds
+    // (the per-batch cost a 24/7 stream pays forever)
     lastDrainTimings.put("q40_stream_left_outer",
-      ((System.nanoTime() - t0) / 1e9, (System.nanoTime() - t0) / 1e9,
+      (firstDrainSec, (System.nanoTime() - t0) / 1e9,
         q.recentProgress.length))
 
     val batchDirs = Option(new java.io.File(out).listFiles())

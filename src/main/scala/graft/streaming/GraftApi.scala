@@ -144,8 +144,15 @@ class GraftApi(
     import org.apache.spark.sql.functions.col
     compacted match {
       case Some(c) =>
-        val base = c.read(spark)
-        key.fold(base)(k => base.filter(col("wfRunId") === k))
+        // an empty store (API up before the first snapshot lands) must
+        // answer like the bus path: NOT_FOUND / empty, never a crash
+        if (c.readFootprint.isEmpty) {
+          import spark.implicits._
+          Seq.empty[(String, String)].toDF("wfRunId", "json")
+        } else {
+          val base = c.read(spark)
+          key.fold(base)(k => base.filter(col("wfRunId") === k))
+        }
       case None => StateTable.latest(snapshotFrame(key))
     }
   }

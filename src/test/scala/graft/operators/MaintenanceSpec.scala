@@ -54,12 +54,25 @@ class MaintenanceSpec extends AnyFunSuite {
           s"bucket bounds not monotone: $a -> $c")
       case _ => ()
     }
-    // no Window anywhere in the plan: the global rank must come from
-    // the distributed range sort + per-partition indexing, never a
-    // single-task window over the whole table (the q25 pathology)
-    val plan = Maintenance.equiheightHistogram(spark, dir)
+    // plan pins for both stages: the sort is a DISTRIBUTED range
+    // exchange (never one partition sorting the world — the q25
+    // pathology), and the bucket aggregate partial-combines with no
+    // Window anywhere
+    val sortPlan = Maintenance.equiheightSorted(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"global-window sort crept in:\n$plan")
+    assert(sortPlan.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange:\n$sortPlan")
+    assert(!sortPlan.contains("SinglePartition"),
+      s"sort must not collapse to one partition:\n$sortPlan")
+    val sorted = Maintenance.equiheightSorted(spark, dir)
+      .as[(Double, Long)].rdd
+    val aggPlan = Maintenance.equiheightAgg(spark, sorted, n)
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Window"),
+      s"global-window sort crept in:\n$aggPlan")
+    assert(aggPlan.contains("partial_count") ||
+      aggPlan.toLowerCase.contains("partial"),
+      s"bucket aggregate must partial-combine:\n$aggPlan")
   }
 
   test("table stats carry exact ndv and bounds") {
