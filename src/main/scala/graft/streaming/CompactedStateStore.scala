@@ -52,11 +52,18 @@ final class CompactedStateStore(dir: String) extends Serializable {
   private def versionFile: Path = Paths.get(dir, "_version")
   private def consumedFile(v: Long): Path = Paths.get(dir, s"_consumed_v$v")
 
+  // Files.list/walk hold an open directory fd until the STREAM is
+  // closed (exhausting the iterator is not enough — GraftBus.listDir
+  // pins the same convention)
   private def parquetFiles(p: Path): Seq[String] =
     if (!Files.isDirectory(p)) Nil
-    else Files.list(p).iterator.asScala
-      .filter(f => f.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+    else {
+      val s = Files.list(p)
+      try s.iterator.asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+      finally s.close()
+    }
 
   /** Currently-published compaction version (0 = never compacted). */
   def version: Long =
@@ -159,7 +166,8 @@ final class CompactedStateStore(dir: String) extends Serializable {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator.asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
+      val s = Files.walk(p)
+      val all = try s.iterator.asScala.toSeq finally s.close()
+      all.reverse.foreach(f => Files.deleteIfExists(f))
     }
 }
