@@ -98,6 +98,7 @@ object FrozenBaseline {
     // (q40 pays 3 micro-batch rounds: real drain + 2 sentinel rounds)
     "q40_stream_left_outer" -> 4.42,
     "maint_histogram_equiheight" -> 0.51,
+    "q41_stream_static_join" -> 1.50,
     "q3_shipping_priority" -> 0.43,
     "q4_order_priority_semijoin" -> 0.51,
     "q5_local_supplier" -> 0.57,

@@ -455,12 +455,57 @@ object StreamBatch {
       .orderBy($"view_id", $"buy_id")
   }
 
+  /** STREAM-STATIC join — the enrichment pattern every production
+    * stream runs (events joined to a slowly-changing dimension), and
+    * the fifth streaming-operator family here: unlike the
+    * stream-stream joins (q26/q40) the static side needs NO watermark
+    * and NO state — each micro-batch hash-joins against the
+    * broadcast dimension, so state is zero and the join adds no
+    * shuffle to the stream side. Per-nation, per-type event counts
+    * and revenue; the revenue sum is pre-quantized to integer cents
+    * (floor(v·100+0.5)) so the complete-mode aggregate is
+    * order-free and bit-matchable by the batch oracle. */
+  def streamingStaticJoin(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
+    import s.implicits._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+
+    val dim = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+    val enriched = Tables.eventsTsFromNanos(
+      Tables.eventsReadStream(s, dir, rawSchema))
+      .select($"user_id", $"event_type",
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy($"c_nationkey", $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("cents"))
+
+    val table = s"graft_stream_static_${nameCounter.incrementAndGet()}"
+    val q = enriched.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q, "q41_stream_static_join")
+
+    // nations × event types — bounded at any event volume
+    val rows = s.table(table)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    s.catalog.dropTempView(table)
+    rows.toDF("c_nationkey", "event_type", "n_events", "cents")
+      .orderBy($"c_nationkey", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_streaming_daily_agg" -> (streamingDailyAgg _),
     "q26_stream_stream_join" -> (streamingIntervalJoin _),
     "q31_streaming_dedup_keys" -> (streamingDedupKeys _),
     "q38_streaming_sessions" -> (streamingSessions _),
     "q40_stream_left_outer" -> (streamingLeftOuterJoin _),
+    "q41_stream_static_join" -> (streamingStaticJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -479,6 +524,16 @@ object StreamBatch {
     "q31_streaming_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // batch replay of the stream-static enrichment: same join, same
+    // integer-cents quantization — stateless on the stream side, so
+    // stream/batch equivalence is exact by construction
+    "q41_stream_static_join" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey, e.event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |   AS cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // batch replay of the left-outer interval join: the sentinel
     // harness guarantees every unmatched view's null row emitted, so
     // the streaming result equals the complete batch LEFT JOIN

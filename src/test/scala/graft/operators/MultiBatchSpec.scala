@@ -36,6 +36,10 @@ class MultiBatchSpec extends AnyFunSuite {
       if (ordered) raw.repartitionByRange(8, org.apache.spark.sql.functions.col("ts"))
       else raw.repartition(8)
     laid.write.parquet(s"$root/events.parquet")
+    // static dim for the stream-static join (q41)
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$root/customer.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/customer.parquet"))
     // FileStreamSource admits files in MODIFICATION-TIME order, and
     // write-task completion order is arbitrary — pin mtimes to the
     // part-file index so the ordered layout is admitted earliest-slice
@@ -82,6 +86,7 @@ class MultiBatchSpec extends AnyFunSuite {
     agree("q26", orderedDir, StreamBatch.streamingIntervalJoin)
     agree("q31", orderedDir, StreamBatch.streamingDedupKeys)
     agree("q38", orderedDir, StreamBatch.streamingSessions)
+    agree("q41", orderedDir, StreamBatch.streamingStaticJoin)
   }
 
   // The watermark-free queries (complete-mode aggs, global dedup) must
@@ -91,6 +96,7 @@ class MultiBatchSpec extends AnyFunSuite {
     agree("q23", shuffledDir, StreamBatch.streamingDailyAgg)
     agree("q31", shuffledDir, StreamBatch.streamingDedupKeys)
     agree("q38", shuffledDir, StreamBatch.streamingSessions)
+    agree("q41", shuffledDir, StreamBatch.streamingStaticJoin)
   }
 
   // And the watermarked join's late-data policy is pinned, not hidden:
