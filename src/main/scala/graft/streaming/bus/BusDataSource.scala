@@ -170,8 +170,14 @@ final class BusScan(
     startingOffsets, endingOffsets, pushedKey)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : MicroBatchStream =
+      : MicroBatchStream = {
+    // Kafka parity: endingOffsets is a batch-only option — a streaming
+    // query must reject it, never silently ignore it
+    require(endingOffsets.isEmpty,
+      "endingOffsets is not supported on streaming queries " +
+        "(batch-only option, like the Kafka source)")
     new BusMicroBatchStream(root, subscribe, pattern, startingOffsets)
+  }
 }
 
 /** Topic selection and offset-spec resolution shared by the batch and

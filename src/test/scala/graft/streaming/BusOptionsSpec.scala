@@ -177,6 +177,17 @@ class BusOptionsSpec extends AnyFunSuite {
     assert(vals(Map("startingOffsets" -> "latest")).isEmpty)
   }
 
+  test("endingOffsets on a streaming query is rejected (batch-only)") {
+    val root = Files.createTempDirectory("graft-bus-opts").toString
+    GraftBus.send(root, "eo__t", "k", "v")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainOnce(root, Map("subscribe" -> "eo__t",
+        "endingOffsets" -> """{"eo__t":{"0":1}}"""))
+    }
+    assert(ex.getMessage.contains("endingOffsets")
+      || Option(ex.getCause).exists(_.getMessage.contains("endingOffsets")))
+  }
+
   test("batch read: key equality pushes into the scan and prunes rows") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-bus-batch").toString
