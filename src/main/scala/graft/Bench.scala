@@ -137,8 +137,11 @@ object Bench {
     val recallIvfCorpus = corpusRecall("ann_ivf_topk")
     // IVF recall/cost CURVE: corpus recall vs brute force and wall time
     // at NPROBE ∈ {1, 2, 4}, so the recall-vs-join-volume tradeoff is a
-    // measured dial per round, not the single operating point.
-    val ivfCurve = Seq(1, 2, 4).map { np =>
+    // measured dial per round, not the single operating point. Skipped
+    // when a BENCH_ONLY bisect excludes the ANN family — a bisect run
+    // must not pay (or perturb) work outside its subset.
+    val ivfCurve = if (!only.contains("ann_ivf_topk")) "{}"
+    else Seq(1, 2, 4).map { np =>
       val t0 = System.nanoTime()
       val pairs =
         try Some(graft.operators.Similarity.ivfTopKAt(spark, sfDir, np)
