@@ -146,6 +146,24 @@ class CompactionSpec extends AnyFunSuite {
         s"footprint: ${store.readFootprint}")
       assert(StateTable.searchByVariable(store.read(spark), "who", "Grievous")
         .collect().map(_.getString(0)).toSeq == Seq("c-run-2"))
+
+      // the FULL API routes served from this scheduler-written store:
+      // the frame carries the scheduler's wfSpecName and columnar
+      // `aliases` columns, so point lookup resolves its spec without a
+      // snapshot decode and alias search takes the columnar branch
+      // (never the per-row JSON fallback)
+      assert(store.read(spark).columns.contains("aliases"),
+        "scheduler-written store must carry the columnar aliases map")
+      val metaRoot = Files.createTempDirectory("graft-compact-meta").toString
+      val meta = new MetadataStore(spark, metaRoot)
+      meta.postWfSpec(SpecCodec.encode(spec))
+      val api = new GraftApi(spark, meta,
+        Files.createTempDirectory("graft-compact-bus").toString, Some(store))
+      assert(api.statusOf(api.getWfRun("c-run-1")) == api.RpcStatus.OK)
+      assert(LHJson.parse(api.getWfRunAlias("who", "Grievous"))
+        .asInstanceOf[ListMap[String, Any]]("result") == Vector("c-run-2"))
+      assert(api.statusOf(api.getWfRun("ghost"))
+        == api.RpcStatus.OBJECT_NOT_FOUND)
     } finally query.stop()
   }
 }
