@@ -14,6 +14,11 @@ import Mutations.{Op => M}
   */
 class EngineFuzzSpec extends AnyFunSuite {
 
+  // deterministic default seed counts; SPARK_GRAFT_FUZZ_SCALE=N deepens
+  // every loop N× for one-off soak runs (CI stays at 1×)
+  private val fuzzScale =
+    sys.env.get("SPARK_GRAFT_FUZZ_SCALE").map(_.toInt).getOrElse(1)
+
   private def randomSpec(rnd: Random): WFSpec = {
     val nNodes = 1 + rnd.nextInt(6)
     val types = Vector(NodeType.TASK, NodeType.TASK, NodeType.NOP,
@@ -60,7 +65,7 @@ class EngineFuzzSpec extends AnyFunSuite {
   }
 
   test("random multi-thread workflows (spawn/wait/locks) stay consistent (100 seeds)") {
-    for (seed <- 0 until 100) {
+    for (seed <- 0 until 100 * fuzzScale) {
       val rnd = new Random(1000 + seed)
       val nSpawns = 1 + rnd.nextInt(3)
       val childMutates = rnd.nextBoolean()
@@ -121,7 +126,7 @@ class EngineFuzzSpec extends AnyFunSuite {
     // the halt-lattice dimension the other fuzz tests don't move:
     // interrupts landing before/during/after the interruptible window,
     // stacked with manual stop/resume pairs at random virtual times
-    for (seed <- 0 until 150) {
+    for (seed <- 0 until 150 * fuzzScale) {
       val rnd = new Random(5000 + seed)
       val sleepSecs = 1 + rnd.nextInt(4)
       val handlerThrows = rnd.nextInt(4) == 0
@@ -185,7 +190,7 @@ class EngineFuzzSpec extends AnyFunSuite {
   test("random workflows terminate in consistent states (200 seeds)") {
     val terminal = Set(Status.COMPLETED, Status.HALTED, Status.HALTING,
       Status.RUNNING) // RUNNING = legitimately waiting (e.g. no event sent)
-    for (seed <- 0 until 200) {
+    for (seed <- 0 until 200 * fuzzScale) {
       val rnd = new Random(seed)
       val spec =
         try randomSpec(rnd)
