@@ -430,4 +430,25 @@ class PlanSpec extends AnyFunSuite {
     // corpus scale
     assert(plan.contains("partial_count"), plan.take(3000))
   }
+
+  test("q41 enrichment joins by broadcast: no stream-side shuffle/sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the batch analog of q41's per-micro-batch plan (same expression
+    // tree, batch source): the dimension must broadcast — a sort-merge
+    // join would shuffle AND sort every stream batch, which is the
+    // shape that dies on a 24/7 stream
+    val dim = graft.sources.Tables(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+    val plan = planOf(
+      graft.sources.Tables(spark, dir, "events")
+        .select($"user_id", $"event_type",
+          floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+        .join(broadcast(dim), $"user_id" === $"c_custkey")
+        .groupBy($"c_nationkey", $"event_type")
+        .agg(count(lit(1)).as("n_events"), sum($"cents").as("cents")))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
 }
