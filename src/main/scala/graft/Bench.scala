@@ -154,7 +154,9 @@ object Bench {
           else (exact & approx).size.toDouble / exact.size).getOrElse(-1.0)
       s""""nprobe_$np":{"recall":$rec,"sec":$sec}"""
     }.mkString("{", ",", "}")
-    val recallPlanted = try {
+    // skipped under a BENCH_ONLY bisect that excludes the LSH family —
+    // same no-out-of-subset-work rule as the IVF curve
+    val recallPlanted = if (!only.contains("ann_lsh_topk")) -1.0 else try {
       import spark.implicits._
       import org.apache.spark.sql.functions._
       val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")

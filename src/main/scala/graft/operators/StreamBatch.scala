@@ -99,25 +99,11 @@ object StreamBatch {
   private val lastDrainDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  // Files.list/walk hold an open directory fd until the STREAM is
-  // closed (exhausting the iterator is not enough) — same convention
-  // as GraftBus.listDir; every listing here goes through these
   private def listDir[A](p: java.nio.file.Path)(
-      f: Iterator[java.nio.file.Path] => A): A = {
-    import scala.jdk.CollectionConverters._
-    val s = java.nio.file.Files.list(p)
-    try f(s.iterator.asScala) finally s.close()
-  }
+      f: Iterator[java.nio.file.Path] => A): A = graft.util.Dirs.listDir(p)(f)
 
-  private def deleteRecursively(dir: String): Unit = {
-    val root = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.isDirectory(root)) {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.walk(root)
-      val all = try s.iterator.asScala.toSeq finally s.close()
-      all.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-  }
+  private def deleteRecursively(dir: String): Unit =
+    graft.util.Dirs.deleteRecursively(java.nio.file.Paths.get(dir))
 
   /** Register `newDir` as `name`'s live temp dir, deleting the one the
     * previous invocation left (its readback was consumed by then). */
@@ -458,10 +444,12 @@ object StreamBatch {
   /** STREAM-STATIC join — the enrichment pattern every production
     * stream runs (events joined to a slowly-changing dimension), and
     * the fifth streaming-operator family here: unlike the
-    * stream-stream joins (q26/q40) the static side needs NO watermark
-    * and NO state — each micro-batch hash-joins against the
-    * broadcast dimension, so state is zero and the join adds no
-    * shuffle to the stream side. Per-nation, per-type event counts
+    * stream-stream joins (q26/q40) the JOIN keeps no state and needs
+    * no watermark — each micro-batch hash-joins against the (small,
+    * threshold-broadcast) dimension with no stream-side shuffle
+    * before the aggregate. The only stateful operator is the
+    * complete-mode aggregate itself, whose state is the bounded
+    * (nations × types) group set. Per-nation, per-type event counts
     * and revenue; the revenue sum is pre-quantized to integer cents
     * (floor(v·100+0.5)) so the complete-mode aggregate is
     * order-free and bit-matchable by the batch oracle. */
@@ -478,7 +466,13 @@ object StreamBatch {
       Tables.eventsReadStream(s, dir, rawSchema))
       .select($"user_id", $"event_type",
         floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
-      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      // UNHINTED join, same dial as cdc_upsert_apply: customer grows
+      // with SF (Tables.broadcastable deliberately excludes it), so
+      // the planner broadcasts while the dim fits the threshold — the
+      // common enrichment case, and the plan PlanSpec pins at test SF
+      // — and falls back to a shuffled join for a dimension too big to
+      // ship, instead of a forced-hint driver OOM at scale
+      .join(dim, $"user_id" === $"c_custkey")
       .groupBy($"c_nationkey", $"event_type")
       .agg(count(lit(1)).as("n_events"), sum($"cents").as("cents"))
 

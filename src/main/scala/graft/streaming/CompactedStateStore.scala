@@ -52,18 +52,11 @@ final class CompactedStateStore(dir: String) extends Serializable {
   private def versionFile: Path = Paths.get(dir, "_version")
   private def consumedFile(v: Long): Path = Paths.get(dir, s"_consumed_v$v")
 
-  // Files.list/walk hold an open directory fd until the STREAM is
-  // closed (exhausting the iterator is not enough — GraftBus.listDir
-  // pins the same convention)
   private def parquetFiles(p: Path): Seq[String] =
     if (!Files.isDirectory(p)) Nil
-    else {
-      val s = Files.list(p)
-      try s.iterator.asScala
-        .filter(f => f.getFileName.toString.endsWith(".parquet"))
-        .map(_.toString).toSeq.sorted
-      finally s.close()
-    }
+    else graft.util.Dirs.listDir(p)(
+      _.filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted)
 
   /** Currently-published compaction version (0 = never compacted). */
   def version: Long =
@@ -165,9 +158,5 @@ final class CompactedStateStore(dir: String) extends Serializable {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      val all = try s.iterator.asScala.toSeq finally s.close()
-      all.reverse.foreach(f => Files.deleteIfExists(f))
-    }
+    graft.util.Dirs.deleteRecursively(p)
 }

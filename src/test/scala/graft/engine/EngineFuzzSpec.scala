@@ -15,9 +15,18 @@ import Mutations.{Op => M}
 class EngineFuzzSpec extends AnyFunSuite {
 
   // deterministic default seed counts; SPARK_GRAFT_FUZZ_SCALE=N deepens
-  // every loop N× for one-off soak runs (CI stays at 1×)
-  private val fuzzScale =
-    sys.env.get("SPARK_GRAFT_FUZZ_SCALE").map(_.toInt).getOrElse(1)
+  // every loop N× for one-off soak runs (CI stays at 1×). A typo'd or
+  // non-positive value must never silently run ZERO seeds (vacuously
+  // green fuzz is the one failure a soak knob cannot allow).
+  private val fuzzScale = {
+    val raw = sys.env.get("SPARK_GRAFT_FUZZ_SCALE")
+    val parsed = raw.map(v => v.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_FUZZ_SCALE must be a positive int, got: $v")))
+    parsed.foreach(n => require(n >= 1,
+      s"SPARK_GRAFT_FUZZ_SCALE must be >= 1, got: $n"))
+    parsed.getOrElse(1)
+  }
 
   private def randomSpec(rnd: Random): WFSpec = {
     val nNodes = 1 + rnd.nextInt(6)

@@ -78,10 +78,10 @@ class MultiBatchSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
-  // All four families on the time-ordered feed — incl. the watermarked
+  // All five families on the time-ordered feed — incl. the watermarked
   // join, whose state expiry is exercised FOR REAL across batches here
   // (each batch's watermark evicts the previous hour's join state)
-  test("ordered feed: all four streaming queries are batching-independent") {
+  test("ordered feed: all five streaming queries are batching-independent") {
     agree("q23", orderedDir, StreamBatch.streamingDailyAgg)
     agree("q26", orderedDir, StreamBatch.streamingIntervalJoin)
     agree("q31", orderedDir, StreamBatch.streamingDedupKeys)
