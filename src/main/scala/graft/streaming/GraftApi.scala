@@ -31,8 +31,10 @@ import graft.streaming.bus.GraftBus
   * when a [[CompactedStateStore]] is supplied, through its
   * base∪delta parquet (the RocksDB-compacted analogue, reference
   * SchedulerTopology.java:130-146): reads stay O(live runs) instead
-  * of O(snapshot history), and the measured gap at 1000 runs × 51
-  * snapshots is ~21× (serve bench in [[graft.StreamBench]]). A 24/7
+  * of O(snapshot history) — measured at 1000 runs × 51 snapshots:
+  * ~11× route-to-route (367 ms vs 4,023 ms p50 `GET /WFRun`), and
+  * near-FLAT in history where the bus path grows ~6.5× per decade
+  * (serve bench in [[graft.StreamBench]], BASELINE.md). A 24/7
   * deployment serves from the compacted store; the bus path is the
   * zero-infra variant for short-lived jobs and tests.
   */
