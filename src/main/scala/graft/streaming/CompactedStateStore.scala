@@ -160,3 +160,54 @@ final class CompactedStateStore(dir: String) extends Serializable {
   private def deleteRecursively(p: Path): Unit =
     graft.util.Dirs.deleteRecursively(p)
 }
+
+object CompactedStateStore {
+
+  /** Ensure a snapshot frame carries the SERVING columns the scheduler
+    * sink materializes (`wfSpecName`, `status`, columnar `aliases`) so
+    * a store built from raw bus topics serves alias search through the
+    * columnar branch of [[StateTable.searchByVariable]] instead of the
+    * per-row JSON-decode fallback, and point lookups resolve their spec
+    * without a decode. The decode happens HERE, once per snapshot, at
+    * append/compaction time — never on the query path (a per-request
+    * full-corpus decode would not survive 100× state cardinality).
+    *
+    * A frame that already has the columns (scheduler-written) passes
+    * through untouched apart from dropping the bus `topic` column,
+    * whose information lands in `wfSpecName`. Distributed: one typed
+    * map over the frame, no driver materialization.
+    */
+  def enrich(snapshots: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.engine.StateCodec
+    val cols = snapshots.columns.toSet
+    if (cols.contains("aliases") && cols.contains("wfSpecName"))
+      snapshots.drop("topic")
+    else {
+      val spark = snapshots.sparkSession
+      import spark.implicits._
+      // spec-name source that needs no decode, when one exists
+      val fromTopic = !cols.contains("wfSpecName") && cols.contains("topic")
+      val specCol =
+        if (cols.contains("wfSpecName")) col("wfSpecName")
+        else if (fromTopic) col("topic")
+        else lit(null).cast("string")
+      snapshots
+        .select(col("wfRunId"), col("seq"), col("json"),
+          specCol.as("specSrc"))
+        .as[(String, Long, String, Option[String])]
+        .map { case (id, seq, json, specSrc) =>
+          val st = StateCodec.decode(json)
+          val spec = specSrc match {
+            case Some(s) if fromTopic =>
+              s.stripPrefix(Scheduler.STATE_TOPIC_PREFIX)
+            case Some(s) => s
+            case None => st.wfSpecName
+          }
+          (id, spec, st.status, json, seq, st.aliasMap)
+        }
+        .toDF("wfRunId", "wfSpecName", "status", "json", "seq", "aliases")
+    }
+  }
+}
