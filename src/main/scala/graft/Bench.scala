@@ -20,6 +20,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -74,14 +75,43 @@ object Bench {
     // Default 3: min-of-2 is a weak minimum estimator on a shared host;
     // a third sample costs ~35 s of untimed wall and stabilizes the min.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = only.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val best = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { BenchExec.materialize(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
-    }
+    // ERROR-HONEST timing (round-10 post-mortem): a rep that throws
+    // must NEVER contribute a time — r10 recorded time-to-exception for
+    // 20+ broken queries, producing physically impossible 0.02×-0.05×
+    // "speedups" and a meaningless aggregate. A query with ANY failed
+    // rep is reported under "errors" (message truncated), excluded from
+    // "queries", total_sec, and every vs_frozen ratio.
+    val timed: Seq[(String, Double, Option[String])] =
+      only.toSeq.sortBy(_._1).map { case (name, fn) =>
+        var err: Option[String] = None
+        val ok = (0 until reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            BenchExec.materialize(fn(spark, sfDir))
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              err = Some(Option(e.getMessage)
+                .getOrElse(e.getClass.getName).replaceAll("\\s+", " ").take(200))
+              None
+          }
+        }
+        (name, if (ok.nonEmpty) ok.min else -1.0, err)
+      }
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val results = timed.collect { case (k, v, None) => k -> v }
+    val errors = timed.collect { case (k, _, Some(e)) => k -> e }
+    val errorsJson = errors
+      .map { case (k, e) => s"\"" + k + "\":" + jsonStr(e) }
+      .mkString("{", ",", "}")
+    val erroredJson = errors.map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -189,7 +219,7 @@ object Bench {
         }.mkString("{", ",", "}")
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"unfrozen_queries":$unfrozen,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_ivf_vs_brute_corpus":$recallIvfCorpus,"ann_lsh_planted_twin_top1":$recallPlanted},"ivf_curve":$ivfCurve}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"errored":$erroredJson,"errors":$errorsJson,"unfrozen_queries":$unfrozen,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_ivf_vs_brute_corpus":$recallIvfCorpus,"ann_lsh_planted_twin_top1":$recallPlanted},"ivf_curve":$ivfCurve}"""
     // The artifact must not depend on a bounded stdout tail surviving
     // (round 5's driver capture lost 25 queries mid-JSON): write the
     // full JSON to a stable file, then print it, with the path as the

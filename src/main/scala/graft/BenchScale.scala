@@ -47,6 +47,7 @@ object BenchScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -75,7 +76,8 @@ object BenchScale {
     // density (what sessionization/windowing cost depends on) stays
     // identical, the user population grows K×; timestamps are kept, so
     // the same 30-day window carries K× the rows, like a busier month.
-    // ts arrives as raw nanos (nanosAsLong) and is written back as-is.
+    // ts is written back as-is in whatever physical type it arrives
+    // (raw nanos long or timestamp[us]); Tables.eventsTsFromNanos adapts.
     if (only("events")) {
       val events = spark.read.parquet(s"$src/events.parquet")
       (0 until k).map(i => events

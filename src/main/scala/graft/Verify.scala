@@ -20,15 +20,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Self-owned manifest (round-10 post-mortem): one {ok|err} row PER
+    // QUERY, including load-time failures, written even when a table
+    // read throws — so an environment shift (e.g. the driver
+    // regenerating a parquet with a new physical type) is visible
+    // in-repo as N err rows instead of as silently-absent keys in the
+    // driver's correctness artifact.
+    val manifest = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .map { case (name, fn) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          name -> None
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          name -> Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("\\s+", " ").take(300))
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val manifestJson = manifest.map {
+      case (k, None) => s"${q(k)}: {${q("ok")}: true}"
+      case (k, Some(e)) => s"${q(k)}: {${q("ok")}: false, ${q("err")}: ${q(e)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifestJson)
+    val nErr = manifest.count(_._2.isDefined)
+    println(s"[verify] ${manifest.size} queries, $nErr errored " +
+      s"(manifest: $outDir/manifest.json)")
     spark.stop()
   }
 }

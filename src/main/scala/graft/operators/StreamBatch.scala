@@ -154,8 +154,8 @@ object StreamBatch {
       withStatePartitions(s, dir) {
     import s.implicits._
     import graft.sources.Tables
-    // the events file carries TIMESTAMP(NANOS): the long-read +
-    // truncate-to-micros convention is owned by graft.sources.Tables
+    // events ts physical type varies by driver data generation (raw
+    // nanos long / timestamp[us]); normalization owned by graft.sources.Tables
     Tables.ensureNanosFlag(s)
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
 
@@ -374,8 +374,16 @@ object StreamBatch {
     // streaming plan: a pre-join filter would push below the watermark
     // node and stop the sentinels from advancing it
 
-    val maxTsNanos = s.read.parquet(s"$dir/events.parquet")
-      .agg(max($"ts")).as[Long].head()
+    // max event time in epoch MICROS, adaptive to the parquet's
+    // physical ts type (raw nanos long / timestamp[us] NTZ / UTC) —
+    // sentinel rows below must be written back in the SAME raw type
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val rawTsType = rawSchema("ts").dataType
+    val maxTsMicros = s.read.parquet(s"$dir/events.parquet")
+      .agg(max(rawTsType match {
+        case LongType => expr("ts div 1000")
+        case _ => unix_micros($"ts".cast("timestamp"))
+      })).as[Long].head()
     val out = java.nio.file.Files
       .createTempDirectory("graft-stream-q40").toString
     trackTemp("q40_stream_left_outer", out)
@@ -394,12 +402,20 @@ object StreamBatch {
       // day apart, two days past the data — each round's pair joins
       // immediately, leaving no sentinel state behind
       def sentinel(round: Int): Unit = {
-        val ts = maxTsNanos + (2L + round) * 86400L * 1000000000L
+        val micros = maxTsMicros + (2L + round) * 86400L * 1000000L
+        val instant = java.time.Instant.ofEpochSecond(
+          micros / 1000000L, (micros % 1000000L) * 1000L)
+        val tsCell: Any = rawTsType match {
+          case LongType => micros * 1000L
+          case TimestampNTZType => // external type: LocalDateTime (UTC wall)
+            java.time.LocalDateTime.ofInstant(instant, java.time.ZoneOffset.UTC)
+          case _ => java.sql.Timestamp.from(instant)
+        }
         val uid = -(round + 1L)
         def row(eid: Long, tpe: String) =
           org.apache.spark.sql.Row.fromSeq(rawSchema.fieldNames.toSeq.map {
             case "event_id" => eid
-            case "ts" => ts
+            case "ts" => tsCell
             case "user_id" => uid
             case "event_type" => tpe
             case "value" => 0.0

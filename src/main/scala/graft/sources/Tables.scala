@@ -60,15 +60,38 @@ object Tables {
         != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** The events `ts` normalization: nanos-as-long → microsecond
-    * timestamp via exact INTEGER division (`/` would round-trip through
-    * DOUBLE, whose 53-bit mantissa cannot hold epoch nanos). Shared by
-    * the batch loader below and the streaming reader so the convention
-    * cannot diverge. */
+  /** The events `ts` normalization, ADAPTIVE to what the parquet
+    * actually ships (the driver has regenerated this table across
+    * rounds with different physical types):
+    *   - TIMESTAMP(NANOS) read as long (nanosAsLong) → microsecond
+    *     timestamp via exact INTEGER division (`/` would round-trip
+    *     through DOUBLE, whose 53-bit mantissa cannot hold epoch
+    *     nanos);
+    *   - timestamp[us] with isAdjustedToUTC=false (pandas-written) →
+    *     read as TIMESTAMP_NTZ, cast to TimestampType. The cast
+    *     interprets the naive wall-clock in the SESSION timezone;
+    *     Verify/Bench/tests all run UTC sessions, so the resulting
+    *     instants equal the pre-drift nanos-derived ones bit-for-bit
+    *     (and match what DuckDB's naive TIMESTAMP arithmetic computes
+    *     for the oracle);
+    *   - timestamp[us] adjusted to UTC (already TimestampType) →
+    *     pass-through.
+    * Shared by the batch loader below and the streaming reader so the
+    * convention cannot diverge. */
   def eventsTsFromNanos(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — extend the " +
+          "normalization in Tables.eventsTsFromNanos")
+    }
   }
 
   /** Streaming reader for the events table, owning the layout quirk:

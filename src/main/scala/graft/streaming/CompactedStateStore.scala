@@ -78,9 +78,13 @@ final class CompactedStateStore(dir: String) extends Serializable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Append one micro-batch of snapshot rows to the log. */
+  /** Append one micro-batch of snapshot rows to the log, enriched to
+    * the serving schema ([[CompactedStateStore.enrich]]): scheduler
+    * frames pass through, raw bus frames pay their one-time decode
+    * HERE instead of on every query. */
   def append(batch: DataFrame): Unit =
-    batch.write.mode("append").parquet(logDir.toString)
+    CompactedStateStore.enrich(batch)
+      .write.mode("append").parquet(logDir.toString)
 
   /** Streaming sink for the scheduler's snapshot rows; `compactEvery`
     * > 0 runs [[compact]] inline after every N-th batch (the reference

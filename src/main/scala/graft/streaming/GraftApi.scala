@@ -40,7 +40,14 @@ import graft.streaming.bus.GraftBus
   */
 class GraftApi(
     spark: SparkSession, store: MetadataStore, busRoot: String,
-    compacted: Option[CompactedStateStore] = None) {
+    compacted: Option[CompactedStateStore] = None,
+    // Optional driver-side read-through cache over `compacted` (must
+    // wrap the SAME store): GET /WFRun answers warm hits from memory
+    // (microseconds) instead of launching a Spark job (~150-300 ms),
+    // the reference's local-RocksDB locality bet made explicit. Miss
+    // and Bypass both fall through to the distributed path, so wiring
+    // the cache can only ever change LATENCY, never an answer.
+    servingCache: Option[ServingCache] = None) {
 
   // ---- LHRPCResponse envelope (model field order) ----
 
@@ -170,6 +177,15 @@ class GraftApi(
     * scheduler-written compacted store — falling back to the decoded
     * snapshot. */
   private def latestSnapshot(wfRunId: String): Option[(String, String)] = {
+    // cache fast path: a Hit IS the store's latest snapshot (the cache
+    // re-validates against the store's published file set on every
+    // lookup, so read-your-writes holds); Miss/Bypass → distributed
+    servingCache.foreach { c =>
+      c.lookup(spark, wfRunId) match {
+        case ServingCache.Hit(json, spec) => return Some((json, spec))
+        case _ => // fall through
+      }
+    }
     val frame = latestFrame(Some(wfRunId))
     val cols = frame.columns.toSet
     if (cols.contains("topic"))

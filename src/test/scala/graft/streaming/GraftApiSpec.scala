@@ -233,6 +233,49 @@ class GraftApiSpec extends AnyFunSuite {
       assert(apiComp.statusOf(apiComp.getWfRun("ghost-run"))
         == api.RpcStatus.OBJECT_NOT_FOUND)
 
+      // -- serving cache: warm GET /WFRun answers from driver memory,
+      // BYTE-IDENTICAL to the distributed path (the cache's core
+      // contract, ServingCache scaladoc) --
+      val cache = new ServingCache(comp)
+      val apiCached = new GraftApi(spark, store, busRoot, Some(comp),
+        servingCache = Some(cache))
+      assert(apiCached.getWfRun("api-run-1") == api.getWfRun("api-run-1"),
+        "cached GET /WFRun must be byte-identical to the bus path")
+      assert(apiCached.getWfRun("api-run-2") == apiComp.getWfRun("api-run-2"),
+        "cached GET /WFRun must be byte-identical to the compacted path")
+      assert(cache.size > 0, "cache populated after first lookup")
+      assert(apiCached.statusOf(apiCached.getWfRun("ghost-run"))
+        == api.RpcStatus.OBJECT_NOT_FOUND)
+
+      // read-your-writes after an APPEND the cache has not seen: a new
+      // log file must be visible to the very next lookup (staleness is
+      // re-checked against the store's published file set per request).
+      // The appended row is a real snapshot re-keyed under a fresh run
+      // id, in the raw bus shape — so this also exercises the append
+      // path's one-time enrich decode.
+      import spark.implicits._
+      val (_, rywJson, rywSeq, rywTopic) = api.snapshotFrame(Some("api-run-1"))
+        .select("wfRunId", "json", "seq", "topic")
+        .as[(String, String, Long, String)].collect().maxBy(_._3)
+      comp.append(Seq(("cache-ryw-run", rywJson, rywSeq, rywTopic))
+        .toDF("wfRunId", "json", "seq", "topic"))
+      assert(apiCached.statusOf(apiCached.getWfRun("cache-ryw-run"))
+        == api.RpcStatus.OK,
+        "append must be visible to the next cached lookup")
+      assert(apiCached.getWfRun("cache-ryw-run")
+        == apiComp.getWfRun("cache-ryw-run"),
+        "post-append cached answer must match the distributed path")
+
+      // bypass at maxEntries: a cache bounded below the live-run count
+      // flips to permanent Bypass and the route serves distributed —
+      // same bytes, no cache residency
+      val tiny = new ServingCache(comp, maxEntries = 1)
+      val apiTiny = new GraftApi(spark, store, busRoot, Some(comp),
+        servingCache = Some(tiny))
+      assert(apiTiny.getWfRun("api-run-1") == apiComp.getWfRun("api-run-1"))
+      assert(tiny.isBypassed && tiny.size == 0,
+        s"bounded cache must bypass (bypassed=${tiny.isBypassed})")
+
       // -- DELETE /{Type}/{id} --
       assert(api.statusOf(api.deleteResource(store.Kind.TaskDef,
         "basic_wf-greet")) == api.RpcStatus.OK)
