@@ -56,7 +56,18 @@ object Bench {
             else SparkEntry.queries
           base.filter(kv => !excludes.contains(kv._1))
       }
-    only.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Deliberate-failure injection (tools/check_bench_error_honesty.sh):
+    // replaces the named query with one that throws, so the error-honest
+    // artifact shape below is itself verifiable — the broken query must
+    // land in "errored"/"errors" and contribute to NO timing aggregate.
+    val harness = sys.env.get("SPARK_GRAFT_BENCH_BREAK") match {
+      case Some(name) if only.contains(name) =>
+        only.updated(name, (_: SparkSession, _: String) =>
+          throw new RuntimeException(
+            s"SPARK_GRAFT_BENCH_BREAK: injected failure for $name"))
+      case _ => only
+    }
+    harness.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try BenchExec.materialize(fn(spark, warmDir))
       catch {
         case e: Throwable =>
@@ -82,7 +93,7 @@ object Bench {
     // rep is reported under "errors" (message truncated), excluded from
     // "queries", total_sec, and every vs_frozen ratio.
     val timed: Seq[(String, Double, Option[String])] =
-      only.toSeq.sortBy(_._1).map { case (name, fn) =>
+      harness.toSeq.sortBy(_._1).map { case (name, fn) =>
         var err: Option[String] = None
         val ok = (0 until reps).flatMap { _ =>
           val t0 = System.nanoTime()

@@ -308,10 +308,20 @@ object StreamBench {
         == apiComp.RpcStatus.OK)
     }
     val aliasComp = p50ms(5)(apiComp.getWfRunAlias("thing", "task-1"))
+    // the FULL route answered from the driver-side ServingCache (warm):
+    // no Spark job per request — the reference's local-RocksDB read
+    // analogue, expected ~1000× below the distributed p50
+    val apiCached = new GraftApi(spark, store, root, Some(comp),
+      servingCache = Some(new graft.streaming.ServingCache(comp)))
+    val pointApiCached = p50ms(9) {
+      require(apiCached.statusOf(apiCached.getWfRun(nextId()))
+        == apiCached.RpcStatus.OK)
+    }
     println(f"""{"metric":"serve_point_lookup_bus_$n","p50_ms":$pointBus%.1f,"reps":9}""")
     println(f"""{"metric":"serve_alias_search_bus_$n","p50_ms":$aliasBus%.1f,"reps":5}""")
     println(f"""{"metric":"serve_point_lookup_compacted_$n","p50_ms":$pointCompacted%.1f,"reps":9}""")
     println(f"""{"metric":"serve_point_lookup_api_compacted_$n","p50_ms":$pointApiComp%.1f,"reps":9}""")
     println(f"""{"metric":"serve_alias_search_api_compacted_$n","p50_ms":$aliasComp%.1f,"reps":5}""")
+    println(f"""{"metric":"serve_point_lookup_api_cached_$n","p50_ms":$pointApiCached%.3f,"reps":9}""")
   }
 }

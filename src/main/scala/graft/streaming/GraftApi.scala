@@ -376,15 +376,10 @@ class GraftApi(
     * (GETable.getAliases:142-149), so the route is a name lookup
     * returning every matching id. */
   def getAliasSet(kind: String, aliasKey: String, aliasValue: String): String = {
-    import spark.implicits._
     if (aliasKey != "name")
       response(RpcStatus.OK, None, Vector.empty[String])
-    else {
-      val ids = store.table()
-        .filter(org.apache.spark.sql.functions.col("kind") === kind &&
-          org.apache.spark.sql.functions.col("name") === aliasValue)
-        .select("id").as[String].collect().sorted.toVector
-      response(RpcStatus.OK, None, ids)
-    }
+    else
+      response(RpcStatus.OK, None,
+        store.idsByName(kind, aliasValue).toVector)
   }
 }

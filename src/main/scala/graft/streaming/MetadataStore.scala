@@ -79,7 +79,8 @@ class MetadataStore(spark: SparkSession, rootDir: String) {
     append(kind, id, "", "", deleted = true)
 
   /** The compacted view: latest record per (kind, id), tombstones
-    * dropped. */
+    * dropped. DataFrame surface for callers composing further relational
+    * work; the point-lookup methods below serve from [[compacted]]. */
   def table(): DataFrame = {
     val w = Window.partitionBy($"kind", $"id").orderBy($"seq".desc)
     spark.read.parquet(path)
@@ -88,24 +89,79 @@ class MetadataStore(spark: SparkSession, rootDir: String) {
       .drop("rn", "deleted")
   }
 
-  /** Q1: point lookup by id. */
+  /** One compacted metadata record: latest per (kind, id). */
+  final case class MetaRow(
+      kind: String, id: String, name: String, json: String, seq: Long)
+
+  // Driver-side read-through compaction cache — the reference serves
+  // every metadata lookup from its LOCAL Kafka Streams store
+  // (microseconds, GETable.java:124-140); a Spark job per GET /{Type}
+  // request (~130 ms measured, StreamBench serve rows) would make
+  // metadata the latency floor of every route that resolves a spec.
+  // Metadata is intrinsically tiny (resource DEFINITIONS, not run
+  // state), so the whole compacted view fits beside the API server.
+  // Staleness: re-validated against the log's file listing on every
+  // read — parquet appends create a new file, so this instance's own
+  // writes AND external writers are visible to the very next lookup
+  // (same contract as ServingCache over CompactedStateStore).
+  @volatile private var cacheFiles: Set[String] = null
+  @volatile private var cacheRows: Map[(String, String), MetaRow] = Map.empty
+
+  private def logFiles(): Set[String] =
+    Option(new java.io.File(path).listFiles())
+      .map(_.iterator.map(_.getName).filter(_.endsWith(".parquet")).toSet)
+      .getOrElse(Set.empty)
+
+  /** The compacted view as an in-memory map, refreshed only when the
+    * log's file set changed (one bounded Spark read per WRITE, never
+    * per read). Tombstoned ids are absent. */
+  private def compacted(): Map[(String, String), MetaRow] = {
+    val files = logFiles()
+    if (cacheFiles == files) return cacheRows
+    synchronized {
+      val fresh = logFiles()
+      if (cacheFiles != fresh) {
+        cacheRows =
+          if (fresh.isEmpty) Map.empty
+          else spark.read.parquet(path)
+            .select($"kind", $"id", $"name", $"json", $"deleted", $"seq")
+            .as[(String, String, String, String, Boolean, Long)].collect()
+            .groupBy(r => (r._1, r._2))
+            .flatMap { case (k, rs) =>
+              val latest = rs.maxBy(_._6)
+              if (latest._5) None // tombstone wins: id is gone
+              else Some(k -> MetaRow(latest._1, latest._2, latest._3,
+                latest._4, latest._6))
+            }
+        cacheFiles = fresh
+      }
+      cacheRows
+    }
+  }
+
+  /** Q1: point lookup by id (served from the compacted cache). */
   def getById(kind: String, id: String): Option[String] =
-    table().filter($"kind" === kind && $"id" === id)
-      .select($"json").as[String].collect().headOption
+    compacted().get((kind, id)).map(_.json)
 
   /** Q8: lookup by id, falling back to the latest record with that name
     * (LHDatabaseClient.getByNameOrId, LHDatabaseClient.java:22-45). */
   def getByNameOrId(kind: String, key: String): Option[String] = {
     getById(kind, key).orElse {
-      table().filter($"kind" === kind && $"name" === key)
-        .orderBy($"seq".desc)
-        .select($"json").as[String].collect().headOption
+      compacted().values.iterator
+        .filter(r => r.kind == kind && r.name == key)
+        .toSeq.sortBy(-_.seq).headOption.map(_.json)
     }
   }
 
+  /** All ids with the given (kind, name) — the metadata alias route. */
+  def idsByName(kind: String, name: String): Seq[String] =
+    compacted().values.iterator
+      .filter(r => r.kind == kind && r.name == name)
+      .map(_.id).toSeq.sorted
+
   /** Q4: scan all ids of a resource type. */
   def getAllIds(kind: String): Seq[String] =
-    table().filter($"kind" === kind).select($"id").as[String].collect().toSeq
+    compacted().keysIterator.collect { case (k, id) if k == kind => id }.toSeq
 
   /** Q6 deploy surface: the deployed-spec map handed to the multiplexed
     * streaming scheduler ([[Scheduler.apply]]). Deploying a WFSpec =
@@ -113,9 +169,8 @@ class MetadataStore(spark: SparkSession, rootDir: String) {
     * serves every spec, replacing the reference's scheduler-process-
     * per-WFSpec (WFSpec.deploy, WFSpec.java:263-272). */
   def deployedSpecs(): Map[String, WFSpec] =
-    table().filter($"kind" === Kind.WFSpec)
-      .select($"json").as[String].collect()
-      .map(SpecCodec.decode)
-      .map(sp => sp.name -> sp)
-      .toMap
+    compacted().values.collect { case r if r.kind == Kind.WFSpec =>
+      val sp = SpecCodec.decode(r.json)
+      sp.name -> sp
+    }.toMap
 }
