@@ -266,6 +266,17 @@ class GraftApiSpec extends AnyFunSuite {
         == apiComp.getWfRun("cache-ryw-run"),
         "post-append cached answer must match the distributed path")
 
+      // staleness across a COMPACTION: compact() publishes a new base
+      // and (a generation later) deletes superseded files — the cache's
+      // merged-file bookkeeping must survive the wholesale file-set
+      // swap and keep answering byte-identically
+      assert(comp.compact(spark) > 0L, "ryw append left a log file to fold")
+      assert(apiCached.getWfRun("cache-ryw-run")
+        == apiComp.getWfRun("cache-ryw-run"),
+        "cached answer must survive compaction")
+      assert(apiCached.getWfRun("api-run-1") == api.getWfRun("api-run-1"),
+        "pre-compaction entries must stay correct after the file-set swap")
+
       // bypass at maxEntries: a cache bounded below the live-run count
       // flips to permanent Bypass and the route serves distributed —
       // same bytes, no cache residency
