@@ -49,6 +49,11 @@ class GraftApi(
     // the cache can only ever change LATENCY, never an answer.
     servingCache: Option[ServingCache] = None) {
 
+  require(servingCache.forall(c => compacted.exists(_ eq c.store)),
+    "servingCache must wrap the SAME CompactedStateStore passed as " +
+      "`compacted` — a cache over a different store would serve answers " +
+      "the distributed fallback path cannot reproduce")
+
   // ---- LHRPCResponse envelope (model field order) ----
 
   object RpcStatus {

@@ -44,7 +44,7 @@ import org.apache.spark.sql.SparkSession
   * only.
   */
 final class ServingCache(
-    store: CompactedStateStore,
+    private[streaming] val store: CompactedStateStore,
     maxEntries: Int = ServingCache.DefaultMaxEntries) {
 
   import ServingCache._
