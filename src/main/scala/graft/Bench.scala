@@ -23,6 +23,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The default codegen class cache (100 entries, static conf)
+      // thrashes under a 91-query bench: the suite generates several
+      // hundred distinct codegen units, so by the time a rep re-runs a
+      // query its compiled classes were evicted and the rep re-pays
+      // 50-200 ms of Janino compilation — fixed overhead that lands on
+      // sub-second queries as 1.3-1.7× "regressions" (measured,
+      // BASELINE.md round-12 triage). A long-lived server would hold
+      // its working set compiled; size the cache like one.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: run EVERY query once on the smallest SF. The
@@ -86,28 +95,58 @@ object Bench {
     // Default 3: min-of-2 is a weak minimum estimator on a shared host;
     // a third sample costs ~35 s of untimed wall and stabilizes the min.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // REP ORDER (round-12 triage of the r10/r11 driver `over_2x` rows):
+    // reps are INTERLEAVED — pass 1 runs every query once in sorted
+    // order, then pass 2, then pass 3 — instead of running one query's
+    // reps back-to-back. Rationale: both driver runs that flagged
+    // q6/q7/q8/q9 were NOT globally contended (r11 driver gc_sec 2.48,
+    // total 71.1 s ≈ the idle-box 71.4 s) — the inflation was confined
+    // to rows CONSECUTIVE in execution order (r10: q3→q9 one contiguous
+    // block; r11: q2_var→q30→q31 and q5→q6→q7→q8→q9 two contiguous
+    // blocks, clean on both sides). That is the signature of an
+    // external ~20-35 s CPU burst on the shared host, and consecutive
+    // reps hand it exactly the failure mode min-of-N exists to reject:
+    // one burst covers ALL N reps of several adjacent sub-second
+    // queries, so every sample is poisoned and the min reads 5-10×.
+    // With interleaving, a query's samples are separated by a full pass
+    // (~70 s wall at sf0.1), so a burst of that length can poison at
+    // most ONE sample per query and the min stays a steady-state
+    // measurement. Steady-state cost per rep is unchanged (plans are
+    // warmed; sf0.1 inputs stay page-cache-resident across a pass —
+    // verified: interleaved idle-run mins match consecutive-run mins
+    // within noise). SPARK_GRAFT_BENCH_REP_MODE=consecutive restores
+    // the old order for A/B experiments.
+    val repMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_MODE", "interleaved")
     // ERROR-HONEST timing (round-10 post-mortem): a rep that throws
     // must NEVER contribute a time — r10 recorded time-to-exception for
     // 20+ broken queries, producing physically impossible 0.02×-0.05×
     // "speedups" and a meaningless aggregate. A query with ANY failed
     // rep is reported under "errors" (message truncated), excluded from
     // "queries", total_sec, and every vs_frozen ratio.
+    val ordered = harness.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    val repErrs = scala.collection.mutable.Map[String, String]()
+    def runRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        BenchExec.materialize(fn(spark, sfDir))
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          repErrs(name) = Option(e.getMessage)
+            .getOrElse(e.getClass.getName).replaceAll("\\s+", " ").take(200)
+      }
+    }
+    if (repMode == "consecutive")
+      ordered.foreach { case (n, f) => (0 until reps).foreach(_ => runRep(n, f)) }
+    else
+      (0 until reps).foreach(_ => ordered.foreach { case (n, f) => runRep(n, f) })
     val timed: Seq[(String, Double, Option[String])] =
-      harness.toSeq.sortBy(_._1).map { case (name, fn) =>
-        var err: Option[String] = None
-        val ok = (0 until reps).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            BenchExec.materialize(fn(spark, sfDir))
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              err = Some(Option(e.getMessage)
-                .getOrElse(e.getClass.getName).replaceAll("\\s+", " ").take(200))
-              None
-          }
-        }
-        (name, if (ok.nonEmpty) ok.min else -1.0, err)
+      ordered.map { case (name, _) =>
+        val ok = samples(name)
+        val err = repErrs.get(name)
+        (name, if (ok.nonEmpty && err.isEmpty) ok.min else -1.0, err)
       }
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -229,8 +268,16 @@ object Bench {
           s""""$k":{"firstBatchSec":$fb,"drainSec":$dr,"numBatches":$nb}"""
         }.mkString("{", ",", "}")
     }
+    // Per-rep samples, reported so the artifact distinguishes a plan
+    // regression (all reps uniformly slow) from a transient host burst
+    // (one outlier rep): with interleaved reps a burst shows up as a
+    // single inflated sample and an untouched min.
+    val repSec = timed.collect { case (k, _, None) =>
+      "\"" + k + "\":" +
+        samples(k).map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"errored":$erroredJson,"errors":$errorsJson,"unfrozen_queries":$unfrozen,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_ivf_vs_brute_corpus":$recallIvfCorpus,"ann_lsh_planted_twin_top1":$recallPlanted},"ivf_curve":$ivfCurve}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps $repMode, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"rep_sec":$repSec,"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"errored":$erroredJson,"errors":$errorsJson,"unfrozen_queries":$unfrozen,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_planted_twin_top1":$recallPlanted,"ann_ivf_vs_brute_corpus":$recallIvfCorpus,"unstructured_noise_floor":{"ann_lsh_vs_brute_corpus":$recallCorpus,"why":"test embeddings are i.i.d. random (no true neighbors, all cosines ~0.3), so bucketed-LSH corpus recall on them is the noise floor of the method, not an operating point — headline recall is the planted-twin and IVF rows above; BASELINE.md 'ANN recall reporting'"}},"ivf_curve":$ivfCurve}"""
     // The artifact must not depend on a bounded stdout tail surviving
     // (round 5's driver capture lost 25 queries mid-JSON): write the
     // full JSON to a stable file, then print it, with the path as the

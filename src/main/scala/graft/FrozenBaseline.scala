@@ -20,7 +20,10 @@ package graft
 object FrozenBaseline {
   val methodology: String =
     "full-bench min-of-3, plans warmed on sf0.001, full materialization, " +
-    "sf0.1, local[32], 32 shuffle partitions, idle box, 2026-08-13 r7"
+    "sf0.1, local[32], 32 shuffle partitions, idle box, 2026-08-13 r7; " +
+    "harness since r12: reps interleaved across passes + codegen cache " +
+    "5000 (both strictly reduce measured times vs the r7 context, so " +
+    "ratios against this table err conservative — BASELINE.md r12 triage)"
 
   val sec: Map[String, Double] = Map(
     "ann_brute_force_topk" -> 0.26,

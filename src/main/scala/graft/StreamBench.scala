@@ -60,6 +60,7 @@ object StreamBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -284,10 +285,18 @@ object StreamBench {
     var cursor = 0
     def nextId(): String = { cursor = (cursor + 1) % ids.length; ids(cursor) }
 
-    val pointBus = p50ms(9) {
+    // The raw-bus serve paths are history-proportional BY DESIGN (the
+    // documented worst case the compacted store replaces); at large n
+    // each rep costs tens of seconds and measures nothing new. The
+    // decade protocol skips them past the n they were characterized at
+    // (SPARK_GRAFT_SERVE_SKIP_BUS=1) and decades the compacted/cached
+    // paths — the ones whose flat-in-history claim is under test.
+    val skipBus = sys.env.contains("SPARK_GRAFT_SERVE_SKIP_BUS")
+    val pointBus = if (skipBus) -1.0 else p50ms(9) {
       require(api.statusOf(api.getWfRun(nextId())) == api.RpcStatus.OK)
     }
-    val aliasBus = p50ms(5)(api.getWfRunAlias("thing", "task-1"))
+    val aliasBus = if (skipBus) -1.0 else
+      p50ms(5)(api.getWfRunAlias("thing", "task-1"))
 
     // compacted base: fold the state topic into one base file, then
     // point-lookup against base∪delta (here delta = empty)

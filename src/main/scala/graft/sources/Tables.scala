@@ -60,6 +60,16 @@ object Tables {
         != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** The NTZ→TimestampType cast in [[eventsTsFromNanos]] interprets
+    * naive wall-clocks in the SESSION timezone, so it is only correct
+    * under UTC. Verify/Bench/TestSpark pin UTC at session build; this
+    * idempotent fallback (mirror of [[ensureNanosFlag]]) covers any
+    * caller-built session — on a non-UTC host a silent offset shift is
+    * a wrong-answer mode, not a rendering nit. */
+  def ensureUtcSession(spark: SparkSession): Unit =
+    if (spark.conf.get("spark.sql.session.timeZone", "") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+
   /** The events `ts` normalization, ADAPTIVE to what the parquet
     * actually ships (the driver has regenerated this table across
     * rounds with different physical types):
@@ -86,6 +96,7 @@ object Tables {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        ensureUtcSession(df.sparkSession)
         df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => df
       case other => throw new IllegalStateException(

@@ -51,6 +51,42 @@ final class CompactedStateStore(dir: String) extends Serializable {
   private def baseDir(v: Long): Path = Paths.get(dir, s"base_v$v")
   private def versionFile: Path = Paths.get(dir, "_version")
   private def consumedFile(v: Long): Path = Paths.get(dir, s"_consumed_v$v")
+  private def formatFile: Path = Paths.get(dir, "_format")
+
+  /** On-disk format guard. Format 2 = enriched serving schema (no
+    * `topic` column; `wfSpecName`/`status`/`aliases` materialized at
+    * append time). A log written before the enrichment change holds
+    * raw-schema files; appending enriched files beside them would give
+    * spark.read.parquet (no mergeSchema) a mixed-schema footprint that
+    * resolves to whichever file it samples — a silent wrong-schema
+    * read. So: a store directory that already has data but no (or a
+    * different) `_format` marker is REJECTED, not read; a fresh store
+    * stamps the marker on first touch. */
+  private def ensureFormat(): Unit = this.synchronized {
+    val existing =
+      if (Files.exists(formatFile))
+        Some(new String(Files.readAllBytes(formatFile),
+          StandardCharsets.UTF_8).trim)
+      else None
+    existing match {
+      case Some(f) if f == CompactedStateStore.FORMAT =>
+      case Some(f) => throw new IllegalStateException(
+        s"CompactedStateStore at $dir has on-disk format '$f' but this " +
+          s"code writes '${CompactedStateStore.FORMAT}' — migrate " +
+          "(read old store, append rows into a fresh one) instead of " +
+          "mixing schemas in one log")
+      case None =>
+        val hasData = parquetFiles(logDir).nonEmpty ||
+          Files.exists(versionFile)
+        if (hasData) throw new IllegalStateException(
+          s"CompactedStateStore at $dir holds pre-format-marker data — " +
+            "its files predate the enriched serving schema (format " +
+            s"'${CompactedStateStore.FORMAT}'); migrate it instead of " +
+            "appending a second schema into the same log")
+        Files.createDirectories(Paths.get(dir))
+        writeAtomic(formatFile, CompactedStateStore.FORMAT)
+    }
+  }
 
   private def parquetFiles(p: Path): Seq[String] =
     if (!Files.isDirectory(p)) Nil
@@ -82,9 +118,11 @@ final class CompactedStateStore(dir: String) extends Serializable {
     * the serving schema ([[CompactedStateStore.enrich]]): scheduler
     * frames pass through, raw bus frames pay their one-time decode
     * HERE instead of on every query. */
-  def append(batch: DataFrame): Unit =
+  def append(batch: DataFrame): Unit = {
+    ensureFormat()
     CompactedStateStore.enrich(batch)
       .write.mode("append").parquet(logDir.toString)
+  }
 
   /** Streaming sink for the scheduler's snapshot rows; `compactEvery`
     * > 0 runs [[compact]] inline after every N-th batch (the reference
@@ -118,6 +156,7 @@ final class CompactedStateStore(dir: String) extends Serializable {
   /** Fold base ∪ unconsumed-log into version v+1 and publish it.
     * Returns the number of log files folded in (0 = nothing to do). */
   def compact(spark: SparkSession): Long = this.synchronized {
+    ensureFormat()
     val v = version
     // snapshot the input set BEFORE reading: appends that land during
     // the compaction keep their files and stay in the next delta
@@ -156,6 +195,7 @@ final class CompactedStateStore(dir: String) extends Serializable {
     * as [[StateTable.latest]] over the full history, reading only
     * compacted state + delta. */
   def read(spark: SparkSession): DataFrame = {
+    ensureFormat()
     val files = readFootprint
     require(files.nonEmpty, s"CompactedStateStore at $dir is empty")
     StateTable.latest(spark.read.parquet(files: _*))
@@ -166,6 +206,10 @@ final class CompactedStateStore(dir: String) extends Serializable {
 }
 
 object CompactedStateStore {
+
+  /** On-disk format id stamped into `_format` — bump when the stored
+    * row schema changes incompatibly (see [[CompactedStateStore#append]]). */
+  val FORMAT = "graft-state-v2-enriched"
 
   /** Ensure a snapshot frame carries the SERVING columns the scheduler
     * sink materializes (`wfSpecName`, `status`, columnar `aliases`) so

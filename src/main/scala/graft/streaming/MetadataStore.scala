@@ -25,6 +25,18 @@ class MetadataStore(spark: SparkSession, rootDir: String) {
   import spark.implicits._
 
   private val path = s"$rootDir/metadata_log"
+  // The compaction cache's staleness probe walks the log with
+  // java.io.File, which silently sees NOTHING for a non-local scheme
+  // (hdfs://, s3a://) — the cache would pin Map.empty while table()
+  // still reads rows, a wrong-answer mode rather than an error. Reject
+  // the construction instead; a distributed deployment fronts the
+  // store with its own listing (or Delta), it doesn't get a silently
+  // empty one.
+  require(!rootDir.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"),
+    s"MetadataStore requires a plain local-filesystem rootDir " +
+      s"(got '$rootDir'): the compaction cache lists the log with " +
+      "java.io.File, which resolves no URI scheme (not even file://) " +
+      "and would silently serve an empty store")
   private val seq = new java.util.concurrent.atomic.AtomicLong(
     System.currentTimeMillis())
 
@@ -107,10 +119,22 @@ class MetadataStore(spark: SparkSession, rootDir: String) {
   @volatile private var cacheFiles: Set[String] = null
   @volatile private var cacheRows: Map[(String, String), MetaRow] = Map.empty
 
-  private def logFiles(): Set[String] =
-    Option(new java.io.File(path).listFiles())
+  private def logFiles(): Set[String] = {
+    val dir = new java.io.File(path)
+    val listed = dir.listFiles()
+    // listFiles() returns null BOTH for "no such directory" (a fresh
+    // store — legitimately empty) and for an I/O/permission failure on
+    // an EXISTING directory. Only the former may read as empty; the
+    // latter must fail loudly or the cache would pin Map.empty while
+    // the log has rows.
+    if (listed == null && dir.exists())
+      throw new IllegalStateException(
+        s"MetadataStore: cannot list existing log directory $path — " +
+          "refusing to serve from an unverifiable (possibly non-empty) log")
+    Option(listed)
       .map(_.iterator.map(_.getName).filter(_.endsWith(".parquet")).toSet)
       .getOrElse(Set.empty)
+  }
 
   /** The compacted view as an in-memory map, refreshed only when the
     * log's file set changed (one bounded Spark read per WRITE, never

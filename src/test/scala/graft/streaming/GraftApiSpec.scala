@@ -297,4 +297,80 @@ class GraftApiSpec extends AnyFunSuite {
       query.stop()
     }
   }
+
+  // Round-12 (VERDICT item 8): the cache's two guarantees —
+  // byte-identity with the store and read-your-writes — must hold not
+  // just sequentially (covered above, incl. compaction-during-read)
+  // but under a live WRITER racing a cached READER, which is the 24/7
+  // deployment's steady state (scheduler appending snapshots while the
+  // API serves). The writer's own payloads carry their seq, so every
+  // observation is checkable against exactly what was written.
+  test("serving cache: appender racing cached reader keeps byte-identity " +
+      "and read-your-writes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cache-race").toString
+    val comp = new CompactedStateStore(dir)
+    val cache = new ServingCache(comp)
+    val K = 10
+    val payload = (i: Long) => s"""{"race":$i}"""
+    val seqOf = (json: String) => {
+      assert(json.startsWith("""{"race":""") && json.endsWith("}"),
+        s"cached json is not a written payload: $json")
+      json.stripPrefix("""{"race":""").stripSuffix("}").toLong
+    }
+    @volatile var failure: Option[Throwable] = None
+    @volatile var appending = true
+    val appender = new Thread(() => {
+      try {
+        for (i <- 1L to K) {
+          comp.append(Seq(("race-run", "race_spec", "RUNNING", payload(i), i,
+            Map.empty[String, Seq[String]]))
+            .toDF("wfRunId", "wfSpecName", "status", "json", "seq", "aliases"))
+          // read-your-writes from the writer's side: the append
+          // returned, so the very next lookup must observe seq >= i
+          cache.lookup(spark, "race-run") match {
+            case ServingCache.Hit(json, spec) =>
+              assert(spec == "race_spec")
+              assert(seqOf(json) >= i,
+                s"read-your-writes violated: wrote seq $i, read $json")
+            case other => fail(s"post-append lookup returned $other")
+          }
+          // a mid-race compaction must not perturb either guarantee
+          if (i == K / 2) comp.compact(spark)
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+      finally appending = false
+    }, "race-appender")
+    val reader = new Thread(() => {
+      try {
+        var lastSeen = 0L
+        while (appending && failure.isEmpty) {
+          cache.lookup(spark, "race-run") match {
+            case ServingCache.Hit(json, spec) =>
+              assert(spec == "race_spec")
+              val s = seqOf(json) // byte-identity: parses ⇒ a written payload
+              assert(s >= lastSeen,
+                s"cached read went backward: $lastSeen then $s")
+              lastSeen = s
+            case ServingCache.Miss => // before the first append lands
+            case ServingCache.Bypass => fail("unexpected bypass")
+          }
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    }, "race-reader")
+    appender.start(); reader.start()
+    appender.join(120000); reader.join(120000)
+    assert(!appender.isAlive && !reader.isAlive, "race threads hung")
+    failure.foreach(throw _)
+    // quiescent byte-identity: cache and the distributed fold agree on
+    // the final snapshot
+    val distributed = comp.read(spark)
+      .filter($"wfRunId" === "race-run").select("json").as[String].head()
+    assert(distributed == payload(K))
+    cache.lookup(spark, "race-run") match {
+      case ServingCache.Hit(json, _) => assert(json == distributed,
+        "cached answer diverged from the distributed path at quiescence")
+      case other => fail(s"final lookup returned $other")
+    }
+  }
 }
