@@ -1,0 +1,134 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine.LHJson
+import graft.streaming.{GraftApi, MetadataStore, Scheduler}
+
+/** `lhctl`-shaped command-line client over [[graft.streaming.GraftApi]]
+  * — the reference's CLI verb surface
+  * (lhctl/lh_cli/verbs/: handle_deploy.py, handle_get.py,
+  * handle_delete.py, handle_run.py, handle_search.py,
+  * handle_send_event.py) re-expressed against this engine, so the
+  * reference's README demo sequence
+  * (`lhctl deploy && lhctl run && lhctl send-event && lhctl get WFRun
+  * && lhctl search WFRun <var> <value>`) runs verbatim-shaped here.
+  * Every verb prints the LHRPCResponse envelope JSON the HTTP routes
+  * return (the reference pretty-prints the same fields;
+  * lh_cli/verbs/handle_get.py print_resource) — machine-parseable and
+  * byte-identical to the API layer.
+  *
+  * Usage: runMain graft.Ctl <rootDir> <verb> [args...]
+  *   rootDir layout: <root>/bus (topics), <root>/meta (metadata log),
+  *   <root>/ckpt (scheduler checkpoint) — the single-directory
+  *   analogue of the reference's cluster address env
+  *   (lh_lib/client.py).
+  *
+  * Verbs:
+  *   deploy <WFSpec|TaskDef|ExternalEventDef> <file.json>
+  *   get <WFSpec|TaskDef|ExternalEventDef|WFRun> <id-or-name>
+  *   get-all <WFSpec|TaskDef|ExternalEventDef>
+  *   delete <WFSpec|TaskDef|ExternalEventDef> <id>
+  *   run <wfSpec-name-or-id> [var=value ...]
+  *   search <varName> <value>              (WFRun variable-index search)
+  *   search-alias <Type> <key> <value>     (metadata alias set)
+  *   send-event <eventDefId> <wfRunId> <json-payload>
+  *   stop <wfRunId> [threadId]
+  *   resume <wfRunId> [threadId]
+  *   serve [timeoutMs]    (run the scheduler streaming query — the
+  *                         "deployed" engine; blocks)
+  */
+object Ctl {
+
+  /** CLI resource-type token → MetadataStore kind. The CLI speaks the
+    * reference's PascalCase resource names (handle_get.py choices). */
+  private def kindOf(store: MetadataStore, t: String): String = t match {
+    case "WFSpec" => store.Kind.WFSpec
+    case "TaskDef" => store.Kind.TaskDef
+    case "ExternalEventDef" => store.Kind.ExternalEventDef
+    case other => throw new IllegalArgumentException(
+      s"unknown resource type '$other' (WFSpec|TaskDef|ExternalEventDef)")
+  }
+
+  /** `k=v` CLI pairs → typed run variables: values parse as JSON when
+    * they can (ints, bools, objects), else pass as raw strings — the
+    * engine's type coercion (E12) does the rest, as it does for the
+    * reference's client-supplied variables. */
+  private[graft] def parseVars(pairs: Seq[String]): ListMap[String, Any] =
+    ListMap.from(pairs.map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"run variables are var=value pairs, got '$p'")
+      val (k, raw) = (p.take(i), p.drop(i + 1))
+      k -> (try LHJson.parse(raw) catch { case _: Exception => raw })
+    })
+
+  /** Execute one verb and return the response text (main prints it).
+    * Session injected so specs drive the CLI in-process. */
+  def exec(spark: SparkSession, root: String, args: Seq[String]): String = {
+    val store = new MetadataStore(spark, s"$root/meta")
+    val api = new GraftApi(spark, store, s"$root/bus")
+    args.toList match {
+      case "deploy" :: t :: file :: Nil =>
+        val json = {
+          val src = scala.io.Source.fromFile(file, "UTF-8")
+          try src.mkString finally src.close()
+        }
+        api.postResource(kindOf(store, t), json)
+      case "get" :: "WFRun" :: id :: Nil => api.getWfRun(id)
+      case "get" :: t :: id :: Nil => api.get(kindOf(store, t), id)
+      case "get-all" :: t :: Nil => api.getAll(kindOf(store, t))
+      case "delete" :: t :: id :: Nil => api.deleteResource(kindOf(store, t), id)
+      case "run" :: specKey :: vars => api.postRun(specKey, parseVars(vars))
+      case "search" :: varName :: value :: Nil =>
+        api.getWfRunAlias(varName, value)
+      case "search-alias" :: t :: k :: v :: Nil =>
+        api.getAliasSet(kindOf(store, t), k, v)
+      case "send-event" :: defId :: runId :: payload :: Nil =>
+        api.postEvent(defId, runId,
+          try LHJson.parse(payload) catch { case _: Exception => payload })
+      case "stop" :: runId :: rest if rest.length <= 1 =>
+        api.postStop(runId, rest.headOption.map(_.toInt).getOrElse(0))
+      case "resume" :: runId :: rest if rest.length <= 1 =>
+        api.postResume(runId, rest.headOption.map(_.toInt).getOrElse(0))
+      case "serve" :: rest if rest.length <= 1 =>
+        serve(spark, root, store, rest.headOption.map(_.toLong))
+      case other => throw new IllegalArgumentException(
+        s"unknown verb or arity: ${other.mkString(" ")}")
+    }
+  }
+
+  /** The "deployed engine": one scheduler streaming query over every
+    * deployed spec's event topic (deploy-as-streaming-query is this
+    * engine's analogue of the reference's DockerWorkflowDeployer —
+    * SURVEY §3.1). Blocks until `timeoutMs` (tests) or forever. */
+  private def serve(spark: SparkSession, root: String,
+      store: MetadataStore, timeoutMs: Option[Long]): String = {
+    val events = Scheduler.busEventSource(spark, s"$root/bus", "wfEvents__.*")
+    val outputs = Scheduler(events, store.deployedSpecs())
+    val q = Scheduler.busWireSink(outputs, s"$root/bus", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try timeoutMs match {
+      case Some(ms) => q.awaitTermination(ms); "{\"status\":\"SERVED\"}"
+      case None => q.awaitTermination(); "{\"status\":\"SERVED\"}"
+    } finally q.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Ctl <rootDir> <verb> [args...]")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(exec(spark, args(0), args.toSeq.drop(1)))
+    finally spark.stop()
+  }
+}

@@ -113,6 +113,10 @@ object FrozenBaseline {
     "sample_fixed_k" -> 0.21,
     "sample_stratified" -> 0.38,
     "sample_token_budget" -> 0.24,
+    // round-12 addition (α=0.5 temperature source mixing), isolated
+    // BenchOne min-of-8 same box/harness: floor 0.32, warm band
+    // 0.32-0.52
+    "sample_temperature_mix" -> 0.32,
     "text_decontaminate" -> 0.60,
     "text_fingerprint" -> 0.47,
     "text_langid" -> 0.45,

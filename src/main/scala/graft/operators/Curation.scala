@@ -145,6 +145,50 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Temperature-flattened source mixing (α = 0.5) — the multi-source
+    * rebalancing pass a multilingual/multi-domain training mix runs so
+    * large sources do not drown small ones (the GPT-3/PaLM-style
+    * `p_s ∝ n_s^α` reweighting): every source is downsampled at rate
+    * `sqrt(n_min / n_s)`, so EXPECTED kept counts are `sqrt(n_min·n_s)`
+    * ∝ `n_s^0.5` — the α = 0.5 temperature curve, with the smallest
+    * source kept whole. Formulated against `n_min` rather than the
+    * textbook `Σ n_t^α` normalizer deliberately: the only float work is
+    * `sqrt` of a ratio of two EXACT integers (both correctly-rounded
+    * IEEE in Spark and DuckDB), while a global Σ of doubles would be
+    * addition-order-sensitive and break the bit-exact oracle.
+    *
+    * Scale shape: one map-side-combined count per source (B rows), a
+    * one-row min aggregate, both broadcast back onto a columnar
+    * scan+filter whose membership test is the native splitmix64
+    * permille expression — deterministic, machine-independent, no
+    * per-row RNG state, no shuffle of the corpus itself. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    temperatureMixOn(Tables(s, dir, "documents").select($"doc_id", $"source"))
+  }
+
+  /** Core of [[temperatureMix]] over any (doc_id, source) frame —
+    * exposed so specs can run it on SKEWED source distributions (the
+    * driver test corpus ships perfectly balanced sources, where the
+    * α-curve keeps everything). */
+  private[graft] def temperatureMixOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    val totals = docs.groupBy($"source").agg(count(lit(1)).as("n_source"))
+    val minN = totals.agg(min($"n_source").as("n_min"))
+    docs.join(broadcast(totals), "source")
+      .crossJoin(broadcast(minN)) // one row: the global minimum
+      .withColumn("permille",
+        least(lit(1000L),
+          floor(lit(1000.0) *
+            sqrt($"n_min".cast("double") / $"n_source".cast("double")))
+            .cast("long")))
+      .filter(GraftFunctions.mix64_bucket($"doc_id", 1000L) < $"permille")
+      .select($"doc_id", $"source", $"n_source", $"permille")
+      .orderBy($"doc_id")
+  }
+
   /** Per-source sample size for [[fixedKSample]]. */
   val FIXED_K = 10
 
@@ -191,6 +235,7 @@ object Curation {
     "sample_fixed_k" -> (fixedKSample _),
     "pack_sequences" -> (packSequences _),
     "sample_token_budget" -> (tokenBudgetSample _),
+    "sample_temperature_mix" -> (temperatureMix _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -233,6 +278,21 @@ object Curation {
         | CAST(floor((end_tok - n_tok) / 2048.0) AS BIGINT) AS pack_first,
         | CAST(floor((end_tok - 1) / 2048.0) AS BIGINT) AS pack_last
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "sample_temperature_mix" -> {
+      val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"
+      s"""WITH c AS (SELECT source, count(*) AS n_source FROM documents
+         |  GROUP BY 1),
+         |m AS (SELECT min(n_source) AS n_min FROM c),
+         |p AS (SELECT source, n_source,
+         |  least(1000, CAST(floor(1000.0 *
+         |    sqrt(CAST(n_min AS DOUBLE) / CAST(n_source AS DOUBLE)))
+         |    AS BIGINT)) AS permille
+         |  FROM c, m)
+         |SELECT doc_id, d.source, n_source, permille
+         |FROM documents d JOIN p USING (source)
+         |WHERE ($bucket) < permille
+         |ORDER BY doc_id""".stripMargin
+    },
     "sample_stratified" -> {
       val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"
       s"""WITH h AS (SELECT doc_id, $bucket AS bucket FROM documents)

@@ -161,6 +161,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("temperature mix matches a plain-Scala replay and flattens sources") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select($"doc_id", $"source")
+      .as[(Long, String)].collect()
+    val totals = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nMin = totals.values.min
+    def permille(n: Long): Long = math.min(1000L,
+      math.floor(1000.0 * math.sqrt(nMin.toDouble / n.toDouble)).toLong)
+    val want = docs.flatMap { case (id, src) =>
+      val p = permille(totals(src))
+      val bucket = java.lang.Long.remainderUnsigned(
+        graft.functions.TextHashes.mix64(id), 1000L)
+      if (bucket < p) Some((id, src, totals(src), p)) else None
+    }.sortBy(_._1).toSeq
+    val got = Curation.temperatureMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // α = 0.5 semantics: the smallest source is kept whole, and kept
+    // EXPECTED counts are proportional to sqrt(n) — i.e. the kept
+    // ratio between the largest and smallest source is the sqrt of
+    // their raw ratio, not the raw ratio
+    val smallest = totals.minBy(_._2)._1
+    assert(permille(totals(smallest)) == 1000L)
+    // the driver corpus ships perfectly balanced sources (verified:
+    // every SF has equal counts per source), where the α-curve keeps
+    // everything — so exercise the DOWNSAMPLING path on a synthetic
+    // skewed frame: 4 sources sized 10/40/90/1000
+    val skewed = (
+      (0L until 10L).map(i => (i, "tiny")) ++
+      (100L until 140L).map(i => (i, "small")) ++
+      (1000L until 1090L).map(i => (i, "mid")) ++
+      (10000L until 11000L).map(i => (i, "big"))).toDF("doc_id", "source")
+    val mixed = Curation.temperatureMixOn(skewed).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pOf = mixed.map(t => t._2 -> t._4).toMap
+    // permille = floor(1000*sqrt(n_min/n)): tiny kept whole, the rest
+    // flattened on the sqrt curve
+    assert(pOf("tiny") == 1000L)
+    assert(pOf("small") == 500L) // sqrt(10/40) = 1/2
+    assert(pOf("mid") == 333L)   // sqrt(10/90) = 1/3
+    assert(pOf("big") == 100L)   // sqrt(10/1000) = 1/10
+    // kept rows are exactly the bucket-test survivors at those rates
+    for ((id, src, _, p) <- mixed) {
+      val bucket = java.lang.Long.remainderUnsigned(
+        graft.functions.TextHashes.mix64(id), 1000L)
+      assert(bucket < p, s"row ($id,$src) kept with bucket $bucket >= $p")
+    }
+    // expected-count flattening: big is 100x tiny raw but only ~10x kept
+    val kept = mixed.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(kept("big") < 10 * math.max(1, kept("tiny")) * 3,
+      s"big source not flattened: $kept")
+  }
+
   test("tfidf top terms match a plain-Scala recount") {
     import spark.implicits._
     val out = TextAnalysis.tfidfTopTerms(spark, dir).collect()
