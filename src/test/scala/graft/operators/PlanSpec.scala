@@ -280,6 +280,20 @@ class PlanSpec extends AnyFunSuite {
     assert(scanCount(plan) == 1, plan.take(2500))
   }
 
+  test("temperature mix: broadcast rate tables, no corpus-side shuffle join") {
+    val plan = planOf(Curation.temperatureMix(spark, dir))
+    // the per-source rate table (B rows) and the one-row n_min both
+    // broadcast onto the corpus scan — a sort-merge or shuffled-hash
+    // join here would move the corpus for a metadata-sized side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // membership is the native columnar expression, not a typed closure
+    assert(plan.contains("mix64_bucket"), plan.take(2500))
+    assert(!plan.contains("DeserializeToObject"), plan.take(2500))
+  }
+
   test("sampling membership filters are columnar native expressions") {
     // the mix64 bucket predicate must run as a codegen'd expression
     // over the scan — no typed closure (DeserializeToObject/
