@@ -117,6 +117,14 @@ object FrozenBaseline {
     // BenchOne min-of-8 same box/harness: floor 0.32, warm band
     // 0.32-0.52
     "sample_temperature_mix" -> 0.32,
+    // round-12 additions (incremental batch-vs-corpus dedup; unigram
+    // surprisal scoring), isolated BenchOne min-of-8 same box/harness:
+    // floors 1.57 / 0.56, warm bands 1.6-3.0 / 0.6-0.9
+    "dedup_incremental" -> 1.57,
+    "text_perplexity_unigram" -> 0.56,
+    // round-12 addition (ordered 3-step conversion funnel), isolated
+    // BenchOne min-of-8 same box/harness: floor 0.58, warm band 0.6-1.1
+    "q42_funnel_steps" -> 0.58,
     "text_decontaminate" -> 0.60,
     "text_fingerprint" -> 0.47,
     "text_langid" -> 0.45,

@@ -33,7 +33,7 @@ import graft.sources.Tables
 object Dedup {
 
 
-  private val JACCARD_THRESHOLD = 0.8
+  private[operators] val JACCARD_THRESHOLD = 0.8
   private val MINHASH_K = 32 // 16 bands × 2 rows
   private val BANDS = 16
 
@@ -42,7 +42,7 @@ object Dedup {
     * higher-order-function lambdas for this per-doc work, and the
     * hash-sorted order is the fixed total order the prefix filter in
     * [[ngramJaccardPairs]] relies on. */
-  private def shingleSets(s: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
+  private[operators] def shingleSets(s: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
     import s.implicits._
     Tables(s, dir, "documents")
       .select($"doc_id", $"text")
@@ -129,12 +129,14 @@ object Dedup {
     * Jaccard. With s ≥ 0.8 the miss probability per pair is
     * (1-s²)¹⁶ ≤ 5e-8, so verified output equals the exact pair set —
     * which is exactly what the oracle checks. */
-  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = shingleSets(s, dir).toDF("doc_id", "shingle_set")
-
-    // 32 min-hashes, computed per exploded shingle then aggregated —
-    // map-side combine keeps the shuffle at one row per (doc, family).
+  /** MinHash band buckets for `docs` shaped (doc_id, shingle_set):
+    * 32 min-hashes computed per exploded shingle then aggregated —
+    * map-side combine keeps the shuffle at one row per (doc, family) —
+    * banded into (doc_id, band, key) rows. Shared by the self-join
+    * dedup ([[minhashLshPairs]]) and the batch-vs-corpus incremental
+    * dedup ([[Incremental]]). */
+  private[operators] def minhashBandBuckets(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val exploded = docs.select($"doc_id", explode($"shingle_set").as("s"))
     val minhashAggs = (0 until MINHASH_K).map(i =>
       min(xxhash64(lit(i), $"s")).as(s"h$i"))
@@ -145,8 +147,14 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))
     }
-    val buckets = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+    sigs.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+  }
+
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = shingleSets(s, dir).toDF("doc_id", "shingle_set")
+    val buckets = minhashBandBuckets(docs)
 
     val candidates = buckets.as("a")
       .join(buckets.as("b"),

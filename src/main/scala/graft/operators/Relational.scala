@@ -528,7 +528,41 @@ object Relational {
       .orderBy($"user_id", $"sid")
   }
 
+  /** Ordered conversion funnel view → click → purchase: each step's
+    * timestamp is the FIRST qualifying event strictly after the
+    * previous step (the standard product-analytics funnel, not mere
+    * per-type existence). Expressed as a chain of conditional min
+    * aggregations — step N's min joins back to the events filtered to
+    * step N+1's type — so every shuffle is keyed on user_id and AQE
+    * reuses the exchange across the chain; no per-event window, no
+    * collect_list of a user's (unbounded) history. Users who never
+    * reach step 1 still appear with reached = 0. */
+  def q42FunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"user_id", $"event_type", $"ts")
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("view_ts"))
+    val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
+      .filter($"ts" > $"view_ts")
+      .groupBy($"user_id").agg(min($"ts").as("click_ts"))
+    val t3 = ev.filter($"event_type" === "purchase").join(t2, "user_id")
+      .filter($"ts" > $"click_ts")
+      .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+    ev.select($"user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select($"user_id",
+        when($"purchase_ts".isNotNull, 3L)
+          .when($"click_ts".isNotNull, 2L)
+          .when($"view_ts".isNotNull, 1L)
+          .otherwise(0L).as("reached"),
+        $"view_ts", $"click_ts", $"purchase_ts")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_funnel_steps" -> (q42FunnelSteps _),
     "q17_salted_skew_agg" -> (q17SaltedSkewAgg _),
     "q24_sessionization" -> (q24Sessionization _),
     "q21_sole_problem_supplier" -> (q21SoleProblemSupplier _),
@@ -560,6 +594,26 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q42_funnel_steps" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.view_ts GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.click_ts GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3.purchase_ts IS NOT NULL THEN 3
+        |       WHEN t2.click_ts IS NOT NULL THEN 2
+        |       WHEN t1.view_ts IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS reached,
+        |  t1.view_ts, t2.click_ts, t3.purchase_ts
+        |FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+        |LEFT JOIN t2 ON u.user_id = t2.user_id
+        |LEFT JOIN t3 ON u.user_id = t3.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "q24_sessionization" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

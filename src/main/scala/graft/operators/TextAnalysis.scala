@@ -282,7 +282,50 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Unigram-LM surprisal scoring — the CCNet/perplexity-filter shape:
+    * build a unigram language model from the corpus in one pass, then
+    * score every document by its mean token surprisal; downstream
+    * pipelines drop the high-surprisal (gibberish) and very-low-
+    * surprisal (boilerplate) tails. A production deployment swaps a
+    * KenLM n-gram scorer into the same two-pass plan.
+    *
+    * Every number is INTEGER-exact so the oracle hash-matches under any
+    * partitioning: per-token surprisal is quantized to
+    * floor(log2(total_tokens div c)) — computed as
+    * length(bin(total div c)) - 1, pure integer arithmetic available
+    * identically in Spark and DuckDB (no float log whose last ulp could
+    * differ between libm implementations) — and per-doc aggregates are
+    * LONG sums. Callers derive mean surprisal = sum_surprisal/n_tokens.
+    *
+    * Scale shape: pass 1 is a map-side-combined token count (shuffle
+    * O(distinct tokens)) + a single-row total; pass 2 re-explodes and
+    * joins tokens to their counts — the count table is
+    * vocabulary-sized (language vocabularies are millions of rows at
+    * any corpus size, broadcast-eligible; AQE decides), then one
+    * partial-aggregated groupBy(doc_id). Same skeleton as
+    * [[tfidfTopTerms]]/[[vocabCoverage]]. */
+  def perplexityUnigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def toks = Tables(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val cnt = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    // corpus total: one bounded row (the same ≤1-row collect contract
+    // as the vocabCoverage lexicon)
+    val total = cnt.agg(sum($"c")).as[Long].collect()(0)
+    // `div`, not `/`: Column./ on longs is DOUBLE division, whose
+    // correctly-rounded quotient can cross an integer boundary before
+    // the floor implied by bin() — integer div cannot
+    val surprisal = (length(bin(expr(s"${total}L div c"))) - 1).cast("long")
+    toks.join(cnt, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(surprisal).as("sum_surprisal"),
+        max(surprisal).as("max_surprisal"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity_unigram" -> (perplexityUnigram _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_token_count" -> (tokenCount _),
@@ -295,6 +338,22 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // floor(log2(total div c)) replayed as length(bin(..)) - 1 — the
+    // identical integer formula, so the sums are exact on both sides
+    "text_perplexity_unigram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c) AS t FROM cnt)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(bin(tot.t // cnt.c)) - 1) AS BIGINT)
+        |    AS sum_surprisal,
+        |  CAST(max(length(bin(tot.t // cnt.c)) - 1) AS BIGINT)
+        |    AS max_surprisal
+        |FROM tok t JOIN cnt ON t.w = cnt.w CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     // lexicon ranks replayed with the same (count DESC, token ASC)
     // total order; the quantized inverse-rank credit is identical IEEE
     // division + floor, summed in exact integer arithmetic
