@@ -125,6 +125,14 @@ object FrozenBaseline {
     // round-12 addition (ordered 3-step conversion funnel), isolated
     // BenchOne min-of-8 same box/harness: floor 0.58, warm band 0.6-1.1
     "q42_funnel_steps" -> 0.58,
+    // round-12 batch-A additions (SCD2 history build; TPC-H Q2-shape
+    // min-cost supplier, single-scan window decorrelation; z-order
+    // clustering stats), isolated BenchOne min-of-8 same box/harness:
+    // floors 0.35 / 0.71 / 0.24, warm bands 0.35-0.50 / 0.71-1.41 /
+    // 0.24-0.31
+    "cdc_scd2_history" -> 0.35,
+    "q43_min_cost_supplier" -> 0.71,
+    "maint_zorder_cluster" -> 0.24,
     "text_decontaminate" -> 0.60,
     "text_fingerprint" -> 0.47,
     "text_langid" -> 0.45,

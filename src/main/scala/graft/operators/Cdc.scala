@@ -46,8 +46,43 @@ object Cdc {
       .orderBy($"o_orderpriority")
   }
 
+  /** SCD Type-2 dimension build — the other half of the lakehouse CDC
+    * surface: turn a keyed change feed into a versioned history with
+    * validity intervals (`valid_from`/`valid_to`, one open `is_current`
+    * row per key). The feed is the orders table read as a per-customer
+    * change stream (each order = one new version of that customer's
+    * record, effective at `o_orderdate`, `o_orderkey` as the
+    * deterministic tiebreak for same-day changes), restricted to
+    * `o_custkey < 200` so the materialized history is bounded.
+    *
+    * Scale shape: ONE shuffle on the dimension key, then per-key
+    * `row_number`/`lead` windows — partitions are per-key slices (a
+    * key's history, thousands of rows at most), never a global sort.
+    * At 100 TB the change feed is append-only and the rebuild is
+    * incremental per touched key; the full-history window here is the
+    * batch backfill shape.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val feed = Tables(s, dir, "orders")
+      .filter($"o_custkey" < 200)
+      .select($"o_custkey".as("key"), $"o_orderdate".as("valid_from"),
+        $"o_orderkey".as("change_id"), $"o_orderpriority".as("attr"),
+        $"o_totalprice".as("measure"))
+    val w = Window.partitionBy($"key").orderBy($"valid_from", $"change_id")
+    feed.select($"key",
+        row_number().over(w).cast("long").as("version"),
+        $"change_id", $"attr", $"measure", $"valid_from",
+        lead($"valid_from", 1).over(w).as("valid_to"),
+        when(lead($"valid_from", 1).over(w).isNull, 1L).otherwise(0L)
+          .as("is_current"))
+      .orderBy($"key", $"version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_upsert_apply" -> (upsertApply _),
+    "cdc_scd2_history" -> (scd2History _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -66,5 +101,18 @@ object Cdc {
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM merged GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "cdc_scd2_history" ->
+      """WITH feed AS (
+        |  SELECT o_custkey AS key, o_orderdate AS valid_from,
+        |         o_orderkey AS change_id, o_orderpriority AS attr,
+        |         o_totalprice AS measure
+        |  FROM orders WHERE o_custkey < 200)
+        |SELECT key, CAST(row_number() OVER w AS BIGINT) AS version,
+        |  change_id, attr, measure, valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  CAST(CASE WHEN lead(valid_from) OVER w IS NULL THEN 1 ELSE 0 END
+        |       AS BIGINT) AS is_current
+        |FROM feed WINDOW w AS (PARTITION BY key ORDER BY valid_from, change_id)
+        |ORDER BY key, version""".stripMargin,
   )
 }

@@ -243,7 +243,60 @@ object Maintenance {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Bits per dimension in the z-order interleave. 12 bits cover both
+    * clustering dimensions here (custkey ≤ 1499, day offset ≤ ~2400);
+    * the production knob is however many high bits the file-count
+    * budget allows. */
+  val ZORDER_BITS = 12
+
+  /** Morton/z-order bit interleave of two ZORDER_BITS-wide columns —
+    * a pure codegen'd integer expression tree (shift/and/add), no UDF.
+    * x occupies even bit positions, y odd. */
+  private[operators] def zInterleave(
+      x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZORDER_BITS).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-order clustering — the lakehouse multi-dimensional layout job
+    * (Delta OPTIMIZE ZORDER BY, Iceberg sort-order rewrite): interleave
+    * the bits of two filter columns (customer key × order-date day
+    * offset) into a Morton code, bucket rows by the code's high bits,
+    * and report per-bucket min/max of BOTH dimensions — the file-level
+    * column stats a reader's data-skipping consults. The point the
+    * output proves: every bucket bounds every clustered dimension
+    * (max−min < 2^(ZORDER_BITS−3) per dim with a 6-bit bucket prefix),
+    * so a predicate on EITHER column prunes most buckets — which a
+    * single-column sort cannot do for the second column.
+    *
+    * Scale shape: one scan + a codegen'd projection, then a groupBy on
+    * the bucket id (map-side combined, ≤64 groups). The production job
+    * adds a repartitionByRange(zval) + write, which is one range
+    * shuffle; the stats/bucketing math here is the part a reader's
+    * correctness depends on, and is what the oracle replays bit-exactly
+    * with DuckDB's integer shift/mask arithmetic. */
+  def zorderCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mask = (1L << ZORDER_BITS) - 1
+    val base = Tables(s, dir, "orders").select(
+      $"o_custkey".bitwiseAND(lit(mask)).as("x"),
+      datediff($"o_orderdate".cast("date"),
+          lit(java.sql.Date.valueOf("1995-01-01")))
+        .cast("long").bitwiseAND(lit(mask)).as("y"))
+    base
+      .withColumn("bucket", shiftright(zInterleave($"x", $"y"),
+        2 * ZORDER_BITS - 6))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_zorder_cluster" -> (zorderCluster _),
     "maint_compact_files" -> (compactFiles _),
     "maint_table_stats" -> (tableStats _),
     "maint_histogram" -> (histogram _),
@@ -251,7 +304,28 @@ object Maintenance {
     "maint_histogram_equiheight" -> (equiheightHistogram _),
   )
 
+  /** The identical interleave as SQL — generated from the same
+    * ZORDER_BITS so operator and oracle can never drift. */
+  private def zInterleaveSql: String =
+    (0 until ZORDER_BITS).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    // pure-integer replay: same mask, same day-offset epoch, same
+    // generated interleave, same high-bit bucket shift
+    "maint_zorder_cluster" ->
+      s"""WITH base AS (
+         |  SELECT (o_custkey & ${(1L << ZORDER_BITS) - 1}) AS x,
+         |    (date_diff('day', DATE '1995-01-01',
+         |       CAST(o_orderdate AS DATE)) & ${(1L << ZORDER_BITS) - 1}) AS y
+         |  FROM orders),
+         |zv AS (SELECT x, y, ($zInterleaveSql) AS zval FROM base)
+         |SELECT (zval >> ${2 * ZORDER_BITS - 6}) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM zv GROUP BY 1 ORDER BY bucket""".stripMargin,
     // both stages must equal the RAW table's totals — compaction (and
     // the fragmented rewrite before it) must not change a single row
     "maint_compact_files" ->

@@ -561,8 +561,62 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier) over this schema: for each
+    * small part (`p_size <= 5`), every EUROPE-region supplier achieving
+    * that part's minimum observed unit cost. The testdata has no
+    * partsupp table, so the part-supplier cost relation is derived from
+    * lineitem (min observed `l_extendedprice / l_quantity` per
+    * (part, supplier)) — same correlated-scalar-subquery semantics.
+    *
+    * The interesting part is the DECORRELATION: the reference
+    * formulation is a correlated scalar subquery (`cost = (SELECT
+    * min(cost) ... WHERE same part)`), which naively re-executes per
+    * outer row. Expressed Spark-first it becomes aggregate-then-rejoin:
+    * one groupBy(part) min, joined back on (part, cost) equality —
+    * both sides share the partkey exchange, so AQE plans one shuffle
+    * leg; the supplier→nation→region dimension chain (≤100 rows) and
+    * the filtered part table broadcast. Cost equality on doubles is
+    * safe because both sides are the SAME min over the SAME division
+    * results — bit-identical by IEEE determinism (the oracle replays
+    * the identical float path). */
+  def q43MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val eur = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+      .join(t(s, dir, "region").filter($"r_name" === "EUROPE"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+    val smallPart = t(s, dir, "part").filter($"p_size" <= 5)
+      .select($"p_partkey", $"p_brand", $"p_type")
+    // The naive decorrelation (aggregate min per part, REJOIN on the
+    // fact) plans two full lineitem scans + a sort-merge join — at
+    // 100 TB the fact scan is the whole cost, so instead: semi-join
+    // the fact down to qualifying parts FIRST (broadcast, prunes ~90%
+    // of rows before any shuffle), aggregate once, and take the
+    // per-part min as a WINDOW over the aggregated (part, supplier)
+    // rows — partitions are per-part supplier lists (bounded), the
+    // window rides the same partkey exchange the aggregation already
+    // made, and lineitem is scanned exactly once.
+    val ps = t(s, dir, "lineitem")
+      .join(broadcast(smallPart.select($"p_partkey")),
+        $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("unit_cost"))
+    ps.join(broadcast(eur), $"l_suppkey" === $"s_suppkey")
+      .withColumn("min_cost",
+        min($"unit_cost").over(Window.partitionBy($"l_partkey")))
+      .filter($"unit_cost" === $"min_cost")
+      .join(broadcast(smallPart), $"l_partkey" === $"p_partkey")
+      .select($"p_partkey", $"p_brand", $"p_type", $"s_name", $"n_name",
+        $"unit_cost")
+      .orderBy($"p_partkey", $"s_name")
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_funnel_steps" -> (q42FunnelSteps _),
+    "q43_min_cost_supplier" -> (q43MinCostSupplier _),
     "q17_salted_skew_agg" -> (q17SaltedSkewAgg _),
     "q24_sessionization" -> (q24Sessionization _),
     "q21_sole_problem_supplier" -> (q21SoleProblemSupplier _),
@@ -594,6 +648,26 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q43_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |pse AS (SELECT ps.*, s_name, n_name
+        |  FROM ps JOIN eur ON l_suppkey = s_suppkey),
+        |minc AS (SELECT l_partkey, min(unit_cost) AS min_cost
+        |  FROM pse GROUP BY 1)
+        |SELECT p_partkey, p_brand, p_type, s_name, n_name, unit_cost
+        |FROM pse JOIN minc ON pse.l_partkey = minc.l_partkey
+        |  AND unit_cost = min_cost
+        |JOIN part ON pse.l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |ORDER BY p_partkey, s_name LIMIT 100""".stripMargin,
     "q42_funnel_steps" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |t1 AS (SELECT user_id, min(ts) AS view_ts FROM events

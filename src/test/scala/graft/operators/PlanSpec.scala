@@ -445,6 +445,46 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("q43 decorrelation scans lineitem once; no sort-merge join") {
+    val plan = planOf(Relational.q43MinCostSupplier(spark, dir))
+    // the naive aggregate-min-then-rejoin decorrelation plans the fact
+    // scan TWICE and sort-merge-joins the two legs — at 100 TB the
+    // fact scan is the whole cost; the window formulation must keep
+    // exactly one
+    val lineitemScans = plan.linesIterator
+      .count(_.contains("lineitem.parquet"))
+    assert(lineitemScans == 1, s"expected 1 lineitem scan: $lineitemScans")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // the part prune reaches the fact side before any exchange
+    assert(plan.contains("BroadcastHashJoin LeftSemi".toLowerCase.capitalize)
+      || plan.contains("LeftSemi"), plan.take(3000))
+  }
+
+  test("scd2 windows ride ONE key exchange; feed filter is pushed") {
+    val plan = planOf(Cdc.scd2History(spark, dir))
+    // row_number + lead share the same (key, ordering) spec → Catalyst
+    // plans a single Window over a single hashpartitioning exchange
+    // formatted mode puts Exchange args on their own detail line
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("hashpartitioning(key"))
+    assert(exchanges == 1, s"expected 1 key exchange, got $exchanges\n" +
+      plan.take(3000))
+    val windows = plan.linesIterator.count(_.matches(""".*\bWindow\b.*"""))
+    assert(windows >= 1 && plan.split("Window \\(").length == 2,
+      "row_number and lead must share one Window node")
+    assert(plan.contains("LessThan(o_custkey,200)"), "feed filter unpushed")
+  }
+
+  test("zorder stats are one scan + map-side combined aggregation") {
+    val plan = planOf(Maintenance.zorderCluster(spark, dir))
+    val scans = plan.linesIterator.count(_.contains("orders.parquet"))
+    assert(scans == 1, s"expected 1 orders scan, got $scans")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      plan.take(3000))
+    // the interleave is a pure expression: whole plan stays codegen'd
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("mapPartitions"))
+  }
+
   test("q41 enrichment joins by broadcast: no stream-side shuffle/sort") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
