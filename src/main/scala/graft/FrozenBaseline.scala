@@ -133,6 +133,20 @@ object FrozenBaseline {
     "cdc_scd2_history" -> 0.35,
     "q43_min_cost_supplier" -> 0.71,
     "maint_zorder_cluster" -> 0.24,
+    // round-12 batch-B additions (KMV NDV sketch; count-min frequency
+    // sketch; SQ8 quantized ANN), isolated BenchOne min-of-8 same
+    // box/harness: floors 0.81 / 0.40 / 0.42, warm bands 0.81-1.33 /
+    // 0.40-0.62 / 0.42-0.67
+    "sketch_kmv_ndv" -> 0.81,
+    "sketch_cms_freq" -> 0.40,
+    "ann_int8_topk" -> 0.42,
+    // round-12 batch-C additions (CMS-prefiltered exact heavy
+    // hitters; streaming KMV cardinality; interpolated percentiles),
+    // isolated BenchOne min-of-8 same box/harness: floors 0.65 /
+    // 0.89 / 0.95, warm bands 0.65-0.98 / 0.89-1.13 / 0.95-1.11
+    "sketch_heavy_hitters" -> 0.65,
+    "q44_streaming_kmv" -> 0.89,
+    "q45_percentile_cont" -> 0.95,
     "text_decontaminate" -> 0.60,
     "text_fingerprint" -> 0.47,
     "text_langid" -> 0.45,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AltSources, AsofJoin, Bucketed, Cdc, Curation,
   Decontaminate, Dedup, EngineQueries, Incremental, Maintenance,
-  Multimodal, Partitioned, RangeJoin, Relational, Similarity,
+  Multimodal, Partitioned, RangeJoin, Relational, Similarity, Sketches,
   StreamBatch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,8 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       AsofJoin.queries ++ Curation.queries ++ RangeJoin.queries ++
       StreamBatch.queries ++ Decontaminate.queries ++ Bucketed.queries ++ Partitioned.queries ++ AltSources.queries ++
-      Maintenance.queries ++ Cdc.queries ++ Incremental.queries
+      Maintenance.queries ++ Cdc.queries ++ Incremental.queries ++
+      Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       AsofJoin.oracles ++ Curation.oracles ++ RangeJoin.oracles ++
       StreamBatch.oracles ++ Decontaminate.oracles ++ Bucketed.oracles ++ Partitioned.oracles ++ AltSources.oracles ++
-      Maintenance.oracles ++ Cdc.oracles ++ Incremental.oracles
+      Maintenance.oracles ++ Cdc.oracles ++ Incremental.oracles ++
+      Sketches.oracles
 }

@@ -614,9 +614,49 @@ object Relational {
       .limit(100)
   }
 
+  /** PERCENTILE_CONT (linear-interpolated quantiles) per group — the
+    * companion to q29's PERCENTILE_DISC. q29's scaladoc explains why
+    * built-in interpolating quantiles were avoided: engines differ in
+    * HOW they interpolate. This operator instead owns the
+    * interpolation: integer rank selection picks the bracketing VALUES
+    * (`lo` at floor(p·(n−1)), `hi` at ceil — exactly q29's machinery),
+    * then one pinned-association expression `lo + (hi−lo)·frac`
+    * computes the interpolation from them, identically replayable
+    * (the oracle CASTs its literals to DOUBLE: DuckDB parses bare
+    * `0.95` as DECIMAL, whose exact arithmetic diverges from Spark's
+    * double in the last ulp). One shuffle+sort per group — quantiles
+    * intrinsically need the per-group order; both percentiles and the
+    * bracketing rows come from the same sorted pass. */
+  def q45PercentileCont(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag").orderBy($"v")
+    val ranked = t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice".as("v"))
+      .withColumn("rn0", row_number().over(w).cast("long") - 1L)
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+    def pos(p: Double) = lit(p) * ($"n" - 1L).cast("double")
+    def lo(p: Double) = max(when($"rn0" === floor(pos(p)), $"v"))
+    def hi(p: Double) = max(when($"rn0" === ceil(pos(p)), $"v"))
+    def interp(p: Double, l: org.apache.spark.sql.Column,
+        h: org.apache.spark.sql.Column) = {
+      val fullPos = lit(p) * ($"n_rows" - 1L).cast("double")
+      l + (h - l) * (fullPos - floor(fullPos).cast("double"))
+    }
+    ranked.groupBy($"l_returnflag")
+      .agg(max($"n").as("n_rows"),
+        lo(0.5).as("lo50"), hi(0.5).as("hi50"),
+        lo(0.95).as("lo95"), hi(0.95).as("hi95"))
+      .select($"l_returnflag", $"n_rows",
+        interp(0.5, $"lo50", $"hi50").as("p50"),
+        interp(0.95, $"lo95", $"hi95").as("p95"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_funnel_steps" -> (q42FunnelSteps _),
     "q43_min_cost_supplier" -> (q43MinCostSupplier _),
+    "q45_percentile_cont" -> (q45PercentileCont _),
     "q17_salted_skew_agg" -> (q17SaltedSkewAgg _),
     "q24_sessionization" -> (q24Sessionization _),
     "q21_sole_problem_supplier" -> (q21SoleProblemSupplier _),
@@ -648,6 +688,34 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_percentile_cont" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS BIGINT) - 1 AS rn0,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, max(n) AS n_rows,
+        |    max(CASE WHEN rn0 = floor(CAST(0.5 AS DOUBLE)
+        |      * CAST(n - 1 AS DOUBLE)) THEN v END) AS lo50,
+        |    max(CASE WHEN rn0 = ceil(CAST(0.5 AS DOUBLE)
+        |      * CAST(n - 1 AS DOUBLE)) THEN v END) AS hi50,
+        |    max(CASE WHEN rn0 = floor(CAST(0.95 AS DOUBLE)
+        |      * CAST(n - 1 AS DOUBLE)) THEN v END) AS lo95,
+        |    max(CASE WHEN rn0 = ceil(CAST(0.95 AS DOUBLE)
+        |      * CAST(n - 1 AS DOUBLE)) THEN v END) AS hi95
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+        |  lo50 + (hi50 - lo50) * (CAST(0.5 AS DOUBLE)
+        |    * CAST(n_rows - 1 AS DOUBLE)
+        |    - floor(CAST(0.5 AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE)))
+        |    AS p50,
+        |  lo95 + (hi95 - lo95) * (CAST(0.95 AS DOUBLE)
+        |    * CAST(n_rows - 1 AS DOUBLE)
+        |    - floor(CAST(0.95 AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE)))
+        |    AS p95
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "q43_min_cost_supplier" ->
       """WITH eur AS (
         |  SELECT s_suppkey, s_name, n_name

@@ -253,6 +253,47 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** SQ8 (scalar-quantized int8) ANN: normalize each vector to unit
+    * length, quantize to int8 with the [[quantizeInt8]] scheme
+    * (per-vector maxabs scale, floor(x+0.5)), then rank by the
+    * asymmetric-distance score `(q_a·q_b)·s_a·s_b` — an INTEGER dot
+    * product (exact in doubles: |q|≤127, so Σq_a·q_b < 2^53 at any
+    * realistic dim) times two scales with pinned association, so the
+    * DuckDB oracle replays the full rank order bit-exactly.
+    *
+    * Why this operator exists at 100 TB: the quantized corpus is 8× (4
+    * bytes→~0.5) smaller than float32 in memory and the hot loop is
+    * integer multiply-add — SQ8 is the standard first compression step
+    * before IVF sharding (compose with [[ivfTopK]]'s cell restriction
+    * for the full IVF+SQ pipeline). Same broadcast-queries /
+    * stream-the-corpus join and bounded top-k rank as
+    * [[bruteForceTopK]] — no corpus-side shuffle. */
+  def int8TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        var s2 = 0.0
+        v.foreach(x => s2 += x * x) // sequential fold — oracle replays
+        val nrm = math.sqrt(s2)
+        val vn = if (nrm == 0.0) v else v.map(_ / nrm)
+        var maxabs = 0.0
+        vn.foreach(x => if (math.abs(x) > maxabs) maxabs = math.abs(x))
+        val q = if (maxabs == 0.0) vn.map(_ => 0.0)
+          else vn.map(x => math.floor(x * 127.0 / maxabs + 0.5))
+        (id, maxabs, q)
+      }
+      .toDF("vec_id", "scale", "q")
+    val qs = emb.filter($"vec_id" < N_QUERIES)
+    val scored = broadcast(qs).as("a")
+      .join(emb.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
+        ((dot($"a.q", $"b.q") * $"a.scale") * $"b.scale").as("cos"))
+    rankTopK(scored)
+  }
+
   /** Number of seeded centroids for [[kmeansAssign]]. */
   val KMEANS_K = 8
 
@@ -533,11 +574,52 @@ object Similarity {
     "ann_ivf_topk" -> (ivfTopK _),
     "dedup_semantic_ivf" -> (semanticDedupPairs _),
     "emb_quantize_int8" -> (quantizeInt8 _),
+    "ann_int8_topk" -> (int8TopK _),
     "emb_kmeans_assign" -> (kmeansAssign _),
     "emb_kmeans_update" -> (kmeansUpdate _),
   )
 
   val oracles: Map[String, String] = Map(
+    // full SQ8 replay: unit-normalize (sequential-fold norm), maxabs
+    // scale, floor(x+0.5) quantize, integer dot, (dot·s_a)·s_b score —
+    // every float op in the same IEEE order as the Scala map
+    "ann_int8_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+        |  FROM e),
+        |vn AS (
+        |  SELECT vec_id,
+        |    CASE WHEN nrm = 0 THEN v
+        |         ELSE list_transform(v, x -> x / nrm) END AS v
+        |  FROM n),
+        |mx AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS ma
+        |  FROM vn),
+        |qq AS (
+        |  SELECT vec_id, ma,
+        |    CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |         ELSE list_transform(v, x -> floor(x * 127.0 / ma + 0.5))
+        |    END AS q
+        |  FROM mx),
+        |sc AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    ((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(a.q) + 1),
+        |          i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])),
+        |        (x, y) -> x + y) * a.ma) * b.ma) AS s
+        |  FROM qq a JOIN qq b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY s DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM sc) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // identical IEEE product + floor quantization per (row, i, j),
     // summed in exact integer arithmetic — replayed by unnesting the
     // upper-triangle index pairs per row; the (-1,-1) row carries n.

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, Sketch, TextHashes}
+import graft.sources.Tables
+
+/** Cardinality / frequency sketches — the bounded-state answers to
+  * "how many distinct?" and "how often?" that a 100 TB deployment asks
+  * constantly (CBO NDV stats, stream monitoring, heavy-key detection)
+  * and that exact `count(DISTINCT)` / `groupBy(key).count()` answer at
+  * the cost of shuffling every distinct key.
+  *
+  * Both sketches here are DETERMINISTIC (splitmix64 hash family, no
+  * RNG), so unlike HyperLogLog via `approx_count_distinct` their
+  * entire state is replayable from first principles by the DuckDB
+  * oracle — the correctness gate checks the sketch CONTENTS, not just
+  * a tolerance band:
+  *
+  *  - KMV (k-minimum-values) NDV estimator: one scan, ≤ k longs per
+  *    map task cross the shuffle ([[Sketch.KmvAgg]]), estimator
+  *    `(k−1) · ⌊(2^64−1) / kth_min⌋` in pure integer arithmetic.
+  *  - Count-min point-frequency sketch: d×w integer matrix built with
+  *    map-side combine (≤ d·w rows shuffle regardless of input size),
+  *    point estimates = min over the d cells — the one-sided
+  *    (overestimate-only) guarantee, asserted in SketchSpec.
+  */
+object Sketches {
+
+  val KMV_K = 256
+  val CMS_DEPTH = 4
+  val CMS_WIDTH = 512L
+  val CMS_QUERY_KEYS = 25
+
+  /** Absolute-rate alert threshold for [[cmsHeavyHitters]] (events per
+    * key). Absolute, not φ·N: this corpus grows by adding KEYS at a
+    * steady per-key rate, so a relative support threshold selects
+    * nothing at larger SFs while an absolute rate threshold is the
+    * monitoring semantics ("alert on any key above 80 events"). */
+  val HH_THRESHOLD = 80L
+
+  /** KMV estimator from the k-minimum sketch contents: (kth-min hash,
+    * NDV estimate). Shared by the batch and streaming variants so the
+    * two can never diverge. */
+  private[operators] def kmvEstimate(mins: Seq[Long]): (Long, Long) = {
+    val n = mins.size
+    val kth = mins.last
+    val est =
+      if (n < KMV_K) n.toLong // fewer distincts than k: sketch exact
+      else if (kth == 0L) n.toLong // degenerate guard (hash == 0)
+      else (KMV_K - 1).toLong * java.lang.Long.divideUnsigned(-1L, kth)
+    (kth, est)
+  }
+
+  // as a STRING: the value is -1L in signed-Long bits, which is what
+  // the JVM divideUnsigned uses, but the SQL literal must be unsigned
+  private val U64_MAX = "18446744073709551615"
+
+  /** KMV NDV estimates for three representative key columns. Each
+    * column costs one scan + one k-bounded aggregation; the estimate,
+    * the k-th minimum hash (the sketch's entire decision state), and k
+    * are all in the output so the oracle replays the math exactly. */
+  def kmvNdv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq(
+      ("events.user_id", Tables(s, dir, "events").select($"user_id")),
+      ("lineitem.l_partkey",
+        Tables(s, dir, "lineitem").select($"l_partkey")),
+      ("orders.o_custkey", Tables(s, dir, "orders").select($"o_custkey")))
+    val rows = cols.map { case (name, df) =>
+      val mins = df
+        .select(GraftFunctions.mix64(df.columns.map(col).head).as("h"))
+        .as[Long]
+        .select(new Sketch.KmvAgg(KMV_K).toColumn)
+        .head() // bounded: one row of ≤ k longs
+      val (kth, est) = kmvEstimate(mins)
+      (name, KMV_K.toLong, kth, est)
+    }
+    rows.toDF("column_name", "k", "kth_hash", "ndv_est")
+      .orderBy($"column_name")
+  }
+
+  /** Count-min frequency sketch over `events.user_id`, point-queried
+    * for the first [[CMS_QUERY_KEYS]] keys. Hash row d buckets by
+    * `mix64(mix64(key) + d) mod w` — nested mix64 keeps rows pairwise
+    * independent and replayable. The matrix build is the scale path:
+    * explode ×d then groupBy(d, bucket) map-side combines to ≤ d·w
+    * rows per task, so shuffle volume is constant in input size. */
+  def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val matrix = Tables(s, dir, "events")
+      .select(GraftFunctions.mix64($"user_id").as("hv"))
+      .select($"hv",
+        explode(array((0 until CMS_DEPTH).map(d => lit(d.toLong)): _*))
+          .as("d"))
+      .select($"d",
+        GraftFunctions.mix64_bucket($"hv" + $"d", CMS_WIDTH).as("bucket"))
+      .groupBy($"d", $"bucket").agg(count(lit(1)).as("c"))
+    // the query side: CMS_QUERY_KEYS × CMS_DEPTH probe cells, computed
+    // with the same JVM hash the native expression compiles to
+    val probes = for {
+      key <- 0 until CMS_QUERY_KEYS
+      d <- 0 until CMS_DEPTH
+    } yield (key.toLong,
+      d.toLong,
+      java.lang.Long.remainderUnsigned(
+        TextHashes.mix64(TextHashes.mix64(key.toLong) + d), CMS_WIDTH))
+    probes.toDF("user_id", "d", "bucket")
+      .join(matrix, Seq("d", "bucket"), "left")
+      .groupBy($"user_id")
+      .agg(min(coalesce($"c", lit(0L))).as("cms_est"))
+      .orderBy($"user_id")
+  }
+
+  /** CMS-prefiltered heavy hitters: every key with ≥ HH_THRESHOLD
+    * events, with EXACT final counts. Two passes:
+    *
+    *  1. Build a count-min matrix (width sized so expected cell
+    *     background ≈ thr/16; shuffle ≤ d·w cells after map-side
+    *     combine).
+    *  2. Re-scan, look each row's d cells up via BROADCAST hash joins
+    *     (no shuffle), keep rows whose min-cell estimate clears the
+    *     threshold, and exact-count only those.
+    *
+    * The CMS one-sided guarantee (estimate ≥ truth) makes the filter
+    * lossless: a true heavy key can never be dropped, so after the
+    * exact count the output EQUALS the plain `GROUP BY HAVING` — which
+    * is exactly what the oracle runs, blind to the sketch. At 100 TB
+    * the win is that only candidate rows enter the exact-count
+    * exchange: with billions of mostly-light keys, the map-side filter
+    * removes the ndv-proportional partial-aggregate shuffle that a
+    * plain exact count pays. Width caps at 65536 (4·w cells ≈ 6 MB —
+    * stays broadcastable); past the cap the filter degrades gracefully
+    * toward pass-through (background/thr ratio documents the operating
+    * range). */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"user_id")
+    val n = ev.count()
+    val w = math.min(65536L, math.max(2048L, 16L * n / HH_THRESHOLD))
+    val keyed = ev.withColumn("hv", GraftFunctions.mix64($"user_id"))
+    val matrix = keyed
+      .select($"hv",
+        explode(array((0 until CMS_DEPTH).map(d => lit(d.toLong)): _*))
+          .as("d"))
+      .select($"d",
+        GraftFunctions.mix64_bucket($"hv" + $"d", w).as("bucket"))
+      .groupBy($"d", $"bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤ d·w rows; computed once, read 4×
+    val probed = (0 until CMS_DEPTH).foldLeft(keyed) { (df, d) =>
+      df.join(
+        broadcast(matrix.filter($"d" === d.toLong)
+          .select($"bucket".as(s"bk$d"), $"c".as(s"c$d"))),
+        GraftFunctions.mix64_bucket($"hv" + lit(d.toLong), w) === col(s"bk$d"))
+    }
+    probed
+      .filter(least((0 until CMS_DEPTH).map(d => col(s"c$d")): _*)
+        >= HH_THRESHOLD)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .filter($"n_events" >= HH_THRESHOLD)
+      .orderBy($"user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_ndv" -> (kmvNdv _),
+    "sketch_cms_freq" -> (cmsFreq _),
+    "sketch_heavy_hitters" -> (cmsHeavyHitters _),
+  )
+
+  private[operators] def kmvColumnSql(name: String, table: String,
+      column: String): String = {
+    val h = OracleSql.mix64(s"CAST($column AS HUGEINT)")
+    s"""SELECT '$name' AS column_name, CAST($KMV_K AS BIGINT) AS k,
+       |  CAST(CASE WHEN kth >= 9223372036854775808
+       |       THEN kth - 18446744073709551616 ELSE kth END
+       |    AS BIGINT) AS kth_hash,
+       |  CAST(CASE WHEN n < $KMV_K THEN n
+       |       WHEN kth = 0 THEN n
+       |       ELSE ${KMV_K - 1} * ($U64_MAX // kth) END
+       |    AS BIGINT) AS ndv_est
+       |FROM (SELECT count(*) AS n, max(u) AS kth FROM (
+       |  SELECT DISTINCT $h AS u FROM $table ORDER BY u LIMIT $KMV_K))""".stripMargin
+  }
+
+  private def cmsBucketSql(keyExpr: String): String = {
+    val inner = OracleSql.mix64(s"CAST($keyExpr AS HUGEINT)")
+    val outer = OracleSql.mix64(s"(($inner) + d) % 18446744073709551616")
+    s"(($outer) % $CMS_WIDTH)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    // the sketch is an internal lossless prefilter — the contract is
+    // the plain exact heavy-key relation
+    "sketch_heavy_hitters" ->
+      s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+         |FROM events GROUP BY 1 HAVING count(*) >= $HH_THRESHOLD
+         |ORDER BY user_id""".stripMargin,
+    "sketch_kmv_ndv" ->
+      Seq(
+        kmvColumnSql("events.user_id", "events", "user_id"),
+        kmvColumnSql("lineitem.l_partkey", "lineitem", "l_partkey"),
+        kmvColumnSql("orders.o_custkey", "orders", "o_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    "sketch_cms_freq" -> {
+      s"""WITH dd AS (SELECT unnest(range($CMS_DEPTH)) AS d),
+         |m AS (
+         |  SELECT d, ${cmsBucketSql("user_id")} AS bucket,
+         |    count(*) AS c
+         |  FROM events CROSS JOIN dd GROUP BY 1, 2),
+         |q AS (SELECT unnest(range($CMS_QUERY_KEYS)) AS user_id),
+         |qb AS (SELECT user_id, d, ${cmsBucketSql("user_id")} AS bucket
+         |  FROM q CROSS JOIN dd)
+         |SELECT CAST(user_id AS BIGINT) AS user_id,
+         |  CAST(min(coalesce(c, 0)) AS BIGINT) AS cms_est
+         |FROM qb LEFT JOIN m USING (d, bucket)
+         |GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
+  )
+}

@@ -509,7 +509,51 @@ object StreamBatch {
       .orderBy($"c_nationkey", $"event_type")
   }
 
+  /** Streaming distinct-key cardinality through a KMV sketch — the
+    * BOUNDED-STATE answer to the question q31 answers with O(distinct
+    * keys) of dedup state: "how many distinct users has this stream
+    * seen?" carried as ≤ k longs of aggregation state, forever, at any
+    * input rate.
+    *
+    * The KMV buffer ([[graft.functions.Sketch.KmvAgg]]) is a set with
+    * a total order, so its merge is commutative and associative —
+    * which is exactly why the STREAMING result (complete-mode global
+    * aggregation, state = the buffer, arbitrary micro-batch slicing)
+    * is bit-identical to the batch sketch, and the DuckDB oracle for
+    * the batch operator applies unchanged. MultiBatchSpec's
+    * batching-independence argument holds by construction here.
+    */
+  def streamingKmv(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
+    import s.implicits._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val agg = new graft.functions.Sketch.KmvAgg(Sketches.KMV_K)
+    val sketched = Tables.eventsReadStream(s, dir, rawSchema)
+      .select(graft.functions.GraftFunctions.mix64($"user_id").as("h"))
+      .as[Long]
+      .groupByKey(_ => true) // one global sketch group
+      .agg(agg.toColumn.name("mins"))
+
+    val table = s"graft_stream_kmv_${nameCounter.incrementAndGet()}"
+    val q = sketched.toDF("g", "mins").writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q, "q44_streaming_kmv")
+    val mins = s.table(table).select($"mins")
+      .as[Seq[Long]].head() // bounded: ≤ k longs
+    s.catalog.dropTempView(table)
+    val (kth, est) = Sketches.kmvEstimate(mins)
+    Seq(("events.user_id", Sketches.KMV_K.toLong, kth, est))
+      .toDF("column_name", "k", "kth_hash", "ndv_est")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_streaming_kmv" -> (streamingKmv _),
     "q23_streaming_daily_agg" -> (streamingDailyAgg _),
     "q26_stream_stream_join" -> (streamingIntervalJoin _),
     "q31_streaming_dedup_keys" -> (streamingDedupKeys _),
@@ -519,6 +563,10 @@ object StreamBatch {
   )
 
   val oracles: Map[String, String] = Map(
+    // stream == batch for a commutative-merge sketch: the batch KMV
+    // oracle applies verbatim
+    "q44_streaming_kmv" ->
+      Sketches.kmvColumnSql("events.user_id", "events", "user_id"),
     "q23_streaming_daily_agg" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
         | CAST(count(*) AS BIGINT) AS n_events

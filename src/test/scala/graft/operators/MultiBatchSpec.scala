@@ -87,6 +87,7 @@ class MultiBatchSpec extends AnyFunSuite {
     agree("q31", orderedDir, StreamBatch.streamingDedupKeys)
     agree("q38", orderedDir, StreamBatch.streamingSessions)
     agree("q41", orderedDir, StreamBatch.streamingStaticJoin)
+    agree("q44", orderedDir, StreamBatch.streamingKmv)
   }
 
   // The watermark-free queries (complete-mode aggs, global dedup) must
@@ -97,6 +98,9 @@ class MultiBatchSpec extends AnyFunSuite {
     agree("q31", shuffledDir, StreamBatch.streamingDedupKeys)
     agree("q38", shuffledDir, StreamBatch.streamingSessions)
     agree("q41", shuffledDir, StreamBatch.streamingStaticJoin)
+    // the KMV sketch's merge is commutative — bit-identical under any
+    // arrival order, which is what lets the batch oracle apply
+    agree("q44", shuffledDir, StreamBatch.streamingKmv)
   }
 
   // And the watermarked join's late-data policy is pinned, not hidden:
