@@ -146,7 +146,18 @@ object FrozenBaseline {
     // 0.89 / 0.95, warm bands 0.65-0.98 / 0.89-1.13 / 0.95-1.11
     "sketch_heavy_hitters" -> 0.65,
     "q44_streaming_kmv" -> 0.89,
-    "q45_percentile_cont" -> 0.95,
+    // re-frozen same day: the first (window) formulation measured a
+    // 3-partition sort cliff at the decades (8.2 s at 10x, 88.8 s at
+    // 100x); rewritten to distributed rank selection — 1x floor 1.09
+    // (vs 0.95), 10x 2.97, 100x 15.4. BASELINE.md round-12 batch C.
+    "q45_percentile_cont" -> 1.09,
+    // round-12 batch-D additions (incremental view maintenance;
+    // integer-quantized 3-iteration PageRank; per-group KMV), isolated
+    // BenchOne min-of-8 same box/harness: floors 0.65 / 1.98 / 0.24,
+    // warm bands 0.65-0.97 / 1.98-3.0 / 0.24-0.34
+    "cdc_incremental_agg" -> 0.65,
+    "graph_pagerank_q" -> 1.98,
+    "sketch_kmv_grouped" -> 0.24,
     "text_decontaminate" -> 0.60,
     "text_fingerprint" -> 0.47,
     "text_langid" -> 0.45,

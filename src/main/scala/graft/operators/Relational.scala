@@ -629,13 +629,29 @@ object Relational {
     * bracketing rows come from the same sorted pass. */
   def q45PercentileCont(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"l_returnflag").orderBy($"v")
-    val ranked = t(s, dir, "lineitem")
+    // DISTRIBUTED rank selection, not row_number over a per-group
+    // window: with 3 return-flag groups the window sorts the whole
+    // fact on 3 tasks — the parallelism cliff measured at 8.6× wall
+    // for 10× data. Instead range-sort (l_returnflag, v) across ALL
+    // partitions and take global ranks via zipWithIndex (the
+    // maint_histogram_equiheight machinery); per-group 0-based ranks
+    // are global index − the group's first index. Ranks of tied
+    // values are interchangeable, so the selected VALUES — and the
+    // interpolation — are deterministic under any partitioning.
+    val sorted = t(s, dir, "lineitem")
       .select($"l_returnflag", $"l_extendedprice".as("v"))
-      .withColumn("rn0", row_number().over(w).cast("long") - 1L)
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy($"l_returnflag")))
-    def pos(p: Double) = lit(p) * ($"n" - 1L).cast("double")
+      .repartitionByRange(
+        s.conf.get("spark.sql.shuffle.partitions").toInt,
+        $"l_returnflag", $"v")
+      .sortWithinPartitions($"l_returnflag", $"v")
+      .as[(String, Double)].rdd.zipWithIndex()
+      .map { case ((f, v), i) => (f, v, i) }
+      .toDF("l_returnflag", "v", "idx")
+    val grouped = sorted.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), min($"idx").as("first_idx"))
+    val ranked = sorted.join(broadcast(grouped), "l_returnflag")
+      .withColumn("rn0", $"idx" - $"first_idx")
+    def pos(p: Double) = lit(p) * ($"n_rows" - 1L).cast("double")
     def lo(p: Double) = max(when($"rn0" === floor(pos(p)), $"v"))
     def hi(p: Double) = max(when($"rn0" === ceil(pos(p)), $"v"))
     def interp(p: Double, l: org.apache.spark.sql.Column,
@@ -644,7 +660,7 @@ object Relational {
       l + (h - l) * (fullPos - floor(fullPos).cast("double"))
     }
     ranked.groupBy($"l_returnflag")
-      .agg(max($"n").as("n_rows"),
+      .agg(max($"n_rows").as("n_rows"),
         lo(0.5).as("lo50"), hi(0.5).as("hi50"),
         lo(0.95).as("lo95"), hi(0.95).as("hi95"))
       .select($"l_returnflag", $"n_rows",

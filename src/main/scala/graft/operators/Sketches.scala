@@ -112,6 +112,27 @@ object Sketches {
       .orderBy($"user_id")
   }
 
+  /** Per-group KMV: distinct users per event type — the sketch
+    * composing with groupBy, which is how a 100 TB deployment gets a
+    * per-dimension NDV profile in one pass: state is ≤ k longs PER
+    * GROUP (groups × k, not distinct-keys), partial-aggregated like
+    * any typed Aggregator, estimator shared with [[kmvNdv]]. */
+  def kmvGrouped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_type", GraftFunctions.mix64($"user_id").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new Sketch.KmvAgg(KMV_K).toColumn.name("mins"))
+      .map { case (et, mins) =>
+        val (kth, est) = kmvEstimate(mins)
+        (et, KMV_K.toLong, kth, est)
+      }
+      .toDF("event_type", "k", "kth_hash", "ndv_est")
+      .orderBy($"event_type")
+  }
+
   /** CMS-prefiltered heavy hitters: every key with ≥ HH_THRESHOLD
     * events, with EXACT final counts. Two passes:
     *
@@ -166,6 +187,7 @@ object Sketches {
     "sketch_kmv_ndv" -> (kmvNdv _),
     "sketch_cms_freq" -> (cmsFreq _),
     "sketch_heavy_hitters" -> (cmsHeavyHitters _),
+    "sketch_kmv_grouped" -> (kmvGrouped _),
   )
 
   private[operators] def kmvColumnSql(name: String, table: String,
@@ -196,6 +218,29 @@ object Sketches {
       s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
          |FROM events GROUP BY 1 HAVING count(*) >= $HH_THRESHOLD
          |ORDER BY user_id""".stripMargin,
+    // per-group replay of the same sketch: distinct hashes ranked
+    // within each group, first k, same estimator CASE
+    "sketch_kmv_grouped" -> {
+      val h = OracleSql.mix64("CAST(user_id AS HUGEINT)")
+      s"""WITH hh AS (
+         |  SELECT DISTINCT event_type, $h AS u FROM events),
+         |rk AS (
+         |  SELECT event_type, u,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+         |  FROM hh),
+         |st AS (
+         |  SELECT event_type, count(*) AS n, max(u) AS kth
+         |  FROM rk WHERE rn <= $KMV_K GROUP BY 1)
+         |SELECT event_type, CAST($KMV_K AS BIGINT) AS k,
+         |  CAST(CASE WHEN kth >= 9223372036854775808
+         |       THEN kth - 18446744073709551616 ELSE kth END
+         |    AS BIGINT) AS kth_hash,
+         |  CAST(CASE WHEN n < $KMV_K THEN n
+         |       WHEN kth = 0 THEN n
+         |       ELSE ${KMV_K - 1} * ($U64_MAX // kth) END
+         |    AS BIGINT) AS ndv_est
+         |FROM st ORDER BY event_type""".stripMargin
+    },
     "sketch_kmv_ndv" ->
       Seq(
         kmvColumnSql("events.user_id", "events", "user_id"),

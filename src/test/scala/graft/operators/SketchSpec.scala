@@ -128,6 +128,15 @@ class SketchSpec extends AnyFunSuite {
     assert(got.keySet == byFlag.keySet)
   }
 
+  test("kmv grouped: per-group sketch exact when group ndv < k") {
+    val got = Sketches.kmvGrouped(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exact = spark.read.parquet(s"$sfTiny/events.parquet")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("ndv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, "each sf0.001 group has < k distincts → exact")
+  }
+
   test("cms matrix build partial-combines before the shuffle") {
     val plan = Sketches.cmsFreq(spark, sfTiny).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode
