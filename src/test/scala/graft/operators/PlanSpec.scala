@@ -485,6 +485,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("mapPartitions"))
   }
 
+  test("heavy hitters: matrix probes broadcast; no pre-filter shuffle of events") {
+    val plan = planOf(Sketches.cmsHeavyHitters(spark, dir))
+    // all four cell lookups must be broadcast hash joins — a sort-merge
+    // join would shuffle the whole event stream to look up a ≤ d·w cell
+    // table, defeating the prefilter's purpose
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= Sketches.CMS_DEPTH, s"expected ≥4 broadcast joins: $bhj")
+  }
+
+  test("pagerank: no cartesian product; per-iteration sums partial-combine") {
+    val plan = planOf(Graph.pagerankQ(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+  }
+
+  test("kmv grouped aggregation partial-combines (≤ k longs per task)") {
+    val plan = planOf(Sketches.kmvGrouped(spark, dir))
+    // typed Aggregator under groupByKey plans an ObjectHashAggregate /
+    // SortAggregate pair with a partial phase — the map side must
+    // combine, otherwise every raw hash crosses the shuffle
+    assert(plan.contains("partial_kmvagg") ||
+      plan.toLowerCase.contains("partial"), plan.take(3000))
+  }
+
+  test("incremental view maintenance never rescans base into the delta agg") {
+    val plan = planOf(Cdc.incrementalAgg(spark, dir))
+    // base is read twice by design (stale view + old-value lookup, the
+    // latter standing in for CDC before-images) but NOT three times —
+    // the delta aggregation itself runs over the joined change rows
+    val scans = plan.linesIterator.count(_.contains("orders.parquet"))
+    assert(scans <= 3, s"orders scanned $scans times")
+    assert(plan.contains("partial_sum"), plan.take(3000))
+  }
+
   test("q41 enrichment joins by broadcast: no stream-side shuffle/sort") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
