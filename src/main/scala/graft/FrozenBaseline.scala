@@ -158,6 +158,15 @@ object FrozenBaseline {
     "cdc_incremental_agg" -> 0.65,
     "graph_pagerank_q" -> 1.98,
     "sketch_kmv_grouped" -> 0.24,
+    // round-12 batch-E additions (asymmetric containment near-dup —
+    // exact, full-inverted-index side, validator-class like
+    // dedup_ngram_jaccard; streaming SCD1 upsert view; JSON
+    // schema-on-read), isolated BenchOne min-of-8 same box/harness:
+    // floors 4.88 / 1.20 / 0.39, warm bands 4.9-6.8 / 1.2-1.5 /
+    // 0.39-0.45
+    "dedup_containment" -> 4.88,
+    "q47_stream_scd1_latest" -> 1.20,
+    "q46_json_extract" -> 0.39,
     "text_decontaminate" -> 0.60,
     "text_fingerprint" -> 0.47,
     "text_langid" -> 0.45,

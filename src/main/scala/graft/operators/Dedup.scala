@@ -124,6 +124,50 @@ object Dedup {
       .orderBy($"da", $"db")
   }
 
+  /** ASYMMETRIC containment near-dup: ordered pairs (da → db) with
+    * |S(da) ∩ S(db)| / |S(da)| ≥ 0.8 — "most of A's shingles appear in
+    * B". This is the relation Jaccard dedup is blind to: a short doc
+    * quoted inside a long one has high containment but LOW Jaccard
+    * (the union is dominated by B), so it never band-collides in
+    * MinHash-LSH. Web-scale pipelines run this as the
+    * boilerplate/quote-inclusion pass after symmetric near-dup.
+    *
+    * Scale shape: the prefix filter still applies, but one-sided —
+    * C(A→B) ≥ t forces A to share an element within its first
+    * ⌊(1−t)·|A|⌋+1 shingles with B (same exact-integer prefix math as
+    * [[ngramJaccardPairs]]), while B must be indexed in FULL (the
+    * asymmetry is intrinsic: nothing bounds where in B the overlap
+    * sits). Join volume = 20% of probe shingles × the full inverted
+    * index; candidates verified exactly with array_intersect, and the
+    * emitted containment is an exact integer permille
+    * (`inter·1000 div |A|`), so the DuckDB replay is bit-identical. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = shingleSets(s, dir).toDF("doc_id", "ss")
+      .select($"doc_id", $"ss", size($"ss").as("n"))
+    // probe side: t = 4/5 prefix, exact integer length (q.v. the
+    // jaccard prefix-math comment — double 0.2·n under-counts)
+    val probe = sets.select($"doc_id".as("da"), $"ss".as("ssa"),
+      $"n".as("na"),
+      explode(expr(
+        "slice(ss, 1, cast(n - ((4*n + 4) div 5) + 1 as int))")).as("sh"))
+    val index = sets.select($"doc_id".as("db"), explode($"ss").as("sh"))
+    val cands = probe.select($"da", $"sh")
+      .join(index, Seq("sh"))
+      .filter($"da" =!= $"db")
+      .select($"da", $"db").distinct()
+    cands
+      .join(sets.select($"doc_id".as("da"), $"ss".as("ssa"), $"n".as("na")),
+        "da")
+      .join(sets.select($"doc_id".as("db"), $"ss".as("ssb")), "db")
+      .withColumn("inter", size(array_intersect($"ssa", $"ssb")))
+      .filter($"inter" * 5 >= $"na" * 4) // inter/na ≥ 4/5, exact
+      .select($"da", $"db",
+        expr("cast(inter * 1000 div na as bigint)")
+          .as("containment_permille"))
+      .orderBy($"da", $"db")
+  }
+
   /** MinHash + LSH near-dup: signature of 32 per-family min-hashes,
     * banded into 16 buckets of 2 rows; candidates verified with exact
     * Jaccard. With s ≥ 0.8 the miss probability per pair is
@@ -357,6 +401,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
+    "dedup_containment" -> (containmentPairs _),
     "dedup_minhash_lsh" -> (minhashLshPairs _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_embedding_cosine" -> (embeddingCosinePairs _),
@@ -385,6 +430,25 @@ object Dedup {
         | count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    // ordered pairs, full inverted index on the containing side, exact
+    // integer permille — the string shingles replay the hashed sets
+    // (same equivalence the jaccard oracle leans on)
+    "dedup_containment" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS s
+        |  FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db,
+        |  CAST((inter * 1000) // sa.n AS BIGINT) AS containment_permille
+        |FROM pairs JOIN sizes sa ON da = sa.doc_id
+        |WHERE inter * 5 >= sa.n * 4
+        |ORDER BY da, db""".stripMargin,
     // LSH with 16 bands × 2 rows has miss prob ≤ 5e-8 at s ≥ 0.8 and the
     // candidates are exactly verified, so the output equals the exact set.
     "dedup_minhash_lsh" -> jaccardOracle,

@@ -669,10 +669,31 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Semi-structured schema-on-read: extract a field from the raw JSON
+    * `props` column with the codegen'd `get_json_object` scalar and
+    * aggregate on it — the Spark-native path for JSON payload columns
+    * (the engine's own jsonpath surface is exercised separately by the
+    * e2 family; this is what an analyst writes). The extraction stays
+    * inside whole-stage codegen (Jackson parse per row, no UDF), the
+    * aggregate is map-side combined, and nulls from malformed/missing
+    * paths flow through count/sum semantics identically in both
+    * engines. */
+  def q46JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_with_k"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_funnel_steps" -> (q42FunnelSteps _),
     "q43_min_cost_supplier" -> (q43MinCostSupplier _),
     "q45_percentile_cont" -> (q45PercentileCont _),
+    "q46_json_extract" -> (q46JsonExtract _),
     "q17_salted_skew_agg" -> (q17SaltedSkewAgg _),
     "q24_sessionization" -> (q24Sessionization _),
     "q21_sole_problem_supplier" -> (q21SoleProblemSupplier _),
@@ -704,6 +725,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_json_extract" ->
+      """SELECT event_type,
+        |  CAST(count(k) AS BIGINT) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events) t
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q45_percentile_cont" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_extendedprice AS v,

@@ -552,8 +552,42 @@ object StreamBatch {
       .toDF("column_name", "k", "kth_hash", "ndv_est")
   }
 
+  /** Streaming SCD Type-1 materialization — latest-version-per-key
+    * upsert state, maintained BY a streaming query: the orders table
+    * read as a change stream keyed by customer, each arriving order
+    * overwriting that customer's materialized row (ordered by
+    * (o_orderdate, o_orderkey), so arrival order never matters). This
+    * is the streaming twin of [[Cdc]]'s batch MERGE family — the shape
+    * a CDC topic → live dimension table pipeline runs 24/7.
+    *
+    * Expressed Spark-first as a complete-mode `max_by(struct(payload),
+    * struct(version))` aggregation rather than hand-rolled
+    * mapGroupsWithState: the version comparator is a total order, so
+    * the aggregate is commutative/batching-independent, state is
+    * exactly one row per key — the materialized table itself, the
+    * intrinsic floor for an upsert view — and the oracle is the plain
+    * batch last-row-per-key window. Drained distributed to parquet
+    * (rows scale with keys; no driver collect). */
+  def streamingScd1Latest(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
+    import s.implicits._
+    import graft.sources.Tables
+    val rawSchema = s.read.parquet(s"$dir/orders.parquet").schema
+    val latest = Tables.tableReadStream(s, dir, "orders", rawSchema)
+      .groupBy($"o_custkey".as("key"))
+      .agg(max_by(
+        struct($"o_orderkey", $"o_orderpriority", $"o_totalprice"),
+        struct($"o_orderdate", $"o_orderkey")).as("v"))
+      .select($"key", $"v.o_orderkey".as("last_orderkey"),
+        $"v.o_orderpriority".as("last_priority"),
+        $"v.o_totalprice".as("last_price"))
+    drainToParquet(s, latest, "complete", "q47_stream_scd1_latest")
+      .orderBy($"key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_streaming_kmv" -> (streamingKmv _),
+    "q47_stream_scd1_latest" -> (streamingScd1Latest _),
     "q23_streaming_daily_agg" -> (streamingDailyAgg _),
     "q26_stream_stream_join" -> (streamingIntervalJoin _),
     "q31_streaming_dedup_keys" -> (streamingDedupKeys _),
@@ -567,6 +601,14 @@ object StreamBatch {
     // oracle applies verbatim
     "q44_streaming_kmv" ->
       Sketches.kmvColumnSql("events.user_id", "events", "user_id"),
+    // the upsert view's contract: batch last-row-per-key
+    "q47_stream_scd1_latest" ->
+      """SELECT o_custkey AS key, o_orderkey AS last_orderkey,
+        |  o_orderpriority AS last_priority, o_totalprice AS last_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY key""".stripMargin,
     "q23_streaming_daily_agg" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
         | CAST(count(*) AS BIGINT) AS n_events

@@ -114,6 +114,15 @@ object Tables {
   def eventsReadStream(
       spark: SparkSession,
       dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    tableReadStream(spark, dir, "events", schema)
+
+  /** Streaming reader for any table, same layout resolution as
+    * [[eventsReadStream]] (which delegates here). */
+  def tableReadStream(
+      spark: SparkSession,
+      dir: String,
+      name: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     // optional admission throttle (files per micro-batch) — the knob a
     // 24/7 deployment uses to bound batch size, and what
@@ -122,9 +131,9 @@ object Tables {
     val r0 = spark.conf.getOption("graft.stream.maxFilesPerTrigger")
       .foldLeft(spark.readStream.schema(schema))(
         (r, n) => r.option("maxFilesPerTrigger", n))
-    val p = new java.io.File(s"$dir/events.parquet")
+    val p = new java.io.File(s"$dir/$name.parquet")
     if (p.isDirectory) r0.parquet(p.getPath)
-    else r0.option("pathGlobFilter", "events.parquet").parquet(dir)
+    else r0.option("pathGlobFilter", s"$name.parquet").parquet(dir)
   }
 
   /** On-disk bytes of the events table (flat file or directory of

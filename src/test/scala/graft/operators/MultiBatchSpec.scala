@@ -40,6 +40,15 @@ class MultiBatchSpec extends AnyFunSuite {
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(s"$root/customer.parquet"),
       java.nio.file.Paths.get("/root/testdata/sf0.001/customer.parquet"))
+    // orders as an 8-part directory too, for the q47 upsert stream —
+    // time-sliced or hash-scattered with the same semantics as events
+    val rawOrders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+    val laidOrders =
+      if (ordered) rawOrders.repartitionByRange(8,
+        org.apache.spark.sql.functions.col("o_orderdate"))
+      else rawOrders.repartition(8)
+    laidOrders.write.parquet(s"$root/orders.parquet")
     // FileStreamSource admits files in MODIFICATION-TIME order, and
     // write-task completion order is arbitrary — pin mtimes to the
     // part-file index so the ordered layout is admitted earliest-slice
@@ -88,6 +97,7 @@ class MultiBatchSpec extends AnyFunSuite {
     agree("q38", orderedDir, StreamBatch.streamingSessions)
     agree("q41", orderedDir, StreamBatch.streamingStaticJoin)
     agree("q44", orderedDir, StreamBatch.streamingKmv)
+    agree("q47", orderedDir, StreamBatch.streamingScd1Latest)
   }
 
   // The watermark-free queries (complete-mode aggs, global dedup) must
@@ -101,6 +111,9 @@ class MultiBatchSpec extends AnyFunSuite {
     // the KMV sketch's merge is commutative — bit-identical under any
     // arrival order, which is what lets the batch oracle apply
     agree("q44", shuffledDir, StreamBatch.streamingKmv)
+    // max_by over a total order is commutative: the upsert view must
+    // not care what order versions arrive in
+    agree("q47", shuffledDir, StreamBatch.streamingScd1Latest)
   }
 
   // And the watermarked join's late-data policy is pinned, not hidden:
