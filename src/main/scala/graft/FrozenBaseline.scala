@@ -167,6 +167,11 @@ object FrozenBaseline {
     "dedup_containment" -> 4.88,
     "q47_stream_scd1_latest" -> 1.20,
     "q46_json_extract" -> 0.39,
+    // round-12 batch-F addition (z-order OPTIMIZE rewrite: scaled
+    // interleave, range-partitioned write; floor times the content
+    // check, the one-time layout write is rep-1), isolated BenchOne
+    // min-of-8: floor 0.32, warm band 0.32-0.51
+    "maint_zorder_write" -> 0.32,
     "text_decontaminate" -> 0.60,
     "text_fingerprint" -> 0.47,
     "text_langid" -> 0.45,

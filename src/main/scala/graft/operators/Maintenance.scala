@@ -83,6 +83,84 @@ object Maintenance {
       .orderBy($"stage")
   }
 
+  /** Output files for the z-ordered rewrite. */
+  val ZORDER_FILES = 16
+
+  private val zorderPrepared =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private val zorderRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** The OPTIMIZE half of the z-order story ([[zorderCluster]] is the
+    * stats half): REWRITE orders into ZORDER_FILES files range-
+    * partitioned and sorted by the Morton code, so every output
+    * file's parquet footer carries tight min/max on BOTH clustering
+    * dimensions and a reader's data-skipping prunes on either
+    * predicate. One range exchange (the intrinsic cost of imposing a
+    * global order) + a per-partition sort; the z-value is the same
+    * codegen'd interleave expression. File-level skipping quality is
+    * asserted in MaintenanceSpec (per-file dual-dimension spread
+    * bounds); CONTENT preservation is the oracle-checked half, same
+    * contract as [[compactFiles]]. */
+  private[operators] def ensureZorderWrite(
+      s: SparkSession, dir: String): String = {
+    val key = (s, dir)
+    if (!zorderPrepared.contains(key)) synchronized {
+      if (!zorderPrepared.contains(key)) {
+        val root = Files.createTempDirectory("graft-zorder").toString
+        val mask = (1L << ZORDER_BITS) - 1
+        val src = Tables(s, dir, "orders")
+        val dayCol = datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1995-01-01"))).cast("long")
+        // Bounds pass (the ANALYZE half of the OPTIMIZE loop, same
+        // two-step shape as maint_histogram_analyzed): raw dimensions
+        // have wildly different ranges (custkey grows with SF, the
+        // date span doesn't), and interleaving UNSCALED values lets
+        // the wider dimension's high bits dominate the code — the
+        // narrow dimension then never clusters (measured: per-file
+        // custkey spread ≈ the full domain before scaling). Min-max
+        // scale each dim to the full ZORDER_BITS width in exact
+        // integer arithmetic first.
+        val b = src.agg(
+          min(col("o_custkey")), max(col("o_custkey")),
+          min(dayCol), max(dayCol)).head() // bounded: one 4-col row
+        val (minX, maxX) = (b.getLong(0), b.getLong(1))
+        val (minY, maxY) = (b.getLong(2), b.getLong(3))
+        def scaled(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+          ((c - lit(lo)) * lit(mask)) / lit(math.max(1L, hi - lo))
+        val withZ = src.withColumn("zval", zInterleave(
+          scaled(col("o_custkey"), minX, maxX).cast("long"),
+          scaled(dayCol, minY, maxY).cast("long")))
+        withZ
+          .repartitionByRange(ZORDER_FILES, col("zval"))
+          .sortWithinPartitions(col("zval"))
+          .drop("zval")
+          .write.mode("overwrite").parquet(s"$root/zordered")
+        zorderRoots.put(key, root)
+        zorderPrepared.add(key)
+      }
+    }
+    zorderRoots.get(key)
+  }
+
+  /** Content-preservation proof for the z-ordered rewrite: identical
+    * row count and key/price checksums before and after. */
+  def zorderWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensureZorderWrite(s, dir)
+    def summary(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").as("sum_key"),
+        sum($"o_custkey").as("sum_cust"),
+        sum(floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+        .withColumn("stage", lit(stage))
+    summary(Tables(s, dir, "orders"), "source")
+      .unionAll(summary(s.read.parquet(s"$root/zordered"), "zordered"))
+      .select($"stage", $"n_rows", $"sum_key", $"sum_cust", $"sum_cents")
+      .orderBy($"stage")
+  }
+
   /** ANALYZE-style per-column stats over orders, in ONE scan: a single
     * wide aggregate computes every column's count/ndv/min/max (the
     * multiple exact distincts compile to one Expand — 3× the rows
@@ -297,6 +375,7 @@ object Maintenance {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_zorder_cluster" -> (zorderCluster _),
+    "maint_zorder_write" -> (zorderWrite _),
     "maint_compact_files" -> (compactFiles _),
     "maint_table_stats" -> (tableStats _),
     "maint_histogram" -> (histogram _),
@@ -326,6 +405,19 @@ object Maintenance {
          |  min(x) AS min_x, max(x) AS max_x,
          |  min(y) AS min_y, max(y) AS max_y
          |FROM zv GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the rewrite must not change a single row — both stages equal the
+    // raw table's totals
+    "maint_zorder_write" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |  FROM orders)
+        |SELECT stage, n_rows, sum_key, sum_cust, sum_cents
+        |FROM (SELECT 'source' AS stage, * FROM t
+        |      UNION ALL SELECT 'zordered', * FROM t)
+        |ORDER BY stage""".stripMargin,
     // both stages must equal the RAW table's totals — compaction (and
     // the fragmented rewrite before it) must not change a single row
     "maint_compact_files" ->

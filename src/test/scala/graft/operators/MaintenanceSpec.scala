@@ -87,4 +87,41 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(row.getDouble(4) == keys.min.toDouble)
     assert(row.getDouble(5) == keys.max.toDouble)
   }
+
+  test("z-ordered rewrite: every file bounds BOTH dimensions for skipping") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // run the content query first (also prepares the layout)
+    val stages = Maintenance.zorderWrite(spark, dir).collect()
+    assert(stages.length == 2 && stages(0).getLong(1) == stages(1).getLong(1))
+    val root = Maintenance.ensureZorderWrite(spark, dir)
+    val mask = (1L << Maintenance.ZORDER_BITS) - 1
+    val perFile = spark.read.parquet(s"$root/zordered")
+      .select(input_file_name().as("f"),
+        $"o_custkey".bitwiseAND(lit(mask)).as("x"),
+        datediff($"o_orderdate".cast("date"),
+            lit(java.sql.Date.valueOf("1995-01-01")))
+          .cast("long").bitwiseAND(lit(mask)).as("y"))
+      .groupBy($"f")
+      .agg(max($"x") - min($"x"), max($"y") - min($"y"))
+      .collect()
+    assert(perFile.length == Maintenance.ZORDER_FILES)
+    // z-sorted files cover contiguous z-ranges: with 16 files ≈ 2
+    // prefix bits per dimension, MEAN per-file spread must land well
+    // under the global spread in BOTH dims — the either-column
+    // skipping property a single-column sort cannot give
+    val g = spark.read.parquet(s"$root/zordered")
+      .select($"o_custkey".bitwiseAND(lit(mask)).as("x"),
+        datediff($"o_orderdate".cast("date"),
+            lit(java.sql.Date.valueOf("1995-01-01")))
+          .cast("long").bitwiseAND(lit(mask)).as("y"))
+      .agg(max($"x") - min($"x"), max($"y") - min($"y")).head()
+    def mean(i: Int) = perFile.map(_.getLong(i)).sum.toDouble / perFile.length
+    // each dim's MEAN per-file spread must land well under that dim's
+    // OWN global spread (16 files ≈ 2 prefix bits per dim → ~1/4)
+    assert(mean(1) <= g.getLong(0) / 2.0,
+      s"x mean spread ${mean(1)} vs ${g.getLong(0)}")
+    assert(mean(2) <= g.getLong(1) / 2.0,
+      s"y mean spread ${mean(2)} vs ${g.getLong(1)}")
+  }
 }
