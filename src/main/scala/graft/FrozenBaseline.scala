@@ -172,6 +172,11 @@ object FrozenBaseline {
     // check, the one-time layout write is rep-1), isolated BenchOne
     // min-of-8: floor 0.32, warm band 0.32-0.51
     "maint_zorder_write" -> 0.32,
+    // round-12 batch-G additions (calendar gap-fill densification;
+    // per-user forward-fill with IGNORE NULLS), isolated BenchOne
+    // min-of-8: floors 0.42 / 0.57, warm bands 0.42-0.70 / 0.57-0.75
+    "q48_calendar_fill" -> 0.42,
+    "q49_fill_forward" -> 0.57,
     "text_decontaminate" -> 0.60,
     "text_fingerprint" -> 0.47,
     "text_langid" -> 0.45,

@@ -689,11 +689,59 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Calendar densification — the time-series gap-fill every dashboard
+    * and forecasting pipeline needs: daily counts per event type with
+    * MISSING (day, type) cells present as explicit zeros. The dense
+    * axis is generated relationally (`sequence` over the observed date
+    * bounds, exploded — no driver collect, the bounds travel as a
+    * 1-row frame), cross-joined with the distinct type dimension
+    * (bounded), and the sparse counts left-join onto it. At 100 TB the
+    * only data-proportional work is the map-side-combined daily count;
+    * the dense frame is days × types regardless of input size. */
+  def q48CalendarFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select(to_date($"ts").as("day"), $"event_type")
+    val counts = ev.groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val days = ev.agg(min($"day").as("mn"), max($"day").as("mx"))
+      .select(explode(sequence($"mn", $"mx", expr("interval 1 day")))
+        .as("day"))
+    val types = ev.select($"event_type").distinct()
+    days.crossJoin(types)
+      .join(counts, Seq("day", "event_type"), "left")
+      .select($"day", $"event_type",
+        coalesce($"n", lit(0L)).as("n_events"))
+      .orderBy($"day", $"event_type")
+  }
+
+  /** Forward-fill (last observation carried forward) — the sparse
+    * sensor-reading pattern: only 'view' events carry a reading (the
+    * JSON `k` field); every event row gets the user's most recent
+    * reading at that point in event time, null before the first one.
+    * `last(col, ignoreNulls)` over a per-user running frame — one
+    * key-partitioned window, no self-join; DuckDB replays it with
+    * `last_value(... IGNORE NULLS)`. */
+  def q49FillForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        when($"event_type" === "view",
+          get_json_object($"props", "$.k").cast("long")).as("reading"))
+      .withColumn("filled", last($"reading", ignoreNulls = true).over(w))
+      .select($"event_id", $"user_id", $"filled")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_funnel_steps" -> (q42FunnelSteps _),
     "q43_min_cost_supplier" -> (q43MinCostSupplier _),
     "q45_percentile_cont" -> (q45PercentileCont _),
     "q46_json_extract" -> (q46JsonExtract _),
+    "q48_calendar_fill" -> (q48CalendarFill _),
+    "q49_fill_forward" -> (q49FillForward _),
     "q17_salted_skew_agg" -> (q17SaltedSkewAgg _),
     "q24_sessionization" -> (q24Sessionization _),
     "q21_sole_problem_supplier" -> (q21SoleProblemSupplier _),
@@ -725,6 +773,28 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q48_calendar_fill" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type
+        |  FROM events),
+        |counts AS (SELECT day, event_type, count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |days AS (SELECT CAST(unnest(generate_series(
+        |    (SELECT min(day) FROM ev), (SELECT max(day) FROM ev),
+        |    INTERVAL 1 DAY)) AS DATE) AS day),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT d.day, t.event_type,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        |FROM days d CROSS JOIN types t
+        |LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+        |ORDER BY d.day, t.event_type""".stripMargin,
+    "q49_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'view'
+        |      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    END IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin,
     "q46_json_extract" ->
       """SELECT event_type,
         |  CAST(count(k) AS BIGINT) AS n_with_k,
