@@ -164,7 +164,15 @@ object FrozenBaseline {
     // schema-on-read), isolated BenchOne min-of-8 same box/harness:
     // floors 4.88 / 1.20 / 0.39, warm bands 4.9-6.8 / 1.2-1.5 /
     // 0.39-0.45
-    "dedup_containment" -> 4.88,
+    // re-frozen same day at the FULL-BENCH context min (first freeze
+    // 4.88 used the isolated floor — the wrong context for this
+    // spill-heavy validator: in-suite reps measured 10.9/31.6/34.7
+    // while the isolated floor reproduced at 5.16, the
+    // ngram_jaccard-style context-pressure profile; the gate artifact
+    // is a full-bench run, so the frozen row must carry the
+    // full-bench context like the r7 table rows do). BASELINE.md
+    // round-12 batch-E triage.
+    "dedup_containment" -> 10.93,
     "q47_stream_scd1_latest" -> 1.20,
     "q46_json_extract" -> 0.39,
     // round-12 batch-F addition (z-order OPTIMIZE rewrite: scaled
