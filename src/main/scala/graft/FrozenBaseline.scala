@@ -185,6 +185,13 @@ object FrozenBaseline {
     // min-of-8: floors 0.42 / 0.57, warm bands 0.42-0.70 / 0.57-0.75
     "q48_calendar_fill" -> 0.42,
     "q49_fill_forward" -> 0.57,
+    // round-12 batch-H additions (cohort retention matrix;
+    // quality-aware dedup keeper — composite over the full
+    // minhash+label-prop pipeline, cost tracks dedup_clusters),
+    // isolated BenchOne min-of-8: floors 0.37 / 5.07, warm bands
+    // 0.37-0.76 / 5.1-5.9
+    "q50_cohort_retention" -> 0.37,
+    "pipeline_dedup_keeper" -> 5.07,
     "text_decontaminate" -> 0.60,
     "text_fingerprint" -> 0.47,
     "text_langid" -> 0.45,

@@ -229,7 +229,36 @@ object Curation {
       .orderBy($"source", $"doc_id")
   }
 
+  /** Quality-aware dedup keeper selection — the pipeline stage between
+    * near-dup clustering and the training set: instead of keeping the
+    * minimum doc_id per cluster ([[Dedup.nearDupClusters]]'s
+    * placeholder policy), keep the HIGHEST-QUALITY member (Dolma/
+    * RefinedWeb keep longest-or-best; the quality signal here is
+    * [[TextAnalysis.qualityScore]]'s blend). Composition of two
+    * already-oracle-checked operators: clusters ⋈ quality →
+    * `max(struct(quality, −doc_id))` per cluster — lexicographic
+    * struct max gives argmax-with-deterministic-tiebreak (quality
+    * desc, doc_id asc) in one map-side-combinable aggregate, no
+    * window. */
+  def dedupKeeper(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = Dedup.nearDupClusters(s, dir)
+      .select($"doc_id", $"cluster_id")
+    val quality = TextAnalysis.qualityScore(s, dir)
+      .select($"doc_id", $"quality")
+    clusters.join(quality, "doc_id")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"quality", (-$"doc_id").as("neg_id"))).as("best"))
+      .select($"cluster_id",
+        (-$"best.neg_id").as("keeper_id"),
+        $"n_members",
+        $"best.quality".as("keeper_quality"))
+      .orderBy($"cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dedup_keeper" -> (dedupKeeper _),
     "pipeline_curation" -> (curatedDocs _),
     "sample_stratified" -> (stratifiedSample _),
     "sample_fixed_k" -> (fixedKSample _),
@@ -239,6 +268,55 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // composes the dedup_clusters recursive-closure oracle with the
+    // text_quality_score replay; keeper = window argmax with the same
+    // (quality DESC, doc_id ASC) tiebreak
+    "pipeline_dedup_keeper" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS s
+        |  FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |good AS (SELECT da, db FROM pairs
+        |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+        |edges AS (SELECT da AS a, db AS b FROM good
+        |          UNION SELECT db, da FROM good),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+        |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+        |  GROUP BY d.doc_id),
+        |q AS (SELECT doc_id,
+        |  round((length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |      * 1.0 / length(text)) * 0.5
+        |    + (len(list_filter(string_split(text, ' '), w -> w IN
+        |      ('the','a','an','and','or','of','to','in','is','it','that',
+        |       'for','on','with','as')))
+        |      * 1.0 / len(string_split(text, ' '))) * 0.3
+        |    + (1.0 / ((length(text) - len(string_split(text, ' ')) + 1)
+        |      * 1.0 / len(string_split(text, ' ')) + 1.0)) * 0.2, 4)
+        |    AS quality
+        |  FROM documents),
+        |ranked AS (SELECT c.cluster_id, c.doc_id, q.quality,
+        |  row_number() OVER (PARTITION BY c.cluster_id
+        |    ORDER BY q.quality DESC, c.doc_id) AS rn
+        |  FROM comp c JOIN q USING (doc_id)),
+        |cs AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY 1)
+        |SELECT CAST(r.cluster_id AS BIGINT) AS cluster_id,
+        |  r.doc_id AS keeper_id, CAST(cs.n AS BIGINT) AS n_members,
+        |  r.quality AS keeper_quality
+        |FROM ranked r JOIN cs USING (cluster_id)
+        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "sample_fixed_k" -> {
       val h = OracleSql.mix64("CAST(doc_id AS HUGEINT)")
       s"""SELECT source, doc_id, rn FROM (

@@ -715,6 +715,30 @@ object Relational {
       .orderBy($"day", $"event_type")
   }
 
+  /** Cohort retention — the product-analytics matrix: users cohorted
+    * by their first active ISO week; each (cohort, week-offset) cell
+    * counts the cohort's users still active that week. Three
+    * aggregations, all keyed on user_id or the bounded (cohort, week)
+    * pair — the per-user distinct-week dedup is the only
+    * data-proportional shuffle, and it map-side combines. Week
+    * arithmetic stays exact: both weeks are `date_trunc('week')`
+    * Mondays, so their day difference is a multiple of 7 and the
+    * offset division is exact in both engines. */
+  def q50CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weeks = t(s, dir, "events")
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+      .distinct()
+    val cohorts = weeks.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    weeks.join(cohorts, "user_id")
+      .select($"cohort_wk",
+        (datediff($"wk".cast("date"), $"cohort_wk".cast("date")) / 7)
+          .cast("long").as("week_n"))
+      .groupBy($"cohort_wk", $"week_n")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_wk", $"week_n")
+  }
+
   /** Forward-fill (last observation carried forward) — the sparse
     * sensor-reading pattern: only 'view' events carry a reading (the
     * JSON `k` field); every event row gets the user's most recent
@@ -742,6 +766,7 @@ object Relational {
     "q46_json_extract" -> (q46JsonExtract _),
     "q48_calendar_fill" -> (q48CalendarFill _),
     "q49_fill_forward" -> (q49FillForward _),
+    "q50_cohort_retention" -> (q50CohortRetention _),
     "q17_salted_skew_agg" -> (q17SaltedSkewAgg _),
     "q24_sessionization" -> (q24Sessionization _),
     "q21_sole_problem_supplier" -> (q21SoleProblemSupplier _),
@@ -773,6 +798,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_cohort_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(wk) AS cohort_wk
+        |  FROM weeks GROUP BY 1)
+        |SELECT c.cohort_wk,
+        |  CAST(date_diff('day', CAST(c.cohort_wk AS DATE),
+        |    CAST(w.wk AS DATE)) // 7 AS BIGINT) AS week_n,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM weeks w JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_wk, week_n""".stripMargin,
     "q48_calendar_fill" ->
       """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type
         |  FROM events),

@@ -364,4 +364,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out1 == out2, "training not partition-invariant")
   }
+
+  test("dedup keeper: picks the max-quality member of every cluster") {
+    val keepers = Curation.dedupKeeper(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val members = Dedup.nearDupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val byCluster = members.groupBy(_._2)
+    assert(keepers.keySet == byCluster.keySet)
+    byCluster.foreach { case (cid, ms) =>
+      val (keeperId, n, kq) = keepers(cid)
+      assert(n == ms.length)
+      val docs = ms.map(_._1)
+      assert(docs.contains(keeperId), "keeper must be a cluster member")
+      // argmax by (quality desc, doc_id asc)
+      val best = docs.map(d => (quality(d), d))
+        .sortBy { case (q, d) => (-q, d) }.head
+      assert((kq, keeperId) == best, s"cluster $cid keeper mismatch")
+    }
+    // keepers cover every document exactly once through their clusters
+    assert(keepers.values.map(_._2).sum == members.length)
+  }
 }

@@ -41,6 +41,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(days.size == 4)
   }
 
+  test("cohort retention: planted two-cohort matrix") {
+    // user 1 first active week 0, active weeks 0,1,3;
+    // user 2 first active week 0, active week 0 only;
+    // user 3 first active week 1, active weeks 1,2.
+    val dir = write(Seq(
+      (1L, 1L, "view", "{}", ts(0)), (2L, 1L, "view", "{}", ts(7)),
+      (3L, 1L, "view", "{}", ts(22)),
+      (4L, 2L, "view", "{}", ts(1)),
+      (5L, 3L, "view", "{}", ts(8)), (6L, 3L, "view", "{}", ts(15))))
+    // cohort keys as strings: robust to the timestamp/NTZ loader split,
+    // and ISO-formatted so lexicographic order == chronological
+    val out = Relational.q50CohortRetention(spark, dir).collect()
+      .map(r => (r.get(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    val cohorts: Seq[String] = out.keys.map(_._1).toSet.toSeq.sorted
+    assert(cohorts.size == 2, s"two cohorts expected: $cohorts")
+    val (c0, c1) = (cohorts(0), cohorts(1))
+    assert(out((c0, 0L)) == 2) // users 1,2 in week 0
+    assert(out((c0, 1L)) == 1) // user 1 returns
+    assert(out((c0, 3L)) == 1) // user 1 returns again (ts(22) = wk 3)
+    assert(!out.contains((c0, 2L))) // nobody from cohort 0 in week 2
+    assert(out((c1, 0L)) == 1 && out((c1, 1L)) == 1) // user 3
+  }
+
   test("fill forward: carries the last reading, resets per user") {
     val dir = write(Seq(
       // user 1: reading 5 at day0, non-view events after, new reading
