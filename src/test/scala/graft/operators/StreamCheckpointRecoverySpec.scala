@@ -90,4 +90,25 @@ class StreamCheckpointRecoverySpec extends AnyFunSuite {
     assert(got == expect,
       "post-recovery aggregation state diverged from batch truth")
   }
+
+  test("analytics streaming queries are state-provider agnostic (RocksDB)") {
+    // the scheduler's RocksDB path is covered by RocksDbStateSpec;
+    // this pins the same for the StreamBatch family: identical answers
+    // under the RocksDB provider (the 100 TB state backend) and the
+    // default HDFS-backed one
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider"
+    val dir = "/root/testdata/sf0.001"
+    def collect(): Seq[String] =
+      StreamBatch.streamingScd1Latest(spark, dir).collect()
+        .map(_.toString).toSeq.sorted
+    val default = collect()
+    spark.conf.set(conf, rocks)
+    try {
+      val rocksOut = collect()
+      assert(rocksOut == default, "RocksDB state store changed answers")
+      assert(rocksOut.nonEmpty)
+    } finally spark.conf.unset(conf)
+  }
 }
