@@ -192,6 +192,10 @@ object FrozenBaseline {
     // 0.37-0.76 / 5.1-5.9
     "q50_cohort_retention" -> 0.37,
     "pipeline_dedup_keeper" -> 5.07,
+    // round-12 batch-I addition (TPC-H Q22 shape: global scalar
+    // threshold + recency anti-join), isolated BenchOne min-of-8:
+    // floor 0.95, warm band 0.95-1.6
+    "q51_idle_rich_customers" -> 0.95,
     "text_decontaminate" -> 0.60,
     "text_fingerprint" -> 0.47,
     "text_langid" -> 0.45,

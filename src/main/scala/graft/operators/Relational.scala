@@ -400,6 +400,35 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** TPC-H Q22 shape (global-scalar-subquery threshold + anti-join):
+    * customers whose balance exceeds the average positive balance AND
+    * who have placed no RECENT orders (none since 2000 — the Q22
+    * "lapsed but valuable" semantics), rolled up per nation.
+    * Complements q16 (PER-GROUP scalar subquery) with the GLOBAL
+    * variant: the 1-row aggregate broadcasts onto the scan as a
+    * constant — the decorrelation Spark plans for
+    * `WHERE x > (SELECT avg(...))`. The anti-join side carries the
+    * recency predicate, which pushes to the orders scan. Threshold in
+    * exact cross-multiplied decimals (`bal·n > sum` ⇔ `bal > avg`)
+    * for the same reason as q16: a float avg lands on half-way points
+    * where the engines' rounding disagrees. */
+  def q51IdleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+      .withColumn("bal_d", $"c_acctbal".cast("decimal(18,2)"))
+    val thr = cust.filter($"bal_d" > 0)
+      .agg(sum($"bal_d").as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+    cust.crossJoin(broadcast(thr))
+      .filter($"bal_d" * $"n_pos" > $"sum_pos")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey".cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"c_acctbal"), 2).as("total_bal"))
+      .orderBy($"nationkey")
+  }
+
   /** Skew-safe aggregation: event_type has only 5 values, so a naive
     * groupBy concentrates each key on one reducer. Salting fans each
     * hot key across 16 partial groups, then a second (tiny) aggregation
@@ -795,9 +824,24 @@ object Relational {
     "q14_scalar_funcs" -> (q14ScalarFuncs _),
     "q15_events_running_window" -> (q15EventsRunning _),
     "q16_above_avg_orders" -> (q16AboveAverageOrders _),
+    "q51_idle_rich_customers" -> (q51IdleRichCustomers _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_idle_rich_customers" ->
+      """WITH c AS (SELECT *, CAST(c_acctbal AS DECIMAL(18,2)) AS bal_d
+        |  FROM customer),
+        |thr AS (SELECT sum(bal_d) AS sum_pos, count(*) AS n_pos
+        |  FROM c WHERE bal_d > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM c, thr
+        |WHERE bal_d * n_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c.c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin,
     "q50_cohort_retention" ->
       """WITH weeks AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk

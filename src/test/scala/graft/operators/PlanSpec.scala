@@ -520,6 +520,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), plan.take(3000))
   }
 
+  test("q51 global scalar threshold broadcasts; recency filter pushed") {
+    val plan = planOf(Relational.q51IdleRichCustomers(spark, dir))
+    // the 1-row aggregate joins as a broadcast nested loop (constant
+    // onto the scan) — never a CartesianProduct
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+    // the anti-join's recency predicate reaches the orders scan
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      plan.take(3000))
+  }
+
   test("q41 enrichment joins by broadcast: no stream-side shuffle/sort") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
