@@ -196,6 +196,10 @@ object FrozenBaseline {
     // threshold + recency anti-join), isolated BenchOne min-of-8:
     // floor 0.95, warm band 0.95-1.6
     "q51_idle_rich_customers" -> 0.95,
+    // round-12 batch-I addition (7-day trailing distinct users —
+    // non-decomposable window aggregate via expand-then-dedup),
+    // isolated BenchOne min-of-8: floor 0.36, warm band 0.36-0.57
+    "q52_trailing_distinct" -> 0.36,
     "text_decontaminate" -> 0.60,
     "text_fingerprint" -> 0.47,
     "text_langid" -> 0.45,

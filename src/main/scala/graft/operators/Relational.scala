@@ -429,6 +429,32 @@ object Relational {
       .orderBy($"nationkey")
   }
 
+  /** Trailing 7-day DISTINCT user count per day — the canonical
+    * non-decomposable window aggregate: distinct is not subtractable,
+    * so no sliding-frame trick applies. The scalable exact treatment
+    * is expand-then-dedup: dedup to (user, day) FIRST (the only
+    * event-proportional step, map-side combinable), then each such
+    * row contributes to the 7 window-days it falls in (a bounded ×7
+    * relational expansion via `sequence`), dedup again on
+    * (user, window_day) — users active on several days of one window
+    * count once — and count. Every shuffle key is (user, day)-shaped;
+    * nothing is ever a per-window re-scan of raw events. Window-days
+    * with no activity are absent (q48 shows the densification
+    * composition). */
+  def q52TrailingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val userDays = t(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d"))
+      .distinct()
+    userDays
+      .select($"user_id",
+        explode(sequence($"d", date_add($"d", 6))).as("window_day"))
+      .distinct()
+      .groupBy($"window_day")
+      .agg(count(lit(1)).as("n_active_7d"))
+      .orderBy($"window_day")
+  }
+
   /** Skew-safe aggregation: event_type has only 5 values, so a naive
     * groupBy concentrates each key on one reducer. Salting fans each
     * hot key across 16 partial groups, then a second (tiny) aggregation
@@ -825,9 +851,20 @@ object Relational {
     "q15_events_running_window" -> (q15EventsRunning _),
     "q16_above_avg_orders" -> (q16AboveAverageOrders _),
     "q51_idle_rich_customers" -> (q51IdleRichCustomers _),
+    "q52_trailing_distinct" -> (q52TrailingDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_trailing_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |expanded AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+        |      INTERVAL 1 DAY)) AS DATE) AS window_day
+        |  FROM ud)
+        |SELECT window_day, CAST(count(*) AS BIGINT) AS n_active_7d
+        |FROM expanded GROUP BY 1 ORDER BY window_day""".stripMargin,
     "q51_idle_rich_customers" ->
       """WITH c AS (SELECT *, CAST(c_acctbal AS DECIMAL(18,2)) AS bal_d
         |  FROM customer),

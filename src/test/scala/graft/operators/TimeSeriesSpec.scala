@@ -64,6 +64,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out((c1, 0L)) == 1 && out((c1, 1L)) == 1) // user 3
   }
 
+  test("trailing distinct: window membership and dedup are exact") {
+    // user 1 active days 0 and 2 (one window overlap span), user 2
+    // active day 10 (disjoint)
+    val dir = write(Seq(
+      (1L, 1L, "view", "{}", ts(0)),
+      (2L, 1L, "view", "{}", ts(0)), // same user+day: dedup to one
+      (3L, 1L, "view", "{}", ts(2)),
+      (4L, 2L, "view", "{}", ts(10))))
+    val out = Relational.q52TrailingDistinct(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    def day(i: Int) = new java.sql.Date(ts(i).getTime).toString
+    // user 1 covers window-days 0..8 (day0 → 0..6, day2 → 2..8), but
+    // counts ONCE per window-day even where both spans overlap
+    (0 to 8).foreach(i => assert(out(day(i)) == 1, s"day $i"))
+    // user 2 covers 10..16; day 9 has nobody
+    assert(!out.contains(day(9)))
+    (10 to 16).foreach(i => assert(out(day(i)) == 1, s"day $i"))
+    assert(out.size == 16)
+  }
+
   test("fill forward: carries the last reading, resets per user") {
     val dir = write(Seq(
       // user 1: reading 5 at day0, non-view events after, new reading
