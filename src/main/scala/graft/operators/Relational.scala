@@ -814,7 +814,59 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Ranking-window coverage beyond rank/row_number (q7) and frames
+    * (q15/q35): ntile, percent_rank, cume_dist and lag in one pass
+    * over the per-customer order history. The window key is
+    * o_custkey — cardinality grows with the data and each window is a
+    * bounded order history, so at 100 TB this is a well-distributed
+    * sort within hash partitions, never a global or few-partition
+    * window (the q45 lesson). Window order is (o_orderdate,
+    * o_orderkey): the tiebreak makes ntile — a pure row-position
+    * function — deterministic across engines; percent_rank/cume_dist
+    * are tie-aware and rounded to absorb double division. */
+  def q53WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("days_since_prev",
+        datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)))
+      .select($"o_orderkey", $"o_custkey", $"quartile", $"pct_rank",
+        $"cume", $"days_since_prev")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL — the
+    * multiplicity-preserving complement to q9's distinct set ops.
+    * Operand multisets are each customer's key repeated once per
+    * order in a half-year; INTERSECT ALL keeps min(multiplicity),
+    * EXCEPT ALL the positive difference — i.e. "matched order
+    * capacity" vs "surplus H1 orders" per customer. Spark plans both
+    * as one aggregate per side + a join on the counts (no row-by-row
+    * matching), so the shape scales like any key-count aggregate. */
+  def q54MultisetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def half(lo: String, hi: String) =
+      t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit(lo).cast("timestamp") &&
+          $"o_orderdate" < lit(hi).cast("timestamp"))
+        .select($"o_custkey")
+    val h1 = half("1997-01-01", "1997-07-01")
+    val h2 = half("1997-07-01", "1998-01-01")
+    h1.intersectAll(h2).withColumn("op", lit("intersect_all"))
+      .union(h1.exceptAll(h2).withColumn("op", lit("except_all")))
+      .groupBy($"op", $"o_custkey")
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy($"op", $"o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_window_funcs" -> (q53WindowFuncs _),
+    "q54_multiset_ops" -> (q54MultisetOps _),
     "q42_funnel_steps" -> (q42FunnelSteps _),
     "q43_min_cost_supplier" -> (q43MinCostSupplier _),
     "q45_percentile_cont" -> (q45PercentileCont _),
@@ -855,6 +907,35 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q54_multiset_ops" ->
+      """WITH h1 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01'),
+        |h2 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |both_ops AS (
+        |  SELECT o_custkey, 'intersect_all' AS op
+        |  FROM (SELECT o_custkey FROM h1 INTERSECT ALL
+        |        SELECT o_custkey FROM h2)
+        |  UNION ALL
+        |  SELECT o_custkey, 'except_all' AS op
+        |  FROM (SELECT o_custkey FROM h1 EXCEPT ALL
+        |        SELECT o_custkey FROM h2))
+        |SELECT op, o_custkey, CAST(count(*) AS BIGINT) AS multiplicity
+        |FROM both_ops GROUP BY 1, 2 ORDER BY op, o_custkey""".stripMargin,
     "q52_trailing_distinct" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
