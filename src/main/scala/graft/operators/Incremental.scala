@@ -69,9 +69,31 @@ object Incremental {
     val batchDocs = docs.filter($"bkt" < BATCH_PERMILLE)
     val corpusDocs = docs.filter($"bkt" >= BATCH_PERMILLE)
 
-    // exact layer: batch digests probe the corpus digest table
-    val exact = batchDocs.select($"doc_id", md5($"text").as("h"))
-      .join(corpusDocs.select(md5($"text").as("h"), $"doc_id".as("cid")), "h")
+    // exact layer: batch digests probe the corpus digest table — with a
+    // BLOOM PREFILTER on the batch side ([[graft.functions.Bloom]]):
+    // the corpus digests fold into a 128 KB bit set (one scan, OR-merge,
+    // flat in corpus size), and only batch docs whose digest MIGHT be in
+    // the corpus enter the join. No false negatives by construction and
+    // false positives drop in the equi-join, so the layer's output is
+    // bit-equal to the unfiltered join (BloomSpec asserts it) — but at
+    // 100 TB the join's batch side shrinks to true-dups + a vanishing
+    // FP margin, and since most of a crawl batch is NEW, the exact
+    // layer's join cost collapses to near zero.
+    import graft.functions.{Bloom, GraftFunctions}
+    val corpusDigests = corpusDocs
+      .select(GraftFunctions.rolling_hash64($"text").as("h"),
+        $"doc_id".as("cid"), $"text".as("ctext"))
+    val bloomWords = corpusDigests.select($"h").as[Long]
+      .select(new Bloom.BloomAgg(Bloom.M_BITS, Bloom.K).toColumn)
+      .head() // bounded: M_BITS/64 longs, flat in corpus size
+    val exact = batchDocs
+      .select($"doc_id", $"text",
+        GraftFunctions.rolling_hash64($"text").as("h"))
+      .filter(Bloom.mightContainCol($"h", bloomWords))
+      .join(corpusDigests, "h")
+      // digest match re-verified on raw text: a rolling-hash collision
+      // can never produce a wrong exact_dup verdict
+      .filter($"text" === $"ctext")
       .groupBy($"doc_id")
       .agg(min($"cid").as("exact_match"))
 

@@ -864,7 +864,43 @@ object Relational {
       .orderBy($"op", $"o_custkey")
   }
 
+  /** Explicit bloom runtime-filter join — the engine-owned version of
+    * Spark's `InjectRuntimeFilter`, made deterministic and guaranteed:
+    * the filtered dim side (3 of 25 part brands) collapses into a
+    * 128 KB bit set ([[graft.functions.Bloom]]) that prefilters the
+    * fact scan BEFORE the join's shuffle, so at 100 TB the exchange
+    * carries ~12% of lineitem instead of all of it. The probe is a
+    * codegen'd scalar branch per row (no UDF); false positives just
+    * ride into the join and drop there, so the result is bit-equal to
+    * the plain join — which is exactly what the oracle checks. The
+    * driver-side bloom build collects `M_BITS/8` bytes (128 KB,
+    * flat in data size — documented bound). */
+  def q55BloomJoinPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Bloom, GraftFunctions}
+    val brands = Seq("Brand#13", "Brand#24", "Brand#5")
+    val dim = t(s, dir, "part")
+      .filter($"p_brand".isin(brands: _*))
+      .select($"p_partkey", $"p_brand")
+    val words = dim
+      .select(GraftFunctions.mix64($"p_partkey").as("h")).as[Long]
+      .select(new Bloom.BloomAgg(Bloom.M_BITS, Bloom.K).toColumn)
+      .head() // bounded: M_BITS/64 longs, flat in data size
+    val pruned = t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+      .filter(Bloom.mightContainCol(
+        GraftFunctions.mix64($"l_partkey"), words))
+    pruned.join(dim, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_bloom_join_prune" -> (q55BloomJoinPrune _),
     "q53_window_funcs" -> (q53WindowFuncs _),
     "q54_multiset_ops" -> (q54MultisetOps _),
     "q42_funnel_steps" -> (q42FunnelSteps _),
@@ -907,6 +943,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the bloom is a lossless prefilter (FPs drop in the join, no FNs
+    // by construction) — the contract is the plain join result
+    "q55_bloom_join_prune" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand IN ('Brand#13', 'Brand#24', 'Brand#5')
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "q53_window_funcs" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
