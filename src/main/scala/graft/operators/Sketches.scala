@@ -31,6 +31,9 @@ object Sketches {
   val CMS_DEPTH = 4
   val CMS_WIDTH = 512L
   val CMS_QUERY_KEYS = 25
+  /** HLL precision: 2^12 = 4096 registers (σ ≈ 1.04/√m ≈ 1.6%). */
+  val HLL_P = 12
+  val HLL_REGS = 1 << HLL_P
 
   /** Absolute-rate alert threshold for [[cmsHeavyHitters]] (events per
     * key). Absolute, not φ·N: this corpus grows by adding KEYS at a
@@ -183,7 +186,62 @@ object Sketches {
       .orderBy($"user_id")
   }
 
+  /** HyperLogLog register table over `lineitem.l_orderkey` — the third
+    * NDV sketch next to KMV (order statistics) and CMS (frequencies),
+    * and the one every production system actually deploys. Split the
+    * mixed hash: top [[HLL_P]] bits pick a register, the rank of the
+    * remaining 52-bit suffix (leading zeros + 1; 53 for suffix 0) is
+    * the observation; per-register state is `max(rank)` — commutative
+    * and idempotent, so partial aggregation ships ≤ 2^p tiny rows per
+    * task no matter the input size, and two sketches union by taking
+    * the element-wise max (the streaming variant below IS that merge).
+    *
+    * The output is the ENTIRE sketch state (register → max rank), in
+    * integers — no harmonic-mean float ever crosses the gate; the
+    * DuckDB oracle replays rank as `53 − length(printf('%b', w))`,
+    * pure integer arithmetic, and HllSpec checks the standard
+    * bias-corrected estimate against true NDV separately. Built from
+    * `bin()`/`shiftrightunsigned` — plain codegen'd built-ins, no
+    * custom expression needed. */
+  def hllRegisters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    hllRegisterTable(
+      Tables(s, dir, "lineitem")
+        .select(GraftFunctions.mix64($"l_orderkey").as("hv")))
+  }
+
+  /** hash column `hv` → (register, max_rank) table; shared by the
+    * batch and streaming ([[StreamBatch.streamingHll]]) variants so
+    * the two can never diverge. */
+  private[operators] def hllRegisterTable(hashed: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
+    hashed
+      .select(shiftrightunsigned($"hv", 64 - HLL_P).as("register"),
+        $"hv".bitwiseAND(lit((1L << (64 - HLL_P)) - 1L)).as("w"))
+      .select($"register",
+        when($"w" === 0L, lit(64 - HLL_P + 1))
+          .otherwise(lit(64 - HLL_P + 1) - length(bin($"w")))
+          .as("rank"))
+      .groupBy($"register").agg(max($"rank").as("max_rank"))
+      .orderBy($"register")
+  }
+
+  /** Bias-corrected HLL estimate from a register table (registers
+    * absent from the map are zeros) — the classic Flajolet et al. 2007
+    * formula with the small-range linear-counting correction. Not part
+    * of any gate output (floats); HllSpec asserts its accuracy. */
+  def hllEstimate(regs: Map[Long, Int]): Double = {
+    val m = HLL_REGS.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val zeros = HLL_REGS - regs.size
+    val sum = zeros * 1.0 +
+      regs.valuesIterator.map(r => math.pow(2.0, -r)).sum
+    val raw = alpha * m * m / sum
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_registers" -> (hllRegisters _),
     "sketch_kmv_ndv" -> (kmvNdv _),
     "sketch_cms_freq" -> (cmsFreq _),
     "sketch_heavy_hitters" -> (cmsHeavyHitters _),
@@ -211,7 +269,26 @@ object Sketches {
     s"(($outer) % $CMS_WIDTH)"
   }
 
+  /** Register/max-rank replay of the HLL split for `keyExpr` rows of
+    * `fromClause` — pure integer arithmetic (binary-string length, no
+    * log2 floats). */
+  private[operators] def hllRegistersSql(
+      keyExpr: String, fromClause: String): String = {
+    val h = OracleSql.mix64(s"CAST($keyExpr AS HUGEINT)")
+    val wMod = 1L << (64 - HLL_P) // 2^52
+    val rankMax = 64 - HLL_P + 1
+    s"""WITH h AS (SELECT $h AS hv FROM $fromClause),
+       |r AS (SELECT hv >> ${64 - HLL_P} AS register,
+       |  hv % $wMod AS w FROM h)
+       |SELECT CAST(register AS BIGINT) AS register,
+       |  CAST(max(CASE WHEN w = 0 THEN $rankMax
+       |    ELSE $rankMax - length(printf('%b', CAST(w AS BIGINT)))
+       |    END) AS INT) AS max_rank
+       |FROM r GROUP BY 1 ORDER BY register""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sketch_hll_registers" -> hllRegistersSql("l_orderkey", "lineitem"),
     // the sketch is an internal lossless prefilter — the contract is
     // the plain exact heavy-key relation
     "sketch_heavy_hitters" ->

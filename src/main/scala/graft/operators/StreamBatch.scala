@@ -585,7 +585,42 @@ object StreamBatch {
       .orderBy($"key")
   }
 
+  /** Streaming HyperLogLog over `events.event_id` — the register table
+    * ([[Sketches.hllRegisterTable]], shared with the batch variant) as
+    * a complete-mode streaming aggregate. Per-register `max(rank)` is
+    * commutative AND idempotent, so the result is independent of
+    * batching and arrival order BY ALGEBRA (re-delivered rows can't
+    * move a max), and state is hard-bounded at 2^p = 4096 rows
+    * forever — the bounded-state answer to "distinct events so far"
+    * that q31's exact dedup pays O(distinct keys) for. Memory sink is
+    * safe for the same reason the state is: ≤ 4096 rows by
+    * construction. */
+  def streamingHll(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
+    import s.implicits._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val regs = Sketches.hllRegisterTable(
+      Tables.eventsReadStream(s, dir, rawSchema)
+        .select(graft.functions.GraftFunctions.mix64($"event_id").as("hv")))
+
+    val table = s"graft_stream_hll_${nameCounter.incrementAndGet()}"
+    val q = regs.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q, "q56_streaming_hll")
+    val rows = s.table(table)
+      .as[(Long, Int)].collect().toSeq // bounded: ≤ 4096 registers
+    s.catalog.dropTempView(table)
+    rows.toDF("register", "max_rank").orderBy($"register")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_streaming_hll" -> (streamingHll _),
     "q44_streaming_kmv" -> (streamingKmv _),
     "q47_stream_scd1_latest" -> (streamingScd1Latest _),
     "q23_streaming_daily_agg" -> (streamingDailyAgg _),
@@ -597,6 +632,10 @@ object StreamBatch {
   )
 
   val oracles: Map[String, String] = Map(
+    // stream == batch for an idempotent-max sketch: the batch HLL
+    // register replay applies verbatim
+    "q56_streaming_hll" ->
+      Sketches.hllRegistersSql("event_id", "events"),
     // stream == batch for a commutative-merge sketch: the batch KMV
     // oracle applies verbatim
     "q44_streaming_kmv" ->
