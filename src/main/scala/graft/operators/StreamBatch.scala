@@ -266,6 +266,46 @@ object StreamBatch {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** BOUNDED-STATE streaming dedup — the watermarked counterpart to
+    * [[streamingDedupKeys]] (q31). q31's global `dropDuplicates` is
+    * exact under ANY arrival order at the cost of state that never
+    * expires; this variant uses `dropDuplicatesWithinWatermark` with a
+    * 48-hour delay, so state is O(keys per 48 h of event time) —
+    * watermark-evicted forever-bounded, the only shape that survives
+    * an unbounded 24/7 stream.
+    *
+    * Exactness argument (why a batch oracle CAN replay this one): the
+    * dedup key is (user_id, event_type, day-of-ts), so two rows with
+    * the same key are < 24 h apart in event time — strictly inside
+    * the 48 h dedup horizon, where `dropDuplicatesWithinWatermark`
+    * GUARANTEES single emission. On a time-ordered feed (what a log
+    * stream is, and what any watermarked operator is entitled to —
+    * same contract as q40) a key's state cannot be evicted before its
+    * last duplicate arrives, so the emitted key set equals the batch
+    * DISTINCT exactly. Output is the key set only (the surviving
+    * row's other columns depend on partition race, the key set does
+    * not). MultiBatchSpec drains it file-by-file on the ordered
+    * layout; StreamBoundedDedupSpec asserts the state actually
+    * shrinks (eviction happened) while the answer stays exact. */
+  def streamingDedupBounded(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
+    import s.implicits._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+
+    val deduped = Tables.eventsTsFromNanos(
+      Tables.eventsReadStream(s, dir, rawSchema))
+      .select($"user_id", $"event_type", $"ts")
+      .withColumn("day", to_date($"ts"))
+      .withWatermark("ts", "48 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .select($"user_id", $"event_type", $"day")
+
+    drainToParquet(s, deduped, "append", "q57_stream_dedup_bounded")
+      .orderBy($"user_id", $"event_type", $"day")
+  }
+
   /** Streaming SESSION WINDOWS — the fourth stateful-operator family
     * next to the windowed aggregate (q23), the stream-stream join
     * (q26), and stateful dedup (q31), and the only one whose state
@@ -621,6 +661,7 @@ object StreamBatch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_streaming_hll" -> (streamingHll _),
+    "q57_stream_dedup_bounded" -> (streamingDedupBounded _),
     "q44_streaming_kmv" -> (streamingKmv _),
     "q47_stream_scd1_latest" -> (streamingScd1Latest _),
     "q23_streaming_daily_agg" -> (streamingDailyAgg _),
@@ -636,6 +677,12 @@ object StreamBatch {
     // register replay applies verbatim
     "q56_streaming_hll" ->
       Sketches.hllRegistersSql("event_id", "events"),
+    // the < 24h dup span vs 48h horizon argument above makes the
+    // watermarked dedup's key set equal the batch DISTINCT
+    "q57_stream_dedup_bounded" ->
+      """SELECT user_id, event_type, CAST(ts AS DATE) AS day
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, day""".stripMargin,
     // stream == batch for a commutative-merge sketch: the batch KMV
     // oracle applies verbatim
     "q44_streaming_kmv" ->

@@ -98,6 +98,9 @@ class MultiBatchSpec extends AnyFunSuite {
     agree("q41", orderedDir, StreamBatch.streamingStaticJoin)
     agree("q44", orderedDir, StreamBatch.streamingKmv)
     agree("q47", orderedDir, StreamBatch.streamingScd1Latest)
+    agree("q56", orderedDir, StreamBatch.streamingHll)
+    // watermarked dedup: the time-ordered feed is exactly its contract
+    agree("q57", orderedDir, StreamBatch.streamingDedupBounded)
   }
 
   // The watermark-free queries (complete-mode aggs, global dedup) must
