@@ -191,6 +191,7 @@ object Curation {
 
   /** Per-source sample size for [[fixedKSample]]. */
   val FIXED_K = 10
+  val WEIGHTED_K = 25
 
   /** Exact-k deterministic sampling — keep exactly the k documents per
     * source with the SMALLEST splitmix64(doc_id) (fewer if the source
@@ -219,6 +220,43 @@ object Curation {
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .mapValues(r => TopK.LEntry(r._3, r._2))
+      .agg(bottomk)
+      .flatMap { case (src, picks) =>
+        picks.iterator.zipWithIndex.map { case (e, i) =>
+          (src, e.key, (i + 1).toLong)
+        }
+      }
+      .toDF("source", "doc_id", "rn")
+      .orderBy($"source", $"doc_id")
+  }
+
+  /** WEIGHTED sampling — k docs per source with inclusion biased
+    * toward weight (length in chars, the "sample ∝ token count"
+    * curation primitive): Duffield–Lund–Thorup PRIORITY SAMPLING with
+    * the uniform draw derandomized to `mix64(doc_id)`. Each doc's
+    * priority is `u ÷ w` (unsigned; smaller wins — the integer form
+    * of ranking by w/u descending), so doubling a doc's weight halves
+    * its priority; the k smallest priorities per source win. Same
+    * reproducibility contract as [[fixedKSample]] (stable under
+    * reordering, machine-independent) and the same bounded-aggregator
+    * scale shape: ≤ k entries per source per map task, never a
+    * corpus-wide window sort. The oracle replays `u // w` in HUGEINT
+    * and ranks identically. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextHashes, TopK}
+    val bottomk = new TopK.BottomKLongAgg(WEIGHTED_K).toColumn.name("picks")
+    Tables(s, dir, "documents")
+      .select($"source", $"doc_id", greatest($"n_chars", lit(1L)).as("w"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, w) =>
+        // sign bit flipped: signed order == unsigned priority order
+        TopK.LEntry(
+          java.lang.Long.divideUnsigned(TextHashes.mix64(id), w)
+            ^ Long.MinValue,
+          id)
+      }
       .agg(bottomk)
       .flatMap { case (src, picks) =>
         picks.iterator.zipWithIndex.map { case (e, i) =>
@@ -262,6 +300,7 @@ object Curation {
     "pipeline_curation" -> (curatedDocs _),
     "sample_stratified" -> (stratifiedSample _),
     "sample_fixed_k" -> (fixedKSample _),
+    "sample_weighted" -> (weightedSample _),
     "pack_sequences" -> (packSequences _),
     "sample_token_budget" -> (tokenBudgetSample _),
     "sample_temperature_mix" -> (temperatureMix _),
@@ -317,6 +356,17 @@ object Curation {
         |  r.quality AS keeper_quality
         |FROM ranked r JOIN cs USING (cluster_id)
         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "sample_weighted" -> {
+      val h = OracleSql.mix64("CAST(doc_id AS HUGEINT)")
+      s"""SELECT source, doc_id, rn FROM (
+         |  SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ($h) // greatest(n_chars, 1), doc_id)
+         |      AS BIGINT) AS rn
+         |  FROM documents) t
+         |WHERE rn <= $WEIGHTED_K
+         |ORDER BY source, doc_id""".stripMargin
+    },
     "sample_fixed_k" -> {
       val h = OracleSql.mix64("CAST(doc_id AS HUGEINT)")
       s"""SELECT source, doc_id, rn FROM (
