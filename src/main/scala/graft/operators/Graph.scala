@@ -65,8 +65,61 @@ object Graph {
       .orderBy($"s_suppkey")
   }
 
+  val BFS_HOPS = 4
+  val BFS_SEED_SUPPKEY = 1L
+
+  /** Multi-hop reachability — frontier BFS over the undirected
+    * part↔supplier supply graph (who co-supplies through which parts),
+    * seeded at supplier [[BFS_SEED_SUPPKEY]], [[BFS_HOPS]] hops.
+    * Output: every reached node with its hop distance (BFS layer =
+    * minimal distance by construction, so the result is deterministic
+    * with no min-aggregation needed).
+    *
+    * Scale shape (the iterative-join discipline shared with
+    * [[pagerankQ]] and [[Dedup]]'s label propagation): per hop, ONE
+    * join of the edge table against the CURRENT FRONTIER only (delta
+    * iteration — visited nodes never re-expand), then an anti-join
+    * against the visited set to keep the frontier shrinking; both
+    * sides are id-keyed shuffles, the frontier is typically tiny so
+    * AQE broadcasts it against the (pre-materialized,
+    * `localCheckpoint`ed) edge list; the visited set is
+    * re-checkpointed per hop so the plan tree stays O(1) deep instead
+    * of O(hops). The oracle unrolls the same four layers in SQL. */
+  def reachabilityQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables(s, dir, "lineitem")
+      .select($"l_partkey".as("src"),
+        ($"l_suppkey" + SUPPLIER_OFFSET).as("dst"))
+      .distinct()
+    val edges = e0
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
+    var visited = Seq((SUPPLIER_OFFSET + BFS_SEED_SUPPKEY, 0))
+      .toDF("node", "dist").localCheckpoint()
+    var frontier = visited
+    (1 to BFS_HOPS).foreach { h =>
+      val next = edges
+        .join(frontier.select($"node"), $"src" === $"node")
+        .select($"dst".as("node")).distinct()
+        .join(visited.select($"node".as("seen")),
+          $"node" === $"seen", "left_anti")
+        .select($"node", lit(h).as("dist"))
+      frontier = next.localCheckpoint() // materialize: read 2× next hop
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    visited
+      .select(
+        when($"node" >= SUPPLIER_OFFSET, "supplier").otherwise("part")
+          .as("kind"),
+        when($"node" >= SUPPLIER_OFFSET, $"node" - SUPPLIER_OFFSET)
+          .otherwise($"node").as("id"),
+        $"dist")
+      .orderBy($"kind", $"id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_q" -> (pagerankQ _),
+    "graph_reachability" -> (reachabilityQ _),
   )
 
   /** One unrolled iteration: ranks `rPrev` → contribution sum → new
@@ -83,7 +136,38 @@ object Graph {
        |    CAST(150000 + coalesce($cN.s, 0) AS BIGINT) AS r
        |  FROM n LEFT JOIN $cN ON n.node = $cN.node)""".stripMargin
 
+  /** One unrolled BFS layer: frontier `fPrev` + visited `aPrev` →
+    * frontier `fN` (unseen neighbors) and visited `aN`. */
+  private def bfsLayerSql(
+      fPrev: String, aPrev: String, fN: String, aN: String,
+      h: Int): String =
+    s"""$fN AS (
+       |  SELECT DISTINCT e.dst AS node
+       |  FROM e JOIN $fPrev ON e.src = $fPrev.node
+       |  WHERE e.dst NOT IN (SELECT node FROM $aPrev)),
+       |$aN AS (SELECT node, dist FROM $aPrev
+       |        UNION ALL SELECT node, $h AS dist FROM $fN)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_reachability" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_partkey AS src,
+         |    l_suppkey + $SUPPLIER_OFFSET AS dst
+         |  FROM lineitem),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION ALL SELECT dst, src FROM e0),
+         |f0 AS (SELECT CAST(${SUPPLIER_OFFSET + BFS_SEED_SUPPKEY} AS BIGINT)
+         |  AS node),
+         |a0 AS (SELECT node, 0 AS dist FROM f0),
+         |${(1 to BFS_HOPS).map(h =>
+            bfsLayerSql(s"f${h - 1}", s"a${h - 1}", s"f$h", s"a$h", h))
+          .mkString(",\n")}
+         |SELECT CASE WHEN node >= $SUPPLIER_OFFSET
+         |    THEN 'supplier' ELSE 'part' END AS kind,
+         |  CAST(CASE WHEN node >= $SUPPLIER_OFFSET
+         |    THEN node - $SUPPLIER_OFFSET ELSE node END AS BIGINT) AS id,
+         |  CAST(dist AS INT) AS dist
+         |FROM a$BFS_HOPS ORDER BY kind, id""".stripMargin,
     "graph_pagerank_q" ->
       s"""WITH e0 AS (
          |  SELECT DISTINCT o_custkey AS src,

@@ -46,6 +46,21 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toMap.apply(20L) > got.toMap.apply(10L))
   }
 
+  test("reachability: planted chain gets exact BFS layers; islands stay out") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfs").toString
+    // chain: s1 -pA(101)- s2 -pB(102)- s3 ; island: s4 -pC(103)
+    Seq((101L, 1L), (101L, 2L), (102L, 2L), (102L, 3L), (103L, 4L))
+      .toDF("l_partkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = Graph.reachabilityQ(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map(
+      ("supplier", 1L) -> 0, ("part", 101L) -> 1,
+      ("supplier", 2L) -> 2, ("part", 102L) -> 3,
+      ("supplier", 3L) -> 4)) // s4/pC unreached and absent
+  }
+
   test("pagerank: rank mass is conserved up to truncation loss") {
     import spark.implicits._
     val ranks = Graph.pagerankQ(spark, sf)
