@@ -324,7 +324,59 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Bigram-LM surprisal — [[perplexityUnigram]] upgraded to a
+    * conditional model: token i ≥ 2 is charged
+    * `⌊log2(c(w_{i−1}) ÷ c(w_{i−1}w_i))⌋` (the MLE `−log2 p(w_i|w_{i−1})`
+    * floor-quantized with the same `length(bin(a div b)) − 1` integer
+    * trick as the unigram score), the first token its unigram
+    * surprisal — so a document's term count is exactly `n_tokens` and
+    * both sums stay LONG-exact for the oracle. Context counts come
+    * from the bigram table itself (`c(w1) = Σ_w c(w1 w)`) so
+    * probabilities are properly normalized per context.
+    *
+    * Scale shape: the model side is two vocabulary-sized aggregates
+    * (bigram and context counts, both map-side combined); the scoring
+    * side re-joins the token/bigram streams against them —
+    * model-tables-join-corpus, the CCNet scoring skeleton with the
+    * wiki-LM swapped for corpus MLE counts. Bigram pairs come from a
+    * columnar `transform(sequence…)` over the split array — no
+    * per-doc window sort, no self-join. */
+  def perplexityBigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+    val toks = d.select($"doc_id", explode($"ws").as("w"))
+    val ucnt = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    val total = ucnt.agg(sum($"c")).as[Long].collect()(0) // bounded: 1 row
+    val bi = d.filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS w1,
+          |              element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val bcnt = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val ctx = bcnt.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val firstS = d
+      .select($"doc_id", element_at($"ws", 1).as("w"))
+      .join(ucnt, "w")
+      .select($"doc_id",
+        (length(bin(expr(s"${total}L div c"))) - 1).cast("long").as("s"))
+    val biS = bi
+      .join(bcnt, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .select($"doc_id",
+        (length(bin(expr("c1 div c12"))) - 1).cast("long").as("s"))
+    firstS.union(biS)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"s").as("sum_surprisal"),
+        max($"s").as("max_surprisal"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity_bigram" -> (perplexityBigram _),
     "text_perplexity_unigram" -> (perplexityUnigram _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -338,6 +390,33 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // conditional-model replay: same integer floor-log2 quantization,
+    // context counts normalized from the bigram table on both sides
+    "text_perplexity_bigram" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        |ucnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM ucnt),
+        |bi AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> [ws[i], ws[i + 1]])) AS b
+        |  FROM d WHERE len(ws) >= 2),
+        |bi2 AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bi),
+        |bcnt AS (SELECT w1, w2, count(*) AS c12 FROM bi2 GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c12) AS c1 FROM bcnt GROUP BY 1),
+        |fs AS (SELECT f.doc_id, length(bin(tot.t // u.c)) - 1 AS s
+        |  FROM (SELECT doc_id, ws[1] AS w FROM d) f
+        |  JOIN ucnt u ON f.w = u.w CROSS JOIN tot),
+        |bs AS (SELECT b.doc_id, length(bin(ctx.c1 // bc.c12)) - 1 AS s
+        |  FROM bi2 b
+        |  JOIN bcnt bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        |  JOIN ctx ON b.w1 = ctx.w1),
+        |alls AS (SELECT * FROM fs UNION ALL SELECT * FROM bs)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(s) AS BIGINT) AS sum_surprisal,
+        |  CAST(max(s) AS BIGINT) AS max_surprisal
+        |FROM alls GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // floor(log2(total div c)) replayed as length(bin(..)) - 1 — the
     // identical integer formula, so the sums are exact on both sides
     "text_perplexity_unigram" ->
