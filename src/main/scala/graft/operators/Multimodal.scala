@@ -159,13 +159,63 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Target shard size for [[shardManifest]] (small so the gate SF
+    * produces a real multi-shard layout; production uses ~1 GB). */
+  val SHARD_BYTES = 4096L
+
+  /** WebDataset-style SHARD MANIFEST — the layout pass that turns a
+    * curated media corpus into the fixed-size shard files a training
+    * dataloader streams: per modality stream, payloads are laid out in
+    * doc_id order and each doc is assigned to the shard where its
+    * byte offset starts (`start_off div SHARD_BYTES` — assign-by-
+    * start, so a shard may overflow by at most one payload; the
+    * deterministic, prefix-sum-expressible form of greedy packing,
+    * same discipline as [[Curation.packSequences]] in tokens).
+    *
+    * Scale shape: one shuffle on the stream key + a running-sum
+    * window per stream; a production mix has thousands of
+    * source×modality streams as the parallelism unit — a window never
+    * sees more than one stream. The manifest (doc → shard, offset) is
+    * exactly what the shard-writer job consumes; writing the actual
+    * tar bytes is a partition-local pass over this manifest with no
+    * further shuffle. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"modality").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binaryPayloads(s, dir)
+      .select($"doc_id", $"modality",
+        length($"payload").cast("long").as("byte_len"))
+      .withColumn("end_off", sum($"byte_len").over(w))
+      .select($"modality", $"doc_id", $"byte_len",
+        ($"end_off" - $"byte_len").as("start_off"),
+        expr(s"(end_off - byte_len) div $SHARD_BYTES").as("shard_id"))
+      .orderBy($"modality", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> (binaryStats _),
     "mm_feature_extract" -> (featureExtract _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_shard_manifest" -> (shardManifest _),
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_shard_manifest" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+         |    AS modality,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+         |  FROM documents),
+         |c AS (SELECT *, sum(byte_len) OVER (PARTITION BY modality
+         |  ORDER BY doc_id) AS end_off FROM p)
+         |SELECT modality, doc_id, byte_len,
+         |  CAST(end_off - byte_len AS BIGINT) AS start_off,
+         |  CAST((end_off - byte_len) // $SHARD_BYTES AS BIGINT)
+         |    AS shard_id
+         |FROM c ORDER BY modality, doc_id""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'

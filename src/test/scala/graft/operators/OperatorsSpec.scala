@@ -118,6 +118,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shard manifest: contiguous offsets, assign-by-start invariants") {
+    val rows = Multimodal.shardManifest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 500)
+    rows.groupBy(_._1).foreach { case (_, ms) =>
+      val inOrder = ms.sortBy(_._2)
+      // offsets are gap-free per stream, shard = start div target
+      inOrder.foldLeft(0L) { case (expectOff, (_, _, len, off, shard)) =>
+        assert(off == expectOff, s"offset gap at $off")
+        assert(shard == off / Multimodal.SHARD_BYTES)
+        off + len
+      }
+      // multi-shard layout actually materialized at this SF
+      assert(inOrder.map(_._5).distinct.length > 1)
+    }
+  }
+
   test("frame sampling explodes videos, passes stills through") {
     val frames = Multimodal.frameSample(spark, dir).collect()
     val byDoc = frames.groupBy(_.getLong(0))
