@@ -161,6 +161,82 @@ object Maintenance {
       .orderBy($"stage")
   }
 
+  /** Files for the date-sorted layout behind [[fileSkipping]]. */
+  val SKIP_FILES = 16
+
+  private val skipPrepared =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private val skipRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** (files_total, files_read) of the most recent [[fileSkipping]]
+    * run — MaintenanceSpec asserts real pruning happened. */
+  val lastSkipStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private[operators] def ensureDateLayout(
+      s: SparkSession, dir: String): String = {
+    val key = (s, dir)
+    if (!skipPrepared.contains(key)) synchronized {
+      if (!skipPrepared.contains(key)) {
+        val root = Files.createTempDirectory("graft-skip").toString
+        Tables(s, dir, "orders")
+          .repartitionByRange(SKIP_FILES, col("o_orderdate"))
+          .sortWithinPartitions(col("o_orderdate"))
+          .write.mode("overwrite").parquet(s"$root/by_date")
+        skipRoots.put(key, root)
+        skipPrepared.add(key)
+      }
+    }
+    skipRoots.get(key)
+  }
+
+  /** FILE-SKIPPING INDEX (zone map) — the lakehouse data-skipping
+    * pattern: a bounded per-file min/max stats table over the
+    * date-sorted layout selects only the files whose range overlaps
+    * the predicate; the query scans just those plus a residual filter.
+    * Spark's parquet reader already skips ROW GROUPS from pushed
+    * filters; this adds the FILE level from an external stats table —
+    * which at 100 TB is the difference between listing/opening a
+    * million footers and consulting a million-row stats table (the
+    * Delta/Iceberg transaction-log stats shape; here the stats come
+    * from one scan via `input_file_name()`, a production table
+    * maintains them at write time exactly like [[ensureZorderWrite]]'s
+    * footers). The pruning is LOSSLESS by the overlap test, so the
+    * answer equals the full filtered scan — which is what the oracle
+    * checks, blind to the layout; MaintenanceSpec asserts files_read
+    * ≪ files_total. */
+  def fileSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensureDateLayout(s, dir)
+    val laid = s.read.parquet(s"$root/by_date")
+    // zone map: one row per file (bounded collect: SKIP_FILES rows).
+    // Ranges in UTC epoch micros — physical-ts-type agnostic (the same
+    // NTZ/nanos drift the Tables loader absorbs).
+    val zones = laid
+      .groupBy(input_file_name().as("f"))
+      .agg(min(unix_micros($"o_orderdate".cast("timestamp"))).as("lo"),
+        max(unix_micros($"o_orderdate".cast("timestamp"))).as("hi"))
+      .collect()
+    def micros(d: String) =
+      java.time.Instant.parse(s"${d}T00:00:00Z").toEpochMilli * 1000L
+    val (qLo, qHi) = (micros("1996-03-01"), micros("1996-05-01"))
+    val cand = zones.filter { r => // overlap: lo < qHi AND hi >= qLo
+      r.getLong(1) < qHi && r.getLong(2) >= qLo
+    }.map(_.getString(0))
+    lastSkipStats.put(dir, (zones.length, cand.length))
+    val pruned =
+      if (cand.isEmpty) laid.filter(lit(false)) else s.read.parquet(cand: _*)
+    pruned
+      .filter($"o_orderdate" >= lit("1996-03-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-05-01").cast("timestamp"))
+      .groupBy(to_date(date_trunc("month", $"o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy($"month")
+  }
+
   /** ANALYZE-style per-column stats over orders, in ONE scan: a single
     * wide aggregate computes every column's count/ndv/min/max (the
     * multiple exact distincts compile to one Expand — 3× the rows
@@ -375,6 +451,7 @@ object Maintenance {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_zorder_cluster" -> (zorderCluster _),
+    "maint_file_skipping" -> (fileSkipping _),
     "maint_zorder_write" -> (zorderWrite _),
     "maint_compact_files" -> (compactFiles _),
     "maint_table_stats" -> (tableStats _),
@@ -391,6 +468,17 @@ object Maintenance {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // pruning is lossless (overlap test) — the contract is the plain
+    // filtered scan, blind to the layout
+    "maint_file_skipping" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+        |  AND o_orderdate < TIMESTAMP '1996-05-01'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
     // pure-integer replay: same mask, same day-offset epoch, same
     // generated interleave, same high-bit bucket shift
     "maint_zorder_cluster" ->

@@ -88,6 +88,28 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(row.getDouble(5) == keys.max.toDouble)
   }
 
+  test("file skipping: zone map prunes most files, answer matches full scan") {
+    val got = Maintenance.fileSkipping(spark, dir).collect()
+      .map(_.toString).toSeq
+    val (total, read) = Maintenance.lastSkipStats.get(dir)
+    assert(total == Maintenance.SKIP_FILES)
+    // a 2-month predicate over a ~7-year span, 16 range files: the
+    // overlap should touch only a few files
+    assert(read <= total / 4, s"read $read of $total files — no pruning")
+    // lossless: equals the plain filtered scan
+    import org.apache.spark.sql.functions._
+    val want = graft.sources.Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-05-01").cast("timestamp"))
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy(col("month"))
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+
   test("z-ordered rewrite: every file bounds BOTH dimensions for skipping") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
