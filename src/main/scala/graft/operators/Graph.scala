@@ -94,10 +94,15 @@ object Graph {
     val edges = e0
       .union(e0.select($"dst".as("src"), $"src".as("dst")))
       .localCheckpoint()
-    var visited = Seq((SUPPLIER_OFFSET + BFS_SEED_SUPPKEY, 0))
+    val seed = Seq((SUPPLIER_OFFSET + BFS_SEED_SUPPKEY, 0))
       .toDF("node", "dist").localCheckpoint()
-    var frontier = visited
+    // each frontier checkpoints ONCE; the visited set is the union of
+    // those materialized layers — re-checkpointing the accumulated set
+    // per hop re-materializes every previous layer every hop
+    var layers = Vector(seed)
+    var frontier = seed
     (1 to BFS_HOPS).foreach { h =>
+      val visited = layers.reduce(_ union _)
       val next = edges
         .join(frontier.select($"node"), $"src" === $"node")
         .select($"dst".as("node")).distinct()
@@ -105,9 +110,9 @@ object Graph {
           $"node" === $"seen", "left_anti")
         .select($"node", lit(h).as("dist"))
       frontier = next.localCheckpoint() // materialize: read 2× next hop
-      visited = visited.union(frontier).localCheckpoint()
+      layers :+= frontier
     }
-    visited
+    layers.reduce(_ union _)
       .select(
         when($"node" >= SUPPLIER_OFFSET, "supplier").otherwise("part")
           .as("kind"),

@@ -566,7 +566,126 @@ object Similarity {
       .orderBy($"i", $"j")
   }
 
+  /** Product-quantization parameters: 64-dim vectors split into
+    * [[PQ_M]] subspaces of [[PQ_DSUB]] dims, [[PQ_C]] codewords each
+    * (4-bit codes → an 8×4-bit = 4-byte code per vector). */
+  val PQ_M = 8
+  val PQ_DSUB = 8
+  val PQ_C = 16
+
+  /** PQ-quantized ANN — the memory-scaling counterpart to SQ8
+    * ([[int8TopK]]): each corpus vector compresses to PQ_M 4-bit
+    * codewords (64× smaller than the float vector), queries rank by
+    * ASYMMETRIC DISTANCE (ADC): per query, an M×C lookup table of
+    * exact subspace distances to every codeword is precomputed, and a
+    * corpus vector's approximate distance is the sum of M table
+    * lookups (Jégou et al. 2011).
+    *
+    * Codebooks here are DETERMINISTIC MEDOIDS — the PQ_C corpus
+    * vectors with smallest unsigned mix64(vec_id), subsliced per
+    * subspace — instead of per-subspace k-means, so the entire
+    * pipeline (codebook → encode → LUT → ADC → rank) is replayed
+    * verbatim by the DuckDB oracle ([[kmeansTrainOn]] is where
+    * trained centroids are exercised). Every float fold is sequential
+    * in a pinned order on both sides.
+    *
+    * Scale shape: codebook (C·D doubles) and per-query LUTs (M·C
+    * doubles each) are driver-built from BOUNDED collects (C +
+    * N_QUERIES rows) and broadcast; the corpus pass is one narrow
+    * scan doing M·C distance evals + M lookups per row (in
+    * production the codes are precomputed at ingest and the scan
+    * touches 4 bytes/vector); ranking rides the bounded top-k
+    * aggregator. PqAnnSpec checks top-5 overlap vs exact brute
+    * force. */
+  def pqTopK(s: SparkSession, dir: String): DataFrame =
+    pqTopKOn(Tables(s, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")))
+
+  /** Core of [[pqTopK]] over any (vec_id, embedding: array&lt;float&gt;)
+    * frame — exposed so PqAnnSpec can run it on corpora with PLANTED
+    * twins (retrieval quality on i.i.d. random embeddings is the
+    * method's noise floor, same caveat as [[lshTopKOn]]). */
+  private[graft] def pqTopKOn(embIn: DataFrame): DataFrame = {
+    val s = embIn.sparkSession
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    // unit-normalize first (sequential-fold norm, same as [[int8TopK]]
+    // and replayed by the oracle): on the unit sphere L2² = 2 − 2·cos,
+    // so ADC's L2 ranking targets the same objective as the cosine
+    // brute force it approximates
+    val emb = embIn
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, vf) =>
+        var s2 = 0.0
+        vf.foreach(x => s2 += x.toDouble * x.toDouble)
+        val nrm = math.sqrt(s2)
+        (id,
+          if (nrm == 0.0) vf.map(_.toDouble)
+          else vf.map(_.toDouble / nrm))
+      }
+    val carriers = emb.toDF("vec_id", "v")
+      .select($"vec_id", GraftFunctions.mix64($"vec_id")
+        .bitwiseXOR(lit(Long.MinValue)).as("h"))
+      .orderBy($"h").limit(PQ_C)
+      .select($"vec_id").as[Long].collect() // bounded: PQ_C ids
+    val carrierSet = carriers.toSet
+    val carrierVecs = emb
+      .filter(r => carrierSet.contains(r._1))
+      .collect().toMap // bounded: PQ_C vectors
+    // codebook[m][c][i]: carrier c's m-th subvector (doubles)
+    val codebook = Array.tabulate(PQ_M) { m =>
+      carriers.map(id =>
+        carrierVecs(id).slice(m * PQ_DSUB, (m + 1) * PQ_DSUB))
+    }
+    def subDist(v: Array[Double], m: Int, c: Int): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < PQ_DSUB) {
+        val diff = v(m * PQ_DSUB + i) - codebook(m)(c)(i)
+        d += diff * diff
+        i += 1
+      }
+      d
+    }
+    // per-query ADC lookup tables (bounded: N_QUERIES vectors)
+    val lut = emb.filter(_._1 < N_QUERIES).collect().sortBy(_._1)
+      .map { case (qid, qv) =>
+        qid -> Array.tabulate(PQ_M, PQ_C)((m, c) => subDist(qv, m, c))
+      }
+    val bcCb = s.sparkContext.broadcast(codebook)
+    val bcLut = s.sparkContext.broadcast(lut)
+    val scored = emb.flatMap { case (id, v) =>
+      val cb = bcCb.value
+      val codes = Array.tabulate(PQ_M) { m =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < PQ_C) {
+          var d = 0.0
+          var i = 0
+          while (i < PQ_DSUB) {
+            val diff = v(m * PQ_DSUB + i) - cb(m)(c)(i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c } // tie → smaller c
+          c += 1
+        }
+        best
+      }
+      bcLut.value.iterator.filter(_._1 != id).map { case (qid, l) =>
+        var adc = 0.0
+        var m = 0
+        while (m < PQ_M) { adc += l(m)(codes(m)); m += 1 }
+        (qid, -adc, id) // negated: rankTopK ranks DESC
+      }
+    }.toDF("query_id", "cos", "neighbor_id")
+    rankTopK(scored)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_topk" -> (pqTopK _),
     "emb_covariance_q" -> (covarianceQ _),
     "ann_filtered_topk" -> (filteredTopK _),
     "ann_brute_force_topk" -> (bruteForceTopK _),
@@ -580,6 +699,65 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // full PQ replay: medoid codebook by unsigned-mix64 order, argmin
+    // encode (tie → smaller codeword), per-query LUT, m-ordered ADC
+    // fold, rank by (adc ASC, neighbor ASC) — float folds sequential
+    // in the same order as the Scala loops
+    "ann_pq_topk" -> {
+      val h = OracleSql.mix64("CAST(vec_id AS HUGEINT)")
+      s"""WITH e0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |nn AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM e0),
+         |e AS (
+         |  SELECT vec_id,
+         |    CASE WHEN nrm = 0 THEN v
+         |         ELSE list_transform(v, x -> x / nrm) END AS v
+         |  FROM nn),
+         |car AS (SELECT vec_id, cidx FROM (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY ($h)) - 1 AS cidx
+         |  FROM e) WHERE cidx < $PQ_C),
+         |ms AS (SELECT unnest(range($PQ_M)) AS m),
+         |cb AS (SELECT car.cidx, ms.m,
+         |    e.v[ms.m * $PQ_DSUB + 1 : ms.m * $PQ_DSUB + $PQ_DSUB] AS cv
+         |  FROM car JOIN e USING (vec_id) CROSS JOIN ms),
+         |enc0 AS (SELECT e.vec_id, cb.m, cb.cidx,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, $PQ_DSUB + 1), i ->
+         |        (e.v[cb.m * $PQ_DSUB + i] - cb.cv[i]) *
+         |        (e.v[cb.m * $PQ_DSUB + i] - cb.cv[i]))),
+         |      (a, b) -> a + b) AS d2
+         |  FROM e CROSS JOIN cb),
+         |enc AS (SELECT vec_id, m, cidx FROM (
+         |  SELECT vec_id, m, cidx,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, cidx) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS qid, cb.m, cb.cidx,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, $PQ_DSUB + 1), i ->
+         |        (q.v[cb.m * $PQ_DSUB + i] - cb.cv[i]) *
+         |        (q.v[cb.m * $PQ_DSUB + i] - cb.cv[i]))),
+         |      (a, b) -> a + b) AS d2
+         |  FROM (SELECT vec_id, v FROM e WHERE vec_id < $N_QUERIES) q
+         |  CROSS JOIN cb),
+         |adc AS (SELECT l.qid AS query_id, x.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(l.d2 ORDER BY l.m)), (a, b) -> a + b) AS d
+         |  FROM enc x JOIN lut l ON l.m = x.m AND l.cidx = x.cidx
+         |  WHERE l.qid <> x.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id
+         |FROM (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d, neighbor_id) AS rn FROM adc)
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+    },
     // full SQ8 replay: unit-normalize (sequential-fold norm), maxabs
     // scale, floor(x+0.5) quantize, integer dot, (dot·s_a)·s_b score —
     // every float op in the same IEEE order as the Scala map
