@@ -304,7 +304,37 @@ object Curation {
     "pack_sequences" -> (packSequences _),
     "sample_token_budget" -> (tokenBudgetSample _),
     "sample_temperature_mix" -> (temperatureMix _),
+    "sample_split_assign" -> (splitAssign _),
   )
+
+  /** Train/val/test split boundaries in percent: bucket < 80 → train,
+    * < 90 → val, else test. */
+  val SPLIT_TRAIN_PCT = 80L
+  val SPLIT_VAL_PCT = 90L
+
+  /** Deterministic train/val/test split assignment — the step between
+    * curation and packing in every training-data pipeline. Membership
+    * is `mix64(doc_id) mod 100` against fixed percent boundaries, the
+    * same splitmix64 primitive as [[stratifiedSample]]: content- and
+    * partition-independent (a re-run, a backfill, or a different
+    * cluster layout can never move a document across splits — the
+    * property a random() split lacks), and replayed bit-exactly by the
+    * oracle. One codegen'd scan+projection, no shuffle: the split
+    * column is computed WHERE THE DATA IS, the only shape that holds
+    * at 100 TB (a split via join against an assignment table would
+    * shuffle the corpus). */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        GraftFunctions.mix64_bucket($"doc_id", 100L).as("bucket"))
+      .select($"doc_id", $"lang", $"bucket",
+        when($"bucket" < SPLIT_TRAIN_PCT, "train")
+          .when($"bucket" < SPLIT_VAL_PCT, "val").otherwise("test")
+          .as("split"))
+      .orderBy($"doc_id")
+  }
 
   val oracles: Map[String, String] = Map(
     // composes the dedup_clusters recursive-closure oracle with the
@@ -420,6 +450,16 @@ object Curation {
          |FROM documents d JOIN p USING (source)
          |WHERE ($bucket) < permille
          |ORDER BY doc_id""".stripMargin
+    },
+    "sample_split_assign" -> {
+      val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 100"
+      s"""WITH h AS (SELECT doc_id, lang, CAST($bucket AS BIGINT) AS bucket
+         |           FROM documents)
+         |SELECT doc_id, lang, bucket,
+         |  CASE WHEN bucket < $SPLIT_TRAIN_PCT THEN 'train'
+         |       WHEN bucket < $SPLIT_VAL_PCT THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin
     },
     "sample_stratified" -> {
       val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"

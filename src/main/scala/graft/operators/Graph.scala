@@ -122,9 +122,76 @@ object Graph {
       .orderBy($"kind", $"id")
   }
 
+  /** Edge budget for [[trianglesQ]] — the graph analyzed is the top-M
+    * strongest co-supply relations, a BOUNDED subgraph by
+    * construction. */
+  val TRI_EDGES = 2000
+
+  /** Triangle / wedge census over the supplier co-supply graph (two
+    * suppliers are related when they supply the same order) — the
+    * global-clustering building block.
+    *
+    * Scale design, in order of the three bounds that make this safe at
+    * 100 TB where naive triangle listing is not:
+    *  1. Pair generation is per-order: an order has a bounded handful
+    *     of lineitems (TPC-H ≤ 7), so the pair stream is LINEAR in
+    *     orders — never a supplier×supplier blowup.
+    *  2. The analyzed graph is the top-[[TRI_EDGES]] pairs by
+    *     (co-supply count DESC, pair ASC) via sort+limit — plans as
+    *     TakeOrderedAndProject (bounded per-partition heap, the q8
+    *     property), so the triangle phase's input is O(M) regardless
+    *     of corpus size.
+    *  3. Enumeration is COMPACT-FORWARD (Latapy 2008): edges oriented
+    *     by the total order (degree, node) ascending, a triangle is
+    *     counted exactly once at its lowest vertex, and the wedge set
+    *     is bounded by Σ C(outdeg⁺,2) — the orientation that makes
+    *     high-degree hubs cheap (their edges all point INTO them).
+    * All arithmetic integer; the oracle replays orientation and
+    * enumeration verbatim. Output: one census row
+    * (nodes, edges, oriented wedges, triangles).
+    */
+  def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val os = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_suppkey".as("sup"))
+      .distinct()
+    val pairs = os.as("a").join(os.as("b"),
+        $"a.o" === $"b.o" && $"a.sup" < $"b.sup")
+      .groupBy($"a.sup".as("x"), $"b.sup".as("y"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs
+      .orderBy($"w".desc, $"x", $"y").limit(TRI_EDGES)
+      .select($"x", $"y")
+      .localCheckpoint() // read 4× (deg, orient, wedge-close probe)
+    val deg = edges.select($"x".as("node"))
+      .union(edges.select($"y".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    // total order: ord = deg·10^9 + node (node ids ≪ 10^9)
+    val ord = deg.select($"node", ($"deg" * 1000000000L + $"node").as("ord"))
+    val oriented = edges
+      .join(ord.select($"node".as("x"), $"ord".as("ox")), "x")
+      .join(ord.select($"node".as("y"), $"ord".as("oy")), "y")
+      .select(when($"ox" < $"oy", $"x").otherwise($"y").as("u"),
+        when($"ox" < $"oy", $"oy").otherwise($"ox").as("ov"),
+        when($"ox" < $"oy", $"y").otherwise($"x").as("v"))
+      .localCheckpoint()
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        $"e1.u" === $"e2.u" && $"e1.ov" < $"e2.ov")
+      .select($"e1.v".as("a"), $"e2.v".as("b"))
+    val tris = wedges.join(oriented.as("e3"),
+        $"a" === $"e3.u" && $"b" === $"e3.v")
+    val nNodes = deg.count()
+    val nEdges = edges.count()
+    val nWedges = wedges.count()
+    val nTris = tris.count()
+    Seq((nNodes, nEdges, nWedges, nTris))
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_q" -> (pagerankQ _),
     "graph_reachability" -> (reachabilityQ _),
+    "graph_triangles" -> (trianglesQ _),
   )
 
   /** One unrolled iteration: ranks `rPrev` → contribution sum → new
@@ -154,6 +221,35 @@ object Graph {
        |        UNION ALL SELECT node, $h AS dist FROM $fN)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same bounded top-M edge selection, (deg, node) orientation, and
+    // compact-forward closure; counts are plain aggregates
+    "graph_triangles" ->
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sup
+         |            FROM lineitem),
+         |pairs AS (SELECT a.sup AS x, b.sup AS y, count(*) AS w
+         |  FROM os a JOIN os b ON a.o = b.o AND a.sup < b.sup
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT x, y FROM pairs
+         |  ORDER BY w DESC, x, y LIMIT $TRI_EDGES),
+         |deg AS (SELECT node, count(*) AS deg FROM (
+         |    SELECT x AS node FROM edges
+         |    UNION ALL SELECT y FROM edges) GROUP BY 1),
+         |ord AS (SELECT node, deg * 1000000000 + node AS ord FROM deg),
+         |oriented AS (
+         |  SELECT CASE WHEN ox.ord < oy.ord THEN e.x ELSE e.y END AS u,
+         |    CASE WHEN ox.ord < oy.ord THEN oy.ord ELSE ox.ord END AS ov,
+         |    CASE WHEN ox.ord < oy.ord THEN e.y ELSE e.x END AS v
+         |  FROM edges e JOIN ord ox ON e.x = ox.node
+         |    JOIN ord oy ON e.y = oy.node),
+         |wedges AS (SELECT e1.v AS a, e2.v AS b
+         |  FROM oriented e1 JOIN oriented e2
+         |    ON e1.u = e2.u AND e1.ov < e2.ov),
+         |tris AS (SELECT count(*) AS n FROM wedges
+         |  JOIN oriented e3 ON wedges.a = e3.u AND wedges.b = e3.v)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |  (SELECT count(*) FROM edges) AS n_edges,
+         |  (SELECT count(*) FROM wedges) AS n_wedges,
+         |  (SELECT n FROM tris) AS n_triangles""".stripMargin,
     "graph_reachability" ->
       s"""WITH e0 AS (
          |  SELECT DISTINCT l_partkey AS src,

@@ -449,7 +449,91 @@ object Maintenance {
       .orderBy($"bucket")
   }
 
+  /** Key-sharding moduli for the two snapshot deltas (which orders the
+    * v1/v2 commits update). */
+  val SNAP_V1_MOD = 7L
+  val SNAP_V2_MOD = 5L
+
+  private val snapPrepared =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private val snapRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Materialize a three-commit versioned table (lakehouse log shape):
+    * v0 = the full orders base, v1/v2 = update deltas touching the
+    * keys ≡ 0 (mod [[SNAP_V1_MOD]]/[[SNAP_V2_MOD]]), plus a MANIFEST
+    * (one row per commit: version, path) — the transaction log a time
+    * traveler consults INSTEAD of listing the directory. */
+  private[operators] def ensureSnapshots(
+      s: SparkSession, dir: String): String = {
+    val key = (s, dir)
+    if (!snapPrepared.contains(key)) synchronized {
+      if (!snapPrepared.contains(key)) {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft-snap").toString
+        val base = Tables(s, dir, "orders").select($"o_orderkey".as("k"),
+          $"o_orderstatus".as("status"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+            .as("price_cents"))
+        base.write.mode("overwrite").parquet(s"$root/v0")
+        base.filter(pmod($"k", lit(SNAP_V1_MOD)) === 0)
+          .select($"k", lit("U1").as("status"),
+            ($"price_cents" + 100L).as("price_cents"))
+          .write.mode("overwrite").parquet(s"$root/v1")
+        base.filter(pmod($"k", lit(SNAP_V2_MOD)) === 0)
+          .select($"k", lit("U2").as("status"),
+            ($"price_cents" + 250L).as("price_cents"))
+          .write.mode("overwrite").parquet(s"$root/v2")
+        Seq((0L, s"$root/v0"), (1L, s"$root/v1"), (2L, s"$root/v2"))
+          .toDF("version", "path").coalesce(1)
+          .write.mode("overwrite").json(s"$root/manifest")
+        snapRoots.put(key, root)
+        snapPrepared.add(key)
+      }
+    }
+    snapRoots.get(key)
+  }
+
+  /** Version to time-travel to in [[snapshotRead]]: after v1, before
+    * v2 — the read must SEE the v1 updates and NOT the v2 ones. */
+  val SNAP_AS_OF = 1L
+
+  /** Time-travel read AS OF version [[SNAP_AS_OF]] over the versioned
+    * log [[ensureSnapshots]] writes. The contract under test:
+    *  - file pruning happens on the MANIFEST (a bounded read: one row
+    *    per commit), never by listing data directories — newer commits
+    *    (v2 here) sit in the same tree and must cost zero I/O;
+    *  - latest-wins per key across the selected versions, resolved by
+    *    one map-side-combinable `max(struct(version, …))` aggregation
+    *    (argmax-by-version; exactly one row per key per version, so
+    *    the struct order never tie-breaks on payload) — the same
+    *    single-shuffle shape as [[Cdc]]'s upsert apply, no window.
+    * Output is the as-of-v1 status census, which the oracle recomputes
+    * from `orders` alone (v1 updates applied, v2 invisible). */
+  def snapshotRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensureSnapshots(s, dir)
+    val manifest = s.read.json(s"$root/manifest")
+      .select($"version".cast("long"), $"path".as[String])
+      .as[(Long, String)]
+      .collect() // bounded: one row per commit
+      .toSeq.sortBy(_._1)
+    val selected = manifest.filter(_._1 <= SNAP_AS_OF)
+    val unioned = selected.map { case (v, p) =>
+      s.read.parquet(p).withColumn("version", lit(v))
+    }.reduce(_ unionAll _)
+    unioned
+      .groupBy($"k")
+      .agg(max(struct($"version", $"status", $"price_cents")).as("m"))
+      .select($"m.status".as("status"), $"m.price_cents".as("price_cents"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"price_cents").as("sum_cents"))
+      .orderBy($"status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_snapshot_read" -> (snapshotRead _),
     "maint_zorder_cluster" -> (zorderCluster _),
     "maint_file_skipping" -> (fileSkipping _),
     "maint_zorder_write" -> (zorderWrite _),
@@ -468,6 +552,21 @@ object Maintenance {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // the as-of-v1 state from first principles: v1 updates applied to
+    // the base, v2 invisible — if the reader ever listed the directory
+    // instead of the manifest, the U2 rows would appear and the hash
+    // would catch it
+    "maint_snapshot_read" ->
+      s"""WITH snapv1 AS (SELECT
+         |    CASE WHEN o_orderkey % $SNAP_V1_MOD = 0 THEN 'U1'
+         |         ELSE o_orderstatus END AS status,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+         |      + CASE WHEN o_orderkey % $SNAP_V1_MOD = 0 THEN 100
+         |             ELSE 0 END AS price_cents
+         |  FROM orders)
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+         |FROM snapv1 GROUP BY status ORDER BY status""".stripMargin,
     // pruning is lossless (overlap test) — the contract is the plain
     // filtered scan, blind to the layout
     "maint_file_skipping" ->

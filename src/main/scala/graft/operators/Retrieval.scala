@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TopK
+import graft.sources.Tables
+
+/** Text retrieval over the document corpus — the index-side operators
+  * a RAG / eval-retrieval pipeline runs at corpus scale: BM25 ranked
+  * search and fixed-window chunking with overlap.
+  *
+  * Everything is integer-quantized so the DuckDB oracle replays every
+  * score bit-exactly (the repo-wide rule: float folds are partition-
+  * order-dependent, integer sums are commutative):
+  *
+  *  - BM25's `ln((N-df+0.5)/(df+0.5)+1)` idf is replaced by its
+  *    rational surrogate `(N-df)·10^6 div (df+1)` in micro-units —
+  *    monotone in the true idf (both decrease in df), so per-term
+  *    ranking is order-equivalent; the log's cross-term damping is
+  *    traded for exact replayability, the same quantized-fixed-point
+  *    treatment as [[Graph]]'s micro-unit PageRank.
+  *  - The tf saturation `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` with
+  *    k1=1.2, b=0.75 is computed in per-mille units with truncating
+  *    integer division (Spark `div` == DuckDB `//`, both toward zero).
+  *
+  * Scale shape (100 TB corpus): tf/df/dl are one tokenize scan with
+  * map-side-combined aggregation; the QUERY set is tiny and broadcast
+  * (never the corpus); candidates = docs containing ≥1 query term
+  * (inverted-index semantics via the broadcast hash join on `term`);
+  * per-query top-k goes through the bounded [[TopK.BottomKLongAgg]]
+  * (≤ k rows per query per map task cross the shuffle), not a window
+  * over the candidate set.
+  */
+object Retrieval {
+
+  /** BM25 k1 = K1_X10/10, b = B_X100/100. */
+  val K1_X10 = 12L
+  val B_X100 = 75L
+  val IDF_SCALE = 1000000L
+  val BM25_K = 5
+
+  /** The fixed query workload (id, whitespace terms) — literal, like
+    * [[Sketches.CMS_QUERY_KEYS]]: the operator under test is the
+    * index math, not query parsing. Terms come from the synthetic
+    * corpus vocabulary. */
+  val BM25_QUERIES: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("spark", "join", "window")),
+    (2L, Seq("customer", "order", "query")),
+    (3L, Seq("hash", "table", "scan")))
+
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val tok = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+    // one scan feeds tf; dl derives from tf (sum of tf per doc) so the
+    // corpus is tokenized exactly once
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read 3× below (dl, df, candidate join)
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // corpus constants: one row each, bounded collect
+    val n = docs.count()
+    // INTEGER division (not a double cast): Spark's double→long cast
+    // truncates but DuckDB's rounds, so avgdl must never pass through
+    // a float on either side
+    val avgdl = dl.agg(expr("sum(dl) div count(1)")).as[Long].head()
+    val qterms = BM25_QUERIES
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("qid", "term")
+    val scored = tf
+      .join(broadcast(qterms), "term") // inverted-index probe
+      .join(broadcast(df_.join(qterms, "term").select($"term", $"df")
+        .distinct()), "term")
+      .join(dl, "doc_id")
+      .select($"qid", $"doc_id",
+        // idf_q: rational surrogate in micro-units (see scaladoc);
+        // the +1 keeps a term present in EVERY doc at a positive
+        // epsilon instead of hard zero (the BM25+ lower-bound idea) so
+        // tf/length still discriminate on an all-stopword query
+        expr(s"(($n - df) * $IDF_SCALE) div (df + 1) + 1").as("idf_q"),
+        // norm_x1000 = 1000*(1-b) + 1000*b*dl/avgdl, truncating
+        expr(s"(1000 - $B_X100 * 10) + ($B_X100 * 10 * dl) div $avgdl")
+          .as("norm_x1000"),
+        $"tf")
+      .select($"qid", $"doc_id",
+        // contrib = idf_q * tf*(k1+1) / (tf + k1*norm), all x1000:
+        // num = idf_q*tf*(10+k1_x10)*100, den = tf*1000 + k1_x10*norm/10
+        expr(s"(idf_q * tf * (10 + $K1_X10) * 100) div " +
+          s"(tf * 1000 + ($K1_X10 * norm_x1000) div 10)").as("contrib"))
+      .groupBy($"qid", $"doc_id").agg(sum($"contrib").as("score_q"))
+    // bounded per-query top-k: rank = -score (asc) with doc_id tiebreak
+    val agg = new TopK.BottomKLongAgg(BM25_K).toColumn.name("topk")
+    scored
+      .select($"qid", struct((-$"score_q").as("rank"), $"doc_id".as("key"))
+        .as("e"))
+      .as[(Long, TopK.LEntry)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg)
+      .flatMap { case (qid, es) =>
+        es.zipWithIndex.map { case (e, i) =>
+          (qid, (i + 1).toLong, e.key, -e.rank)
+        }
+      }
+      .toDF("qid", "rank", "doc_id", "score_q")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** Chunk window / stride in characters: 200-char chunks every 150
+    * chars (50-char overlap) — the RAG-ingest splitter. A doc of n
+    * chars yields chunks at starts 0, 150, … ≤ n−1: short tail chunks
+    * are kept (deterministic; the embedder downstream pads). */
+  val CHUNK_CHARS = 200
+  val CHUNK_STRIDE = 150
+
+  /** Fixed-window chunking with overlap — row-proportional to OUTPUT
+    * (≈ n_chars/stride rows per doc), one narrow codegen'd projection:
+    * `posexplode(sequence(...))` then `substring`; no shuffle at all.
+    * At 100 TB this is the embarrassingly-parallel shape: each input
+    * split chunks independently; the output partitioning inherits the
+    * scan's. */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"text",
+        posexplode(sequence(lit(0),
+          greatest(length($"text") - 1, lit(0)), lit(CHUNK_STRIDE))))
+      .select($"doc_id", $"pos".cast("long").as("chunk_id"),
+        $"col".cast("long").as("start"),
+        expr(s"substring(text, col + 1, $CHUNK_CHARS)").as("chunk"))
+      .withColumn("chunk_len", length($"chunk").cast("long"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> (bm25TopK _),
+    "text_chunk_overlap" -> (chunkOverlap _))
+
+  val oracles: Map[String, String] = Map(
+    // full BM25 replay: same integer idf surrogate / per-mille
+    // saturation / truncating division; top-k via row_number (the
+    // oracle can afford the window; the engine side uses the bounded
+    // aggregator)
+    "text_bm25_topk" -> {
+      val qvals = BM25_QUERIES
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      s"""WITH q(qid, term) AS (VALUES $qvals),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |c AS (SELECT count(*) AS n FROM documents),
+         |ad AS (SELECT sum(dl) // count(*) AS avgdl FROM dl),
+         |scored AS (
+         |  SELECT q.qid, tf.doc_id,
+         |    sum(((((c.n - df.df) * $IDF_SCALE) // (df.df + 1) + 1)
+         |      * tf.tf * (10 + $K1_X10) * 100)
+         |     // (tf.tf * 1000 + ($K1_X10 *
+         |        ((1000 - $B_X100 * 10) + ($B_X100 * 10 * dl.dl) // ad.avgdl))
+         |        // 10)) AS score_q
+         |  FROM tf JOIN q USING (term) JOIN df USING (term)
+         |    JOIN dl ON tf.doc_id = dl.doc_id, c, ad
+         |  GROUP BY 1, 2),
+         |ranked AS (SELECT qid, doc_id, score_q,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score_q DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+         |  doc_id, CAST(score_q AS BIGINT) AS score_q
+         |FROM ranked WHERE rank <= $BM25_K
+         |ORDER BY qid, rank""".stripMargin
+    },
+    "text_chunk_overlap" ->
+      s"""SELECT doc_id,
+         |  CAST(i AS BIGINT) AS chunk_id,
+         |  CAST(i * $CHUNK_STRIDE AS BIGINT) AS start,
+         |  substr(text, i * $CHUNK_STRIDE + 1, $CHUNK_CHARS) AS chunk,
+         |  CAST(length(substr(text, i * $CHUNK_STRIDE + 1, $CHUNK_CHARS))
+         |    AS BIGINT) AS chunk_len
+         |FROM documents,
+         |  LATERAL (SELECT unnest(range(0,
+         |    (greatest(length(text) - 1, 0)) // $CHUNK_STRIDE + 1)) AS i)
+         |ORDER BY doc_id, chunk_id""".stripMargin)
+}

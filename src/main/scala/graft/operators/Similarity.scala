@@ -684,7 +684,71 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** Power-iteration steps for [[pcaPowerIter]]. */
+  val PCA_ITERS = 4
+
+  /** Dominant principal direction of the embedding corpus via power
+    * iteration on the quantized second-moment matrix — the
+    * whitening / mean-direction-removal primitive (Mu et al. 2017's
+    * "all-but-the-top") ahead of semantic dedup and ANN.
+    *
+    * Distributed part: ONE scan through the same bounded
+    * [[graft.functions.MomentAgg]] as [[covarianceQ]] (per-task d²/2
+    * buffer, map-side combined — the corpus never shuffles). The
+    * iteration itself is d×d×T integer flops on the collected moment
+    * matrix — driver-side by design, same bounded-collect contract as
+    * the kmeans centroids (64×64 longs, corpus-size-independent).
+    *
+    * Integer exactness end to end: the moment sums are row-count
+    * normalized by truncating division (keeps every later product in
+    * Long range at ANY corpus size: |G/n| ≲ scale·max|x|², so
+    * |w| ≤ d·|G/n|·10⁶ ≈ 6e14); renormalization divides by
+    * `m div 10⁶ + 1` instead of multiplying by 10⁶ first (the naive
+    * `w·10⁶ div m` overflows Long at |w| > 9e12). Scala `/`, Spark
+    * `div` and DuckDB `//` all truncate toward zero, so the oracle
+    * replays every iteration bit-exactly. Sign and convergence are
+    * deterministic: all-ones start, fixed [[PCA_ITERS]] steps. */
+  def pcaPowerIter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"embedding".cast("array<double>")).as[Array[Double]]
+    val dim = Tables(s, dir, "embeddings")
+      .select(size($"embedding")).as[Int].first()
+    val agg = new graft.functions.MomentAgg(dim, MOMENT_SCALE).toColumn
+    val sums: Array[Long] = emb.select(agg).head()
+    val nRows = sums.last
+    val g = Array.ofDim[Long](dim, dim) // bounded: d² longs
+    var k = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val q = sums(k) / nRows // row-normalized, truncating
+        g(i)(j) = q
+        g(j)(i) = q
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    var v = Array.fill(dim)(1000000L)
+    var m = 1L
+    (1 to PCA_ITERS).foreach { _ =>
+      val w = Array.tabulate(dim) { a =>
+        var acc = 0L
+        var b = 0
+        while (b < dim) { acc += g(a)(b) * v(b); b += 1 }
+        acc
+      }
+      m = w.map(math.abs).max max 1L
+      v = w.map(x => x / (m / 1000000L + 1L))
+    }
+    (v.zipWithIndex.map { case (vq, d) => (d.toLong, vq) } :+ (-1L, m))
+      .toSeq.toDF("dim_i", "v_q").orderBy($"dim_i")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca_power_iter" -> (pcaPowerIter _),
     "ann_pq_topk" -> (pqTopK _),
     "emb_covariance_q" -> (covarianceQ _),
     "ann_filtered_topk" -> (filteredTopK _),
@@ -697,6 +761,17 @@ object Similarity {
     "emb_kmeans_assign" -> (kmeansAssign _),
     "emb_kmeans_update" -> (kmeansUpdate _),
   )
+
+  /** One unrolled power-iteration step for the PCA oracle: matvec,
+    * max-abs, overflow-safe renormalize — mirrors the Scala loop. */
+  private def pcaIterSql(
+      vPrev: String, wN: String, mN: String, vN: String): String =
+    s"""$wN AS (
+       |  SELECT gn.i, sum(gn.q * $vPrev.v) AS w
+       |  FROM gn JOIN $vPrev ON gn.j = $vPrev.i GROUP BY 1),
+       |$mN AS (SELECT greatest(max(abs(w)), 1) AS m FROM $wN),
+       |$vN AS (SELECT i, w // ((SELECT m FROM $mN) // 1000000 + 1) AS v
+       |        FROM $wN)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // full PQ replay: medoid codebook by unsigned-mix64 order, argmin
@@ -804,6 +879,30 @@ object Similarity {
     // range(1,65) pins the testdata embedding dim (64, all SFs) —
     // DuckDB's range() cannot take lateral column arguments; the Spark
     // side reads the dim from the data
+    // full power-iteration replay: quantized moment matrix (both
+    // triangles via symmetry of the product), truncating row-count
+    // normalization, 4 matvec+renormalize steps in HUGEINT — every
+    // division is the same toward-zero truncation as the Scala loop
+    "emb_pca_power_iter" ->
+      s"""WITH e AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cnt AS (SELECT count(*) AS c FROM e),
+         |idx AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
+         |g AS (
+         |  SELECT i.i AS i, j.i AS j,
+         |    sum(CAST(floor(e.v[i.i] * e.v[j.i] * 1000000.0 + 0.5)
+         |      AS BIGINT)) AS q
+         |  FROM e, idx i, idx j GROUP BY 1, 2),
+         |gn AS (SELECT i, j, q // (SELECT c FROM cnt) AS q FROM g),
+         |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM idx),
+         |${(1 to PCA_ITERS).map(t => pcaIterSql(s"v${t - 1}",
+              s"w$t", s"m$t", s"v$t")).mkString(",\n")}
+         |SELECT CAST(i - 1 AS BIGINT) AS dim_i, CAST(v AS BIGINT) AS v_q
+         |FROM v$PCA_ITERS
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST((SELECT m FROM m$PCA_ITERS)
+         |  AS BIGINT)
+         |ORDER BY dim_i""".stripMargin,
     "emb_covariance_q" ->
       """WITH e AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

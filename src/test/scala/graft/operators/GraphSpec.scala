@@ -108,4 +108,34 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == full)
   }
+
+  test("triangles: planted K4 and a pendant — census counted exactly once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    // suppliers 1-4 pairwise co-supply (6 orders, one per pair) → K4;
+    // supplier 5 co-supplies with 1 only (pendant edge).
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    pairs.zipWithIndex
+      .flatMap { case ((a, b), o) => Seq((o.toLong, a), (o.toLong, b)) }
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val r = Graph.trianglesQ(spark, dir).head()
+    // K4: C(4,3)=4 triangles; pendant adds a node+edge, no triangle.
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) == (5L, 7L, 4L))
+    // wedge sanity: oriented wedges ≥ triangles (every triangle closes
+    // exactly one wedge under the total order)
+    assert(r.getLong(2) >= r.getLong(3))
+  }
+
+  test("triangles on testdata: census consistent and edge-bounded") {
+    val r = Graph.trianglesQ(spark, sf).head()
+    val (nodes, edges, wedges, tris) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(edges <= Graph.TRI_EDGES)
+    assert(edges <= nodes * (nodes - 1) / 2)
+    assert(tris <= wedges)
+    // closed census identity: tris ≤ C(nodes,3)
+    assert(tris <= nodes * (nodes - 1) * (nodes - 2) / 6)
+  }
 }
