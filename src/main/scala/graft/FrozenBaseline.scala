@@ -234,5 +234,17 @@ object FrozenBaseline {
     // the wide warm band (2.5-12 under host bursts)
     "graph_reachability" -> 2.50,
     "ann_pq_topk" -> 0.49,
+    // round-13 batch-B additions (BM25 retrieval; overlap chunking;
+    // split assignment; co-supply triangle census; time-travel
+    // snapshot read; PCA power iteration), isolated BenchOne min-of-6
+    // same box/harness: floors 1.33 / 0.34 / 0.20 / 2.16 / 0.55 /
+    // 0.38. maint_snapshot_read's warm band is wide (first reps pay
+    // the one-time versioned-store build + write-path JIT)
+    "text_bm25_topk" -> 1.33,
+    "text_chunk_overlap" -> 0.34,
+    "sample_split_assign" -> 0.20,
+    "graph_triangles" -> 2.16,
+    "maint_snapshot_read" -> 0.55,
+    "emb_pca_power_iter" -> 0.38,
   )
 }
