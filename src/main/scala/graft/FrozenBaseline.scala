@@ -246,5 +246,11 @@ object FrozenBaseline {
     "graph_triangles" -> 2.16,
     "maint_snapshot_read" -> 0.55,
     "emb_pca_power_iter" -> 0.38,
+    // round-13 batch-C additions (streaming CMS; all-but-the-top
+    // projection; KMV degree histogram), isolated BenchOne min-of-6
+    // same box/harness: floors 1.13 / 0.58 / 2.15
+    "q58_streaming_cms" -> 1.13,
+    "emb_abtt_project" -> 0.58,
+    "graph_degree_histogram" -> 2.15,
   )
 }

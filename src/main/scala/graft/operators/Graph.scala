@@ -188,10 +188,58 @@ object Graph {
       .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
   }
 
+  /** Log₂-binned co-supply degree distribution with KMV-approximated
+    * degrees — the graph-profile pass (hub detection, power-law
+    * inspection) composed from the sketch family.
+    *
+    * Why approximate: a node's exact distinct-neighbor count needs the
+    * distinct PAIR relation materialized — O(nodes²) rows on a
+    * saturating co-occurrence graph (this one reaches completeness
+    * already at sf0.01; see [[trianglesQ]]'s cap for the other
+    * treatment). The KMV sketch instead bounds state at k longs PER
+    * NODE ([[graft.functions.Sketch.KmvAgg]] partial-aggregates, so
+    * each map task ships ≤ k mins per node it saw), the pair stream
+    * itself stays per-order-bounded, and nothing size-proportional is
+    * ever collected. Estimates are splitmix64-deterministic — the
+    * oracle replays sketch contents, the repo-wide sketch contract.
+    * Binning is integer-exact: bin = binary-digit count of the
+    * estimate (`conv(est,10,2)` length here, `length(bin(est))` in
+    * DuckDB — no float log2 on either side). */
+  def degreeHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val os = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_suppkey".as("sup"))
+      .distinct()
+    val nbr = os.as("a").join(os.as("b"),
+        $"a.o" === $"b.o" && $"a.sup" =!= $"b.sup")
+      .select($"a.sup".as("node"),
+        graft.functions.GraftFunctions.mix64($"b.sup").as("h"))
+    nbr.as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.Sketch.KmvAgg(Sketches.KMV_K)
+        .toColumn.name("mins"))
+      .map { case (node, mins) =>
+        val (_, est) = Sketches.kmvEstimate(mins)
+        (node, est)
+      }
+      .toDF("node", "deg_est")
+      .select(length(conv($"deg_est", 10, 2)).cast("long").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n_nodes"))
+      .select($"bin",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) - 1)")
+          .as("deg_lo"),
+        (expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT))") - 1L)
+          .as("deg_hi"),
+        $"n_nodes")
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_q" -> (pagerankQ _),
     "graph_reachability" -> (reachabilityQ _),
     "graph_triangles" -> (trianglesQ _),
+    "graph_degree_histogram" -> (degreeHistogram _),
   )
 
   /** One unrolled iteration: ranks `rPrev` → contribution sum → new
@@ -221,6 +269,34 @@ object Graph {
        |        UNION ALL SELECT node, $h AS dist FROM $fN)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-node KMV replay (distinct neighbor hashes ranked unsigned,
+    // first k, integer estimator) then binary-digit binning — sketch
+    // CONTENTS, not a tolerance band
+    "graph_degree_histogram" -> {
+      val h = OracleSql.mix64("CAST(b.sup AS HUGEINT)")
+      val k = Sketches.KMV_K
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sup
+         |            FROM lineitem),
+         |nb AS (SELECT DISTINCT a.sup AS node, $h AS u
+         |  FROM os a JOIN os b ON a.o = b.o AND a.sup <> b.sup),
+         |rk AS (SELECT node, u,
+         |    row_number() OVER (PARTITION BY node ORDER BY u) AS rn
+         |  FROM nb),
+         |st AS (SELECT node, count(*) AS n, max(u) AS kth
+         |  FROM rk WHERE rn <= $k GROUP BY 1),
+         |est AS (SELECT node,
+         |  CAST(CASE WHEN n < $k THEN n
+         |       WHEN kth = 0 THEN n
+         |       ELSE ${k - 1} * (18446744073709551615 // kth) END
+         |    AS BIGINT) AS deg_est FROM st),
+         |bb AS (SELECT CAST(length(bin(deg_est)) AS BIGINT) AS bin
+         |       FROM est)
+         |SELECT bin,
+         |  CAST(CAST(1 AS BIGINT) << (bin - 1) AS BIGINT) AS deg_lo,
+         |  CAST((CAST(1 AS BIGINT) << bin) - 1 AS BIGINT) AS deg_hi,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM bb GROUP BY bin ORDER BY bin""".stripMargin
+    },
     // same bounded top-M edge selection, (deg, node) orientation, and
     // compact-forward closure; counts are plain aggregates
     "graph_triangles" ->

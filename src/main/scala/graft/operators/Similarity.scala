@@ -708,7 +708,12 @@ object Similarity {
     * `div` and DuckDB `//` all truncate toward zero, so the oracle
     * replays every iteration bit-exactly. Sign and convergence are
     * deterministic: all-ones start, fixed [[PCA_ITERS]] steps. */
-  def pcaPowerIter(s: SparkSession, dir: String): DataFrame = {
+  /** The power iteration itself (see [[pcaPowerIter]] for the
+    * contract): returns the final quantized direction and the last
+    * max-|w| (the eigenvalue-scale estimate). Shared with
+    * [[abttProject]] so operator and projection can never diverge. */
+  private[operators] def pcaVector(
+      s: SparkSession, dir: String): (Array[Long], Long) = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
       .select($"embedding".cast("array<double>")).as[Array[Double]]
@@ -743,12 +748,50 @@ object Similarity {
       m = w.map(math.abs).max max 1L
       v = w.map(x => x / (m / 1000000L + 1L))
     }
+    (v, m)
+  }
+
+  def pcaPowerIter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (v, m) = pcaVector(s, dir)
     (v.zipWithIndex.map { case (vq, d) => (d.toLong, vq) } :+ (-1L, m))
       .toSeq.toDF("dim_i", "v_q").orderBy($"dim_i")
   }
 
+  /** Milli-unit quantization for the per-vector side of
+    * [[abttProject]]. */
+  val ABTT_SCALE = 1000.0
+
+  /** "All-but-the-top" projection coefficients (Mu et al. 2017): each
+    * embedding's integer projection onto the [[pcaVector]] dominant
+    * direction — the per-vector half of common-direction removal
+    * (the caller subtracts `coeff·v/‖v‖²`; emitting the coefficient
+    * keeps every number a Long).
+    *
+    * Scale shape: the direction is d Longs COMPUTED ONCE and shipped
+    * as a literal array — the corpus-side pass is then one narrow
+    * columnar projection (`zip_with` milli-quantize × v, `aggregate`
+    * Long sum — array order is pinned, so the integer fold is exact
+    * on both engines), no shuffle, no per-row driver work. Output is
+    * row-proportional (one coefficient per vector). */
+  def abttProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (v, _) = pcaVector(s, dir)
+    val vlit = array(v.map(lit): _*)
+    Tables(s, dir, "embeddings")
+      .select($"vec_id",
+        $"embedding".cast("array<double>").as("x"))
+      .withColumn("vlit", vlit)
+      .select($"vec_id",
+        expr(s"aggregate(zip_with(x, vlit, (a, b) -> " +
+          s"CAST(floor(a * $ABTT_SCALE + 0.5) AS BIGINT) * b), " +
+          "CAST(0 AS BIGINT), (acc, t) -> acc + t)").as("coeff_q"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca_power_iter" -> (pcaPowerIter _),
+    "emb_abtt_project" -> (abttProject _),
     "ann_pq_topk" -> (pqTopK _),
     "emb_covariance_q" -> (covarianceQ _),
     "ann_filtered_topk" -> (filteredTopK _),
@@ -772,6 +815,25 @@ object Similarity {
        |$mN AS (SELECT greatest(max(abs(w)), 1) AS m FROM $wN),
        |$vN AS (SELECT i, w // ((SELECT m FROM $mN) // 1000000 + 1) AS v
        |        FROM $wN)""".stripMargin
+
+  /** The shared CTE chain (moment matrix → normalized Gram →
+    * [[PCA_ITERS]] unrolled steps), ending at `v$PCA_ITERS` /
+    * `m$PCA_ITERS` — used by both the PCA oracle and the
+    * abtt-projection oracle. */
+  private def pcaChainSql: String =
+    s"""e AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cnt AS (SELECT count(*) AS c FROM e),
+       |idx AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
+       |g AS (
+       |  SELECT i.i AS i, j.i AS j,
+       |    sum(CAST(floor(e.v[i.i] * e.v[j.i] * 1000000.0 + 0.5)
+       |      AS BIGINT)) AS q
+       |  FROM e, idx i, idx j GROUP BY 1, 2),
+       |gn AS (SELECT i, j, q // (SELECT c FROM cnt) AS q FROM g),
+       |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM idx),
+       |${(1 to PCA_ITERS).map(t => pcaIterSql(s"v${t - 1}",
+            s"w$t", s"m$t", s"v$t")).mkString(",\n")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // full PQ replay: medoid codebook by unsigned-mix64 order, argmin
@@ -884,25 +946,26 @@ object Similarity {
     // normalization, 4 matvec+renormalize steps in HUGEINT — every
     // division is the same toward-zero truncation as the Scala loop
     "emb_pca_power_iter" ->
-      s"""WITH e AS (
-         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cnt AS (SELECT count(*) AS c FROM e),
-         |idx AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
-         |g AS (
-         |  SELECT i.i AS i, j.i AS j,
-         |    sum(CAST(floor(e.v[i.i] * e.v[j.i] * 1000000.0 + 0.5)
-         |      AS BIGINT)) AS q
-         |  FROM e, idx i, idx j GROUP BY 1, 2),
-         |gn AS (SELECT i, j, q // (SELECT c FROM cnt) AS q FROM g),
-         |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM idx),
-         |${(1 to PCA_ITERS).map(t => pcaIterSql(s"v${t - 1}",
-              s"w$t", s"m$t", s"v$t")).mkString(",\n")}
+      s"""WITH $pcaChainSql
          |SELECT CAST(i - 1 AS BIGINT) AS dim_i, CAST(v AS BIGINT) AS v_q
          |FROM v$PCA_ITERS
          |UNION ALL
          |SELECT CAST(-1 AS BIGINT), CAST((SELECT m FROM m$PCA_ITERS)
          |  AS BIGINT)
          |ORDER BY dim_i""".stripMargin,
+    // same chain, then each vector's milli-quantized integer dot with
+    // the final direction, folded in array (= dim) order
+    "emb_abtt_project" ->
+      s"""WITH $pcaChainSql,
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+         |       FROM embeddings),
+         |terms AS (
+         |  SELECT ev.vec_id,
+         |    CAST(floor(ev.x[v$PCA_ITERS.i] * $ABTT_SCALE + 0.5)
+         |      AS BIGINT) * v$PCA_ITERS.v AS t
+         |  FROM ev, v$PCA_ITERS)
+         |SELECT vec_id, CAST(sum(t) AS BIGINT) AS coeff_q
+         |FROM terms GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "emb_covariance_q" ->
       """WITH e AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -89,18 +89,33 @@ object Sketches {
     * independent and replayable. The matrix build is the scale path:
     * explode ×d then groupBy(d, bucket) map-side combines to ≤ d·w
     * rows per task, so shuffle volume is constant in input size. */
-  def cmsFreq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val matrix = Tables(s, dir, "events")
-      .select(GraftFunctions.mix64($"user_id").as("hv"))
+  def cmsFreq(s: SparkSession, dir: String): DataFrame =
+    cmsEstimates(s, cmsMatrix(Tables(s, dir, "events")
+      .select(GraftFunctions.mix64(col("user_id")).as("hv"))))
+
+  /** d×w count matrix from a column `hv` of pre-mixed hashes — shared
+    * by the batch operator and the streaming variant so the two can
+    * never diverge (the [[kmvEstimate]] convention). Works on batch
+    * AND streaming inputs: explode ×d then groupBy(d, bucket) is a
+    * bounded complete-mode aggregate either way. */
+  private[operators] def cmsMatrix(hashed: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
+    hashed
       .select($"hv",
         explode(array((0 until CMS_DEPTH).map(d => lit(d.toLong)): _*))
           .as("d"))
       .select($"d",
         GraftFunctions.mix64_bucket($"hv" + $"d", CMS_WIDTH).as("bucket"))
       .groupBy($"d", $"bucket").agg(count(lit(1)).as("c"))
-    // the query side: CMS_QUERY_KEYS × CMS_DEPTH probe cells, computed
-    // with the same JVM hash the native expression compiles to
+  }
+
+  /** Point estimates for the fixed probe keys against a
+    * (d, bucket, c) matrix: CMS_QUERY_KEYS × CMS_DEPTH probe cells,
+    * computed with the same JVM hash the native expression compiles
+    * to; estimate = min over the d cells. */
+  private[operators] def cmsEstimates(
+      s: SparkSession, matrix: DataFrame): DataFrame = {
+    import s.implicits._
     val probes = for {
       key <- 0 until CMS_QUERY_KEYS
       d <- 0 until CMS_DEPTH

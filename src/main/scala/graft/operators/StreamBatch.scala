@@ -659,7 +659,40 @@ object StreamBatch {
     rows.toDF("register", "max_rank").orderBy($"register")
   }
 
+  /** Streaming count-min frequency sketch — the monitoring-side twin
+    * of [[Sketches.cmsFreq]]: the d×w count matrix builds as a
+    * complete-mode streaming aggregation (state bounded at d·w cells
+    * at ANY input rate — counts merge by addition, so batching and
+    * arrival order cannot change the matrix), then the same fixed
+    * probe keys read their d cells off the drained matrix. Stream ==
+    * batch exactly: the batch oracle applies verbatim, the same
+    * contract as q56's HLL registers and q44's KMV. */
+  def streamingCms(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
+    import s.implicits._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val matrix = Sketches.cmsMatrix(
+      Tables.eventsReadStream(s, dir, rawSchema)
+        .select(graft.functions.GraftFunctions.mix64($"user_id")
+          .as("hv")))
+    val table = s"graft_stream_cms_${nameCounter.incrementAndGet()}"
+    val q = matrix.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q, "q58_streaming_cms")
+    val rows = s.table(table)
+      .as[(Long, Long, Long)].collect().toSeq // bounded: ≤ d·w cells
+    s.catalog.dropTempView(table)
+    Sketches.cmsEstimates(s, rows.toDF("d", "bucket", "c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_streaming_cms" -> (streamingCms _),
     "q56_streaming_hll" -> (streamingHll _),
     "q57_stream_dedup_bounded" -> (streamingDedupBounded _),
     "q44_streaming_kmv" -> (streamingKmv _),
@@ -677,6 +710,9 @@ object StreamBatch {
     // register replay applies verbatim
     "q56_streaming_hll" ->
       Sketches.hllRegistersSql("event_id", "events"),
+    // stream == batch for an additive-count sketch: the batch CMS
+    // point-query replay applies verbatim
+    "q58_streaming_cms" -> Sketches.oracles("sketch_cms_freq"),
     // the < 24h dup span vs 48h horizon argument above makes the
     // watermarked dedup's key set equal the batch DISTINCT
     "q57_stream_dedup_bounded" ->
