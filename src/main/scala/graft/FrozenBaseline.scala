@@ -252,5 +252,9 @@ object FrozenBaseline {
     "q58_streaming_cms" -> 1.13,
     "emb_abtt_project" -> 0.58,
     "graph_degree_histogram" -> 2.15,
+    // round-13 batch-D additions (prefix-scan skyline; integer MAD),
+    // isolated BenchOne min-of-6 same box/harness: floors 0.86 / 0.93
+    "q59_skyline" -> 0.86,
+    "q60_mad_robust" -> 0.93,
   )
 }

@@ -899,7 +899,100 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** 2-D skyline (Pareto frontier) over parts: the cheapest-for-its-
+    * size set — every part no other part beats on BOTH price (≤) and
+    * size (≥) with one strict. The operator a catalog/feature-store
+    * query layer needs for dominance filtering.
+    *
+    * Scale shape — the naive formulations both fail at 100 TB: the
+    * NOT EXISTS dominance anti-join is O(n²), and a single global
+    * `max().over(Window.orderBy(price))` sorts the table on ONE task
+    * (the q45 parallelism cliff). This is instead a DISTRIBUTED
+    * PREFIX SCAN:
+    *  1. collapse to one row per distinct price with its max size —
+    *     the only per-price survivor candidate (equal-price smaller
+    *     sizes are dominated by definition). One map-side-combined
+    *     aggregate.
+    *  2. range-partition by price, window ONLY within each partition
+    *     (`partitionBy(spark_partition_id())` — all partitions scan
+    *     in parallel), and carry the cross-partition prefix max via a
+    *     bounded per-partition stats collect (≤ shuffle-partitions
+    *     rows) broadcast back — the classic scan-with-carry.
+    *  3. frontier rows (size > prefix max of all strictly-cheaper
+    *     prices) broadcast-join back to parts to emit members
+    *     (frontier size ≤ the maximal antichain — small by nature).
+    * All arithmetic integer (price in cents); the oracle checks the
+    * same set via the O(n²) NOT EXISTS definition — two independent
+    * formulations agreeing is the point. */
+  def q59Skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val pts = t(s, dir, "part")
+      .select(
+        expr("CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)")
+          .as("price_cents"),
+        $"p_size".cast("long").as("size"), $"p_partkey")
+    val perPrice = pts.groupBy($"price_cents")
+      .agg(max($"size").as("size"))
+      .repartitionByRange(np, $"price_cents")
+      .sortWithinPartitions($"price_cents")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must be stable across the two reads
+    // carry: running max of sizes in all partitions BEFORE pid
+    // (bounded collect: ≤ np rows)
+    val pmaxes = perPrice.groupBy($"pid").agg(max($"size").as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val carry = pmaxes.map(_._1).zip(
+      pmaxes.scanLeft(Long.MinValue) { case (acc, (_, m)) => acc max m })
+      .toSeq.toDF("pid", "carry") // pid -> max size of preceding pids
+    val wPrev = Window.partitionBy($"pid").orderBy($"price_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .join(broadcast(carry), "pid")
+      .withColumn("prefix_max",
+        greatest(coalesce(max($"size").over(wPrev), lit(Long.MinValue)),
+          $"carry"))
+      .filter($"size" > $"prefix_max")
+      .select($"price_cents", $"size")
+    pts.join(broadcast(frontier), Seq("price_cents", "size"))
+      .select($"p_partkey", $"price_cents", $"size")
+      .orderBy($"p_partkey")
+  }
+
+  /** Median absolute deviation of order value — the robust
+    * location/spread profile (median, MAD) a data-quality monitor
+    * prefers over mean/stddev under heavy tails. Exact and
+    * integer-only: values in cents, both medians are the LOWER median
+    * (the rank-⌊(n−1)/2⌋ element, percentile_disc semantics — no
+    * interpolation float), each selected by the q45 distributed
+    * rank-selection machinery (range-sort + zipWithIndex; never a
+    * single-task window). Two range-sorts of the column is the
+    * intrinsic cost of two exact order statistics. */
+  def q60MadRobust(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    def lowerMedian(vals: org.apache.spark.sql.Dataset[Long]): Long = {
+      val n = vals.count()
+      val target = (n - 1) / 2
+      vals.repartitionByRange(np, $"value")
+        .sortWithinPartitions($"value")
+        .rdd.zipWithIndex()
+        .filter(_._2 == target).map(_._1)
+        .first()
+    }
+    val cents = t(s, dir, "orders")
+      .select(expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+        .as("value")).as[Long]
+    val n = cents.count()
+    val med = lowerMedian(cents)
+    val mad = lowerMedian(
+      cents.select(abs($"value" - med).as("value")).as[Long])
+    Seq((n, med, mad)).toDF("n_orders", "median_cents", "mad_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_skyline" -> (q59Skyline _),
+    "q60_mad_robust" -> (q60MadRobust _),
     "q55_bloom_join_prune" -> (q55BloomJoinPrune _),
     "q53_window_funcs" -> (q53WindowFuncs _),
     "q54_multiset_ops" -> (q54MultisetOps _),
@@ -943,6 +1036,35 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // independent formulation: the O(n²) NOT EXISTS dominance
+    // definition — agreeing with the engine's prefix-scan is the check
+    "q59_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+        |      AS price_cents,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT a.p_partkey, a.price_cents, a.size
+        |FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+        |    AND (b.price_cents < a.price_cents OR b.size > a.size))
+        |ORDER BY a.p_partkey""".stripMargin,
+    // both medians as rank-⌊(n−1)/2⌋ selections (lower median), the
+    // same percentile_disc convention as the engine
+    "q60_mad_robust" ->
+      """WITH o AS (SELECT
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |c AS (SELECT count(*) AS n FROM o),
+        |r1 AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM o),
+        |med AS (SELECT v FROM r1, c WHERE rn = (n - 1) // 2 + 1),
+        |dev AS (SELECT abs(v - (SELECT v FROM med)) AS v FROM o),
+        |r2 AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM dev),
+        |mad AS (SELECT v FROM r2, c WHERE rn = (n - 1) // 2 + 1)
+        |SELECT (SELECT n FROM c) AS n_orders,
+        |  (SELECT v FROM med) AS median_cents,
+        |  (SELECT v FROM mad) AS mad_cents""".stripMargin,
     // the bloom is a lossless prefilter (FPs drop in the join, no FNs
     // by construction) — the contract is the plain join result
     "q55_bloom_join_prune" ->
