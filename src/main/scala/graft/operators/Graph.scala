@@ -150,18 +150,28 @@ object Graph {
     * enumeration verbatim. Output: one census row
     * (nodes, edges, oriented wedges, triangles).
     */
-  def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+  /** The bounded edge selection of [[trianglesQ]], pre-
+    * materialization — exposed so PlanSpec can pin the
+    * TakeOrderedAndProject shape (the operator itself runs eagerly
+    * and returns a local census row, which has no plan left to
+    * inspect). */
+  private[operators] def triEdgesPlan(
+      s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val os = Tables(s, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_suppkey".as("sup"))
       .distinct()
-    val pairs = os.as("a").join(os.as("b"),
+    os.as("a").join(os.as("b"),
         $"a.o" === $"b.o" && $"a.sup" < $"b.sup")
       .groupBy($"a.sup".as("x"), $"b.sup".as("y"))
       .agg(count(lit(1)).as("w"))
-    val edges = pairs
       .orderBy($"w".desc, $"x", $"y").limit(TRI_EDGES)
       .select($"x", $"y")
+  }
+
+  def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = triEdgesPlan(s, dir)
       .localCheckpoint() // read 4× (deg, orient, wedge-close probe)
     val deg = edges.select($"x".as("node"))
       .union(edges.select($"y".as("node")))

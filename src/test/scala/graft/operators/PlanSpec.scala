@@ -551,4 +551,55 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
     assert(plan.contains("partial_count"), plan.take(3000))
   }
+
+  test("chunking is shuffle-free generate+project with a pruned scan") {
+    val plan = planOf(Retrieval.chunkOverlap(spark, dir))
+    assert(plan.contains("Generate"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "unpruned documents read")
+    val exchangeCount =
+      plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchangeCount <= 2, // one Exchange node + its detail block
+      s"chunking should only exchange for the final sort:\n${plan.take(2000)}")
+  }
+
+  test("split assignment is one codegen'd scan: native bucket, pruned read") {
+    val plan = planOf(Curation.splitAssign(spark, dir))
+    assert(plan.contains("mix64_bucket"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "unpruned documents read")
+    assert(!plan.contains("DeserializeToObject"), "typed closure leaked in")
+  }
+
+  test("bm25: query-side joins broadcast; corpus side never broadcasts") {
+    val plan = planOf(Retrieval.bm25TopK(spark, dir))
+    val broadcasts =
+      plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"query/df joins should broadcast:\n" +
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("triangles: edge budget selects via TakeOrderedAndProject") {
+    val plan = planOf(Graph.triEdgesPlan(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("skyline: every window is pid-partitioned — no single-task scan") {
+    val plan = planOf(Relational.q59Skyline(spark, dir))
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, plan.take(2000))
+    windowLines.foreach(l =>
+      assert(l.contains("pid"), s"unpartitioned window: $l"))
+    // frontier returns to the fact side by broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("MAD rank selection never plans a window") {
+    val plan = planOf(Relational.q60MadRobust(spark, dir))
+    assert(!plan.contains("windowspecdefinition"),
+      "order statistics must use distributed rank selection")
+  }
 }
