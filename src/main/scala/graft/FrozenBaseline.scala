@@ -256,5 +256,8 @@ object FrozenBaseline {
     // isolated BenchOne min-of-6 same box/harness: floors 0.86 / 0.93
     "q59_skyline" -> 0.86,
     "q60_mad_robust" -> 0.93,
+    // round-13 batch-E addition (composite RAG-ingest pipeline),
+    // isolated BenchOne min-of-6 same box/harness: floor 0.63
+    "pipeline_rag_index" -> 0.63,
   )
 }

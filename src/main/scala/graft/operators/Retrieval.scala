@@ -132,9 +132,56 @@ object Retrieval {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Minimum chunk length that is worth embedding: short overlap
+    * tails are dropped before dedup. */
+  val RAG_MIN_CHARS = 80
+
+  /** The RAG-ingest pipeline as ONE composite operator — what a
+    * retrieval corpus build actually runs, end to end: chunk with
+    * overlap ([[CHUNK_CHARS]]/[[CHUNK_STRIDE]]), gate out sub-
+    * [[RAG_MIN_CHARS]] tails, dedup chunks EXACTLY by rolling-hash
+    * fingerprint (identical boilerplate chunks must embed once, not
+    * once per document — keeper = smallest (doc_id, chunk_id); the
+    * near-dup complement is the [[Dedup]] minhash family), and report
+    * the per-language index manifest (candidates, kept, kept chars —
+    * the numbers that size the embedding job downstream).
+    *
+    * Scale shape: chunk+gate+fingerprint is one narrow codegen'd pass
+    * (the fingerprint is the native rolling-hash expression); the
+    * dedup is one shuffle keyed on the 64-bit fingerprint with a
+    * map-side-combinable `min(struct(...))` keeper — the same argmin
+    * aggregation as the snapshot read, never a window; the manifest
+    * aggregates are map-side combined. Nothing is collected. */
+  def ragIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gated = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", $"text",
+        posexplode(sequence(lit(0),
+          greatest(length($"text") - 1, lit(0)), lit(CHUNK_STRIDE))))
+      .select($"doc_id", $"lang", $"pos".cast("long").as("chunk_id"),
+        expr(s"substring(text, col + 1, $CHUNK_CHARS)").as("chunk"))
+      .withColumn("chunk_len", length($"chunk").cast("long"))
+      .filter($"chunk_len" >= RAG_MIN_CHARS)
+      .withColumn("fp",
+        graft.functions.GraftFunctions.rolling_hash64($"chunk"))
+    val keepers = gated
+      .groupBy($"fp")
+      .agg(min(struct($"doc_id", $"chunk_id", $"lang", $"chunk_len"))
+        .as("m"))
+      .select($"m.lang".as("lang"), $"m.chunk_len".as("chunk_len"))
+    val candidates = gated.groupBy($"lang")
+      .agg(count(lit(1)).as("n_candidates"))
+    keepers.groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"chunk_len").as("kept_chars"))
+      .join(candidates, "lang")
+      .select($"lang", $"n_candidates", $"n_kept", $"kept_chars")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> (bm25TopK _),
-    "text_chunk_overlap" -> (chunkOverlap _))
+    "text_chunk_overlap" -> (chunkOverlap _),
+    "pipeline_rag_index" -> (ragIndex _))
 
   val oracles: Map[String, String] = Map(
     // full BM25 replay: same integer idf surrogate / per-mille
@@ -171,6 +218,38 @@ object Retrieval {
          |  doc_id, CAST(score_q AS BIGINT) AS score_q
          |FROM ranked WHERE rank <= $BM25_K
          |ORDER BY qid, rank""".stripMargin
+    },
+    // full pipeline replay: same chunking lateral, same gate, the
+    // rolling-hash fingerprint recomputed from first principles
+    // (OracleSql HUGEINT arithmetic), keeper via row_number on
+    // (doc_id, chunk_id)
+    "pipeline_rag_index" -> {
+      val fp = OracleSql.rollingHash("chunk")
+      s"""WITH ch AS (
+         |  SELECT doc_id, lang, i AS chunk_id,
+         |    substr(text, CAST(i * $CHUNK_STRIDE + 1 AS BIGINT),
+         |      $CHUNK_CHARS) AS chunk
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(range(0,
+         |      (greatest(length(text) - 1, 0)) // $CHUNK_STRIDE + 1))
+         |      AS i)),
+         |g AS (SELECT doc_id, lang, chunk_id, chunk,
+         |    CAST(length(chunk) AS BIGINT) AS chunk_len
+         |  FROM ch WHERE length(chunk) >= $RAG_MIN_CHARS),
+         |f AS (SELECT doc_id, lang, chunk_id, chunk_len, $fp AS fp
+         |      FROM g),
+         |k AS (SELECT lang, chunk_len,
+         |    row_number() OVER (PARTITION BY fp
+         |      ORDER BY doc_id, chunk_id) AS rn
+         |  FROM f),
+         |kept AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |    CAST(sum(chunk_len) AS BIGINT) AS kept_chars
+         |  FROM k WHERE rn = 1 GROUP BY lang),
+         |cand AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM g GROUP BY lang)
+         |SELECT lang, n_candidates, n_kept, kept_chars
+         |FROM kept JOIN cand USING (lang)
+         |ORDER BY lang""".stripMargin
     },
     "text_chunk_overlap" ->
       s"""SELECT doc_id,

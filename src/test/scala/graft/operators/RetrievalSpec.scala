@@ -74,6 +74,27 @@ class RetrievalSpec extends AnyFunSuite {
       ("x" * st) + ("y" * st))
   }
 
+  test("rag index: gate drops short tails, dedup keeps one copy of shared chunks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rag").toString
+    val shared = "s" * 200 // one full chunk, identical across two docs
+    Seq((1L, shared, "en"), (2L, shared, "en"),
+        (3L, "t" * 10, "en"), // below the 80-char gate entirely
+        (4L, "u" * 200 + "v" * 200, "de")) // chunks at 0,150,300: 200/200/100
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Retrieval.ragIndex(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // en: docs 1,2 each chunk at 0 (200 chars, kept) and 150 (50-char
+    // tail, gated); doc 3 fully gated → 2 candidates, 1 kept after
+    // dedup (the chunks are byte-identical)
+    assert(got("en") == (2L, 1L, 200L))
+    // de: starts 0,150,300 → lens 200,200,100; all pass the gate; the
+    // 150-chunk (u50+v150) differs from both others → 3 kept
+    assert(got("de") == (3L, 3L, 500L))
+  }
+
   test("bm25 on testdata: k bounded, ranks contiguous, scores positive") {
     val rows = Retrieval.bm25TopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
