@@ -256,8 +256,10 @@ object FrozenBaseline {
     // isolated BenchOne min-of-6 same box/harness: floors 0.86 / 0.93
     "q59_skyline" -> 0.86,
     "q60_mad_robust" -> 0.93,
-    // round-13 batch-E addition (composite RAG-ingest pipeline),
-    // isolated BenchOne min-of-6 same box/harness: floor 0.63
+    // round-13 batch-E additions (composite RAG-ingest pipeline;
+    // HDR-style log-bucket quantile sketch), isolated BenchOne
+    // min-of-6 same box/harness: floors 0.63 / 0.43
     "pipeline_rag_index" -> 0.63,
+    "sketch_hdr_quantiles" -> 0.43,
   )
 }

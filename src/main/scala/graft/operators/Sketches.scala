@@ -259,6 +259,7 @@ object Sketches {
     "sketch_hll_registers" -> (hllRegisters _),
     "sketch_kmv_ndv" -> (kmvNdv _),
     "sketch_cms_freq" -> (cmsFreq _),
+    "sketch_hdr_quantiles" -> (hdrQuantiles _),
     "sketch_heavy_hitters" -> (cmsHeavyHitters _),
     "sketch_kmv_grouped" -> (kmvGrouped _),
   )
@@ -302,7 +303,89 @@ object Sketches {
        |FROM r GROUP BY 1 ORDER BY register""".stripMargin
   }
 
+  /** Percentiles reported by [[hdrQuantiles]]. */
+  val HDR_PCTS = Seq(50L, 95L, 99L)
+
+  /** HDR-histogram-style approximate quantiles per event type — the
+    * monitoring-side quantile (p50/p95/p99 latency-panel shape) that
+    * EXACT rank selection (q45/q60) is too expensive to run per
+    * dashboard refresh at 100 TB. Bucket = binary exponent of the
+    * cents value plus 2 sub-exponent bits (≤ 12.5 % relative error,
+    * ≤ 64 buckets per group), so the histogram is a bounded,
+    * merge-by-addition sketch: one scan, map-side-combined counts,
+    * O(types · 64) rows ever shuffled or collected. The bucket math
+    * is pure integer (binary-digit length — no float log2), so the
+    * oracle replays the sketch CONTENTS and the quantile selection
+    * rule (smallest bucket with cumulative count ≥ ⌈pct·n/100⌉)
+    * exactly — the repo-wide sketch contract. */
+  def hdrQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir, "events")
+      .select($"event_type",
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("c"))
+      .select($"event_type",
+        expr("length(conv(c, 10, 2))").cast("long").as("L"), $"c")
+      .select($"event_type",
+        expr("CASE WHEN L >= 3 THEN L * 4 + (shiftright(c, " +
+          "CAST(L - 3 AS INT)) & 3) ELSE L * 4 END").as("bucket"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .collect() // bounded: types × ≤ 64 buckets
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = counts.groupBy(_._1).toSeq.flatMap { case (et, bs) =>
+      val sorted = bs.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      HDR_PCTS.map { pct =>
+        val threshold = (total * pct + 99L) / 100L
+        var cum = 0L
+        val bucket = sorted.collectFirst {
+          case (_, b, n) if { cum += n; cum >= threshold } => b
+        }.get
+        val l = bucket / 4
+        val sub = bucket % 4
+        val lb =
+          if (l < 3) 1L << (l - 1).toInt
+          else (1L << (l - 1).toInt) + (sub << (l - 3).toInt)
+        (et, pct, bucket, lb)
+      }
+    }
+    rows.toDF("event_type", "pct", "bucket", "lb_cents")
+      .orderBy($"event_type", $"pct")
+  }
+
   val oracles: Map[String, String] = Map(
+    // sketch-contents replay: identical integer bucket formula,
+    // cumulative window, and ceil-threshold selection rule
+    "sketch_hdr_quantiles" -> {
+      val pcts = HDR_PCTS.map(p => s"($p)").mkString(", ")
+      s"""WITH v AS (SELECT event_type,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+         |  FROM events),
+         |b AS (SELECT event_type, CAST(length(bin(c)) AS BIGINT) AS L, c
+         |      FROM v),
+         |bb AS (SELECT event_type,
+         |    CASE WHEN L >= 3 THEN L * 4 + ((c >> (L - 3)) & 3)
+         |         ELSE L * 4 END AS bucket
+         |  FROM b),
+         |g AS (SELECT event_type, bucket, count(*) AS n
+         |      FROM bb GROUP BY 1, 2),
+         |cw AS (SELECT event_type, bucket, n,
+         |    sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         |    sum(n) OVER (PARTITION BY event_type) AS tot
+         |  FROM g),
+         |q(pct) AS (VALUES $pcts),
+         |sel AS (SELECT event_type, CAST(pct AS BIGINT) AS pct,
+         |    min(bucket) AS bucket
+         |  FROM cw, q WHERE cum >= (tot * pct + 99) // 100
+         |  GROUP BY 1, 2)
+         |SELECT event_type, pct, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(CASE WHEN bucket // 4 < 3
+         |    THEN CAST(1 AS BIGINT) << CAST(bucket // 4 - 1 AS INTEGER)
+         |    ELSE (CAST(1 AS BIGINT) << CAST(bucket // 4 - 1 AS INTEGER))
+         |      + ((bucket % 4) << CAST(bucket // 4 - 3 AS INTEGER))
+         |    END AS BIGINT) AS lb_cents
+         |FROM sel ORDER BY event_type, pct""".stripMargin
+    },
     "sketch_hll_registers" -> hllRegistersSql("l_orderkey", "lineitem"),
     // the sketch is an internal lossless prefilter — the contract is
     // the plain exact heavy-key relation

@@ -143,4 +143,48 @@ class SketchSpec extends AnyFunSuite {
         .fromString("formatted"))
     assert(plan.contains("partial_count"), plan.take(3000))
   }
+
+  test("hdr quantiles: selected bucket CONTAINS the exact percentile") {
+    val got = Sketches.hdrQuantiles(spark, sfMid).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // exact per-type percentiles (lower-rank convention matches the
+    // ceil-threshold rule: value at 1-based rank ⌈pct·n/100⌉)
+    val vals = spark.read.parquet(s"$sfMid/events.parquet")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (((et, pct), (bucket, lb)) <- got) {
+      val v = vals(et)
+      val exact = v(((v.length * pct + 99) / 100 - 1).toInt)
+      // bucket upper bound: next sub-bucket's lower bound
+      val l = bucket / 4
+      val ub =
+        if (l < 3) (1L << l.toInt) - 1
+        else (1L << (l - 1).toInt) +
+          (((bucket % 4) + 1) << (l - 3).toInt) - 1
+      assert(lb <= exact && exact <= ub,
+        s"$et p$pct: exact $exact outside bucket [$lb, $ub]")
+    }
+  }
+
+  test("hdr quantiles: planted values bin with ≤ 12.5% relative error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdr").toString
+    // 100 values of 1.00 (100 cents: L=7, sub=(100>>4)&3=2 → bucket 30)
+    // and 1 value of 80.00 (8000 cents) — p50 lands in the 100-cent
+    // bucket, p99 still inside it (cum 100 ≥ ceil(99·101/100)=100)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    ((1 to 100).map(i => (i.toLong, "a", 1.00, t0)) :+
+        (101L, "a", 80.00, t0))
+      .toDF("event_id", "event_type", "value", "ts")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = Sketches.hdrQuantiles(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(50L) == (30L, 96L)) // lb 64+2·16 = 96 ≤ 100 < 112
+    assert(got(99L) == (30L, 96L))
+    // and the lower bound is within 12.5% below the true value 100
+    assert(got(50L)._2 >= 100L - 100L / 8 - 1)
+  }
 }
