@@ -261,5 +261,10 @@ object FrozenBaseline {
     // min-of-6 same box/harness: floors 0.63 / 0.43
     "pipeline_rag_index" -> 0.63,
     "sketch_hdr_quantiles" -> 0.43,
+    // round-13 batch-G additions (snapshot transition diff;
+    // farthest-point coreset), isolated BenchOne min-of-6 same
+    // box/harness: floors 1.09 / 1.33
+    "maint_snapshot_diff" -> 1.09,
+    "sample_coreset_fps" -> 1.33,
   )
 }

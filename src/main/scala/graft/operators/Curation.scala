@@ -305,7 +305,28 @@ object Curation {
     "sample_token_budget" -> (tokenBudgetSample _),
     "sample_temperature_mix" -> (temperatureMix _),
     "sample_split_assign" -> (splitAssign _),
+    "sample_coreset_fps" -> (coresetFps _),
   )
+
+  /** Squared-L2 between two quantized vectors in DuckDB (dim pinned at
+    * 64 like the Similarity oracles). */
+  private def fpsDistSql(e: String, c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 65), i ->
+       |        ($e.q[CAST(i AS INTEGER)] - $c.q[CAST(i AS INTEGER)])
+       |        * ($e.q[CAST(i AS INTEGER)] - $c.q[CAST(i AS INTEGER)]))),
+       |      (a, b) -> a + b)""".stripMargin
+
+  /** One unrolled greedy round for the FPS oracle. */
+  private def fpsIterSql(i: Int): String =
+    s"""d$i AS (SELECT e.vec_id, min(${fpsDistSql("e", "c")}) AS d
+       |  FROM e, cents${i - 1} c GROUP BY e.vec_id),
+       |sel$i AS (SELECT CAST($i AS BIGINT) AS rank, vec_id,
+       |    CAST(d AS BIGINT) AS dist_q
+       |  FROM d$i ORDER BY d DESC, vec_id LIMIT 1),
+       |cents$i AS (SELECT * FROM cents${i - 1}
+       |  UNION ALL SELECT s.vec_id, e.q FROM sel$i s
+       |  JOIN e ON s.vec_id = e.vec_id)""".stripMargin
 
   /** Train/val/test split boundaries in percent: bucket < 80 → train,
     * < 90 → val, else test. */
@@ -334,6 +355,63 @@ object Curation {
           .when($"bucket" < SPLIT_VAL_PCT, "val").otherwise("test")
           .as("split"))
       .orderBy($"doc_id")
+  }
+
+  /** Coreset size for [[coresetFps]]. */
+  val CORESET_K = 8
+  /** Milli-unit quantization of embedding coordinates. */
+  val CORESET_SCALE = 1000.0
+
+  /** Farthest-point-sampling coreset (greedy k-center, Gonzalez 1985)
+    * over the embedding corpus — the diversity-selection pass a
+    * data-pruning pipeline runs to pick maximally-spread exemplars
+    * (the opposite selection pressure from dedup's
+    * nearest-pair removal). Seed = smallest vec_id; each round adds
+    * the point FARTHEST from the selected set (squared L2 on
+    * milli-quantized integer coordinates; ties → smallest vec_id) and
+    * reports its distance — the classic non-increasing coverage-radius
+    * sequence, asserted in spec.
+    *
+    * Scale shape: k rounds × one scan each — the intrinsic greedy
+    * cost (a 100 TB deployment samples first or keeps k small). Per
+    * round the selected set ships as ≤ k literal arrays inside a
+    * columnar `least(zip_with…aggregate…)` expression (no join, no
+    * shuffle), and the argmax is one map-side-combinable
+    * `max(struct(dist, −vec_id))` — nothing data-proportional ever
+    * reaches the driver. All-integer distances make the greedy
+    * trajectory partition-independent and oracle-replayable. */
+  def coresetFps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables(s, dir, "embeddings")
+      .select($"vec_id",
+        expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          s"x -> CAST(floor(x * $CORESET_SCALE + 0.5) AS BIGINT))")
+          .as("q"))
+      .localCheckpoint() // read k times; quantize once
+    val seed = q.orderBy($"vec_id").select($"vec_id", $"q")
+      .as[(Long, Seq[Long])].head()
+    var centers = Vector((seed._1, seed._2, 0L)) // (id, q, dist at pick)
+    (1 until CORESET_K).foreach { _ =>
+      val distExprs = centers.map { case (_, cq, _) =>
+        val clit = array(cq.map(lit): _*)
+        aggregate(zip_with($"q", clit, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, t) => acc + t)
+      }
+      val dmin = if (distExprs.size == 1) distExprs.head
+        else least(distExprs: _*)
+      val picked = q
+        .select($"vec_id", $"q", dmin.as("d"))
+        .agg(max(struct($"d", (-$"vec_id").as("nid"))).as("m"))
+        .select($"m.d", (-$"m.nid").as("vec_id"))
+        .as[(Long, Long)].head() // bounded: one row
+      val pq = q.filter($"vec_id" === picked._2)
+        .select($"q").as[Seq[Long]].head()
+      centers :+= ((picked._2, pq, picked._1))
+    }
+    centers.zipWithIndex
+      .map { case ((id, _, d), r) => (r.toLong, id, d) }
+      .toDF("rank", "vec_id", "dist_q")
+      .orderBy($"rank")
   }
 
   val oracles: Map[String, String] = Map(
@@ -451,6 +529,23 @@ object Curation {
          |WHERE ($bucket) < permille
          |ORDER BY doc_id""".stripMargin
     },
+    // full greedy replay: identical milli-quantization, 7 unrolled
+    // argmax rounds with the same (dist DESC, vec_id ASC) tiebreak
+    "sample_coreset_fps" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * $CORESET_SCALE + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |sel0 AS (SELECT CAST(0 AS BIGINT) AS rank, vec_id,
+         |    CAST(0 AS BIGINT) AS dist_q
+         |  FROM e ORDER BY vec_id LIMIT 1),
+         |cents0 AS (SELECT s.vec_id, e.q FROM sel0 s
+         |  JOIN e ON s.vec_id = e.vec_id),
+         |${(1 until CORESET_K).map(fpsIterSql).mkString(",\n")}
+         |SELECT rank, vec_id, dist_q FROM (
+         |  ${(0 until CORESET_K).map(i => s"SELECT * FROM sel$i")
+            .mkString("\n  UNION ALL ")})
+         |ORDER BY rank""".stripMargin,
     "sample_split_assign" -> {
       val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 100"
       s"""WITH h AS (SELECT doc_id, lang, CAST($bucket AS BIGINT) AS bucket

@@ -510,30 +510,67 @@ object Maintenance {
     *    single-shuffle shape as [[Cdc]]'s upsert apply, no window.
     * Output is the as-of-v1 status census, which the oracle recomputes
     * from `orders` alone (v1 updates applied, v2 invisible). */
-  def snapshotRead(s: SparkSession, dir: String): DataFrame = {
+  /** Latest-wins state (k, status, price_cents) as of `asOf`, reading
+    * only manifest-selected files — the shared core of
+    * [[snapshotRead]] and [[snapshotDiff]]. */
+  private def asOfState(
+      s: SparkSession, root: String, asOf: Long): DataFrame = {
     import s.implicits._
-    val root = ensureSnapshots(s, dir)
     val manifest = s.read.json(s"$root/manifest")
       .select($"version".cast("long"), $"path".as[String])
       .as[(Long, String)]
       .collect() // bounded: one row per commit
       .toSeq.sortBy(_._1)
-    val selected = manifest.filter(_._1 <= SNAP_AS_OF)
+    val selected = manifest.filter(_._1 <= asOf)
     val unioned = selected.map { case (v, p) =>
       s.read.parquet(p).withColumn("version", lit(v))
     }.reduce(_ unionAll _)
     unioned
       .groupBy($"k")
       .agg(max(struct($"version", $"status", $"price_cents")).as("m"))
-      .select($"m.status".as("status"), $"m.price_cents".as("price_cents"))
+      .select($"k", $"m.status".as("status"),
+        $"m.price_cents".as("price_cents"))
+  }
+
+  def snapshotRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    asOfState(s, ensureSnapshots(s, dir), SNAP_AS_OF)
       .groupBy($"status")
       .agg(count(lit(1)).as("n_orders"),
         sum($"price_cents").as("sum_cents"))
       .orderBy($"status")
   }
 
+  /** Incremental snapshot DIFF — what changed between two committed
+    * versions (the CDC-read / audit question a lakehouse answers from
+    * its log): transition census old→new with row counts and the net
+    * value delta. Both states come from [[asOfState]] (manifest-pruned
+    * reads), joined once on the key; unchanged rows drop out in the
+    * filter, so the output is proportional to the CHANGE SET, not the
+    * table. In a production log the v2 state would read only the
+    * delta files newer than v1 — here both sides still prune by
+    * manifest, and the join is the single shuffle. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensureSnapshots(s, dir)
+    val v1 = asOfState(s, root, SNAP_AS_OF)
+      .select($"k", $"status".as("old_status"),
+        $"price_cents".as("old_cents"))
+    val v2 = asOfState(s, root, SNAP_AS_OF + 1)
+      .select($"k", $"status".as("new_status"),
+        $"price_cents".as("new_cents"))
+    v1.join(v2, "k")
+      .filter($"old_status" =!= $"new_status" ||
+        $"old_cents" =!= $"new_cents")
+      .groupBy($"old_status", $"new_status")
+      .agg(count(lit(1)).as("n_changed"),
+        sum($"new_cents" - $"old_cents").as("delta_cents"))
+      .orderBy($"old_status", $"new_status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_snapshot_read" -> (snapshotRead _),
+    "maint_snapshot_diff" -> (snapshotDiff _),
     "maint_zorder_cluster" -> (zorderCluster _),
     "maint_file_skipping" -> (fileSkipping _),
     "maint_zorder_write" -> (zorderWrite _),
@@ -567,6 +604,21 @@ object Maintenance {
          |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
          |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
          |FROM snapv1 GROUP BY status ORDER BY status""".stripMargin,
+    // the v1→v2 transition census from first principles: v2 touches
+    // keys ≡ 0 (mod 5); their v1 state was U1 for keys also ≡ 0
+    // (mod 7) (delta 250−100) else the base status (delta 250)
+    "maint_snapshot_diff" ->
+      s"""WITH ch AS (SELECT
+         |    CASE WHEN o_orderkey % $SNAP_V1_MOD = 0 THEN 'U1'
+         |         ELSE o_orderstatus END AS old_status,
+         |    CASE WHEN o_orderkey % $SNAP_V1_MOD = 0 THEN 150
+         |         ELSE 250 END AS delta
+         |  FROM orders WHERE o_orderkey % $SNAP_V2_MOD = 0)
+         |SELECT old_status, 'U2' AS new_status,
+         |  CAST(count(*) AS BIGINT) AS n_changed,
+         |  CAST(sum(delta) AS BIGINT) AS delta_cents
+         |FROM ch GROUP BY old_status
+         |ORDER BY old_status, new_status""".stripMargin,
     // pruning is lossless (overlap test) — the contract is the plain
     // filtered scan, blind to the layout
     "maint_file_skipping" ->

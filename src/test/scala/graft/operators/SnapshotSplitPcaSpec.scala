@@ -34,6 +34,61 @@ class SnapshotSplitPcaSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v2")))
   }
 
+  test("snapshot diff: transition census matches the two as-of states") {
+    import spark.implicits._
+    val diff = Maintenance.snapshotDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // every change lands on U2 (the v2 commit), never anything else
+    assert(diff.keySet.forall(_._2 == "U2"))
+    // census from orders directly: keys ≡0 (mod 5) change; old state
+    // U1 iff also ≡0 (mod 7); delta 150 from U1 (250−100) else 250
+    val o = Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % Maintenance.SNAP_V2_MOD == 0)
+    val expect = o.groupBy { case (k, st) =>
+        if (k % Maintenance.SNAP_V1_MOD == 0) "U1" else st
+      }.map { case (old, rows) =>
+        (old, "U2") -> (rows.length.toLong,
+          rows.map(r => if (old == "U1") 150L else 250L).sum)
+      }
+    assert(diff == expect)
+    // mass check vs the two reads: total changed == count of mod-5 keys
+    assert(diff.values.map(_._1).sum == o.length.toLong)
+  }
+
+  test("coreset fps: planted clusters — greedy picks one per cluster first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fps").toString
+    // three tight clusters far apart on a 4-dim line + noise dims;
+    // ids 0-9 at x≈0, 10-19 at x≈100, 20-29 at x≈200
+    val rows = (0 until 30).map { i =>
+      val base = (i / 10) * 100.0f
+      (i.toLong, Array(base + (i % 10) * 0.001f, 0.0f, 0.0f, 0.0f))
+    }
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = Curation.coresetFps(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // seed = vec 0 (cluster A); picks 1-2 must cover clusters C then B
+    assert(got(0)._2 == 0L)
+    assert(got(1)._2 / 10 == 2L, s"second pick should be the far cluster: $got")
+    assert(got(2)._2 / 10 == 1L, s"third pick should be the mid cluster: $got")
+    // coverage radius is non-increasing after the seed row
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("coreset fps on testdata: k rows, distinct ids, radius non-increasing") {
+    val got = Curation.coresetFps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == Curation.CORESET_K)
+    assert(got.map(_._2).distinct.length == Curation.CORESET_K)
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+  }
+
   test("split assignment: partition-layout invariant, percent-banded") {
     import spark.implicits._
     val a = Curation.splitAssign(spark, sf).collect()
