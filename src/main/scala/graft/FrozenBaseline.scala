@@ -266,5 +266,8 @@ object FrozenBaseline {
     // box/harness: floors 1.09 / 1.33
     "maint_snapshot_diff" -> 1.09,
     "sample_coreset_fps" -> 1.33,
+    // round-13 batch-H addition (streaming HDR quantiles), isolated
+    // BenchOne min-of-6 same box/harness: floor 1.13
+    "q61_streaming_hdr" -> 1.13,
   )
 }

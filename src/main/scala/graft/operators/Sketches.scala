@@ -318,9 +318,12 @@ object Sketches {
     * oracle replays the sketch CONTENTS and the quantile selection
     * rule (smallest bucket with cumulative count ≥ ⌈pct·n/100⌉)
     * exactly — the repo-wide sketch contract. */
-  def hdrQuantiles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val counts = Tables(s, dir, "events")
+  /** (event_type, bucket, n) histogram from a raw events frame —
+    * shared by the batch operator and the streaming twin (works on
+    * both: the groupBy is a bounded complete-mode aggregate). */
+  private[operators] def hdrHistogram(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
       .select($"event_type",
         expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("c"))
       .select($"event_type",
@@ -330,8 +333,13 @@ object Sketches {
           "CAST(L - 3 AS INT)) & 3) ELSE L * 4 END").as("bucket"))
       .groupBy($"event_type", $"bucket")
       .agg(count(lit(1)).as("n"))
-      .collect() // bounded: types × ≤ 64 buckets
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+  }
+
+  /** Quantile selection from collected histogram cells (bounded:
+    * types × ≤ 64 buckets) — shared driver-side tail. */
+  private[operators] def hdrSelect(
+      s: SparkSession, counts: Seq[(String, Long, Long)]): DataFrame = {
+    import s.implicits._
     val rows = counts.groupBy(_._1).toSeq.flatMap { case (et, bs) =>
       val sorted = bs.sortBy(_._2)
       val total = sorted.map(_._3).sum
@@ -351,6 +359,14 @@ object Sketches {
     }
     rows.toDF("event_type", "pct", "bucket", "lb_cents")
       .orderBy($"event_type", $"pct")
+  }
+
+  def hdrQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val counts = hdrHistogram(Tables(s, dir, "events")
+        .select(col("event_type"), col("value")))
+      .collect() // bounded: types × ≤ 64 buckets
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    hdrSelect(s, counts)
   }
 
   val oracles: Map[String, String] = Map(

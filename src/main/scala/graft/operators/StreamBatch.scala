@@ -691,7 +691,40 @@ object StreamBatch {
     Sketches.cmsEstimates(s, rows.toDF("d", "bucket", "c"))
   }
 
+  /** Streaming HDR quantile sketch — the dashboard p50/p95/p99 as a
+    * live stream: the same bucket histogram as
+    * [[Sketches.hdrQuantiles]] built as a complete-mode streaming
+    * aggregation (state bounded at types × ≤ 64 cells at any rate;
+    * counts merge by addition, so batching/arrival order cannot move
+    * a value across buckets), drained, then the shared ceil-threshold
+    * selection. Stream == batch bit-exactly: the batch oracle applies
+    * verbatim — the fourth additive sketch with a streaming twin
+    * (KMV, HLL, CMS, HDR). */
+  def streamingHdr(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
+    import s.implicits._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val hist = Sketches.hdrHistogram(
+      Tables.eventsReadStream(s, dir, rawSchema)
+        .select($"event_type", $"value"))
+    val table = s"graft_stream_hdr_${nameCounter.incrementAndGet()}"
+    val q = hist.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q, "q61_streaming_hdr")
+    val rows = s.table(table)
+      .as[(String, Long, Long)].collect().toSeq // bounded cells
+    s.catalog.dropTempView(table)
+    Sketches.hdrSelect(s, rows)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_streaming_hdr" -> (streamingHdr _),
     "q58_streaming_cms" -> (streamingCms _),
     "q56_streaming_hll" -> (streamingHll _),
     "q57_stream_dedup_bounded" -> (streamingDedupBounded _),
@@ -713,6 +746,8 @@ object StreamBatch {
     // stream == batch for an additive-count sketch: the batch CMS
     // point-query replay applies verbatim
     "q58_streaming_cms" -> Sketches.oracles("sketch_cms_freq"),
+    // same additivity argument for the bucket histogram
+    "q61_streaming_hdr" -> Sketches.oracles("sketch_hdr_quantiles"),
     // the < 24h dup span vs 48h horizon argument above makes the
     // watermarked dedup's key set equal the batch DISTINCT
     "q57_stream_dedup_bounded" ->

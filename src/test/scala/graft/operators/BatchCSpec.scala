@@ -32,6 +32,16 @@ class BatchCSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming HDR == batch HDR, row for row") {
+    val batch = Sketches.hdrQuantiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val stream = StreamBatch.streamingHdr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(stream == batch)
+  }
+
   test("abtt projection: coefficient replays the integer dot product") {
     val (v, _) = Similarity.pcaVector(spark, sf)
     import spark.implicits._
