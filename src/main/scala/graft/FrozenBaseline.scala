@@ -266,8 +266,10 @@ object FrozenBaseline {
     // box/harness: floors 1.09 / 1.33
     "maint_snapshot_diff" -> 1.09,
     "sample_coreset_fps" -> 1.33,
-    // round-13 batch-H addition (streaming HDR quantiles), isolated
-    // BenchOne min-of-6 same box/harness: floor 1.13
+    // round-13 batch-H additions (streaming HDR quantiles; DSIR
+    // importance weights), isolated BenchOne min-of-6 same
+    // box/harness: floors 1.13 / 0.85
     "q61_streaming_hdr" -> 1.13,
+    "sample_dsir_weights" -> 0.85,
   )
 }

@@ -306,6 +306,7 @@ object Curation {
     "sample_temperature_mix" -> (temperatureMix _),
     "sample_split_assign" -> (splitAssign _),
     "sample_coreset_fps" -> (coresetFps _),
+    "sample_dsir_weights" -> (dsirWeights _),
   )
 
   /** Squared-L2 between two quantized vectors in DuckDB (dim pinned at
@@ -414,7 +415,80 @@ object Curation {
       .orderBy($"rank")
   }
 
+  /** The DSIR target domain: documents from this source play the
+    * "benchmark-like" corpus whose distribution we want to match. */
+  val DSIR_TARGET = "src0"
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): score every document by
+    * Σ_tokens [log p_target(t) − log p_raw(t)] so a downstream sampler
+    * can resample the raw corpus toward the target domain. Here the
+    * log-ratio uses the SAME integer-log2 quantization as the
+    * surprisal family — per-token weight = floor(log2(T_raw div c_raw))
+    * − floor(log2(T_tgt div c_tgt)), i.e. raw-surprisal minus
+    * target-surprisal in whole bits, summed as a Long — so the score
+    * is partition-independent and the oracle replays it bit-exactly
+    * (`length(conv(x,10,2))` == DuckDB `length(bin(x))`). Tokens
+    * absent from either domain's vocabulary contribute nothing
+    * (hashed-DSIR's OOV convention); `n_scored` reports coverage so a
+    * caller can spot low-overlap documents.
+    *
+    * Scale shape: BOTH domain LMs build in ONE tokenize scan
+    * (conditional aggregation per term, map-side combined); totals are
+    * a bounded 1-row collect; scoring is one join keyed on the term
+    * (vocabulary-proportional, AQE picks the side) + one per-doc
+    * aggregation. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("term"))
+    val counts = tok.groupBy($"term")
+      .agg(sum(when($"source" === DSIR_TARGET, 1L).otherwise(0L)).as("ct"),
+        sum(when($"source" =!= DSIR_TARGET, 1L).otherwise(0L)).as("cs"))
+      .localCheckpoint() // read 2× (totals, weights)
+    val (tt, ts) = counts.agg(sum($"ct"), sum($"cs"))
+      .as[(Long, Long)].head() // bounded: one row
+    val w = counts.filter($"ct" > 0 && $"cs" > 0)
+      .select($"term",
+        ((length(conv(expr(s"${ts}L div cs"), 10, 2)) - 1) -
+          (length(conv(expr(s"${tt}L div ct"), 10, 2)) - 1))
+          .cast("long").as("wq"))
+    val scored = tok.join(w, "term")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum($"wq").as("weight_sum"))
+    Tables(s, dir, "documents").select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_scored", lit(0L)).as("n_scored"),
+        coalesce($"weight_sum", lit(0L)).as("weight_sum"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    // full integer-log2 replay: one conditional count pass per term,
+    // whole-bit log-ratio, Long sums
+    "sample_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |    unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |c AS (SELECT term,
+         |    sum(CASE WHEN source = '$DSIR_TARGET' THEN 1 ELSE 0 END)
+         |      AS ct,
+         |    sum(CASE WHEN source <> '$DSIR_TARGET' THEN 1 ELSE 0 END)
+         |      AS cs
+         |  FROM tok GROUP BY 1),
+         |t AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM c),
+         |w AS (SELECT term,
+         |    CAST((length(bin(ts // cs)) - 1)
+         |      - (length(bin(tt // ct)) - 1) AS BIGINT) AS wq
+         |  FROM c, t WHERE ct > 0 AND cs > 0),
+         |d AS (SELECT tok.doc_id, count(*) AS n, sum(wq) AS sw
+         |  FROM tok JOIN w USING (term) GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(coalesce(n, 0) AS BIGINT) AS n_scored,
+         |  CAST(coalesce(sw, 0) AS BIGINT) AS weight_sum
+         |FROM documents LEFT JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // composes the dedup_clusters recursive-closure oracle with the
     // text_quality_score replay; keeper = window argmax with the same
     // (quality DESC, doc_id ASC) tiebreak

@@ -34,4 +34,39 @@ class WeightedSampleSpec extends AnyFunSuite {
     }.sorted.take(Curation.WEIGHTED_K).map(_._2).toSet
     assert(out.keySet == ref)
   }
+
+  test("dsir: target-like documents outweigh off-domain documents") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    // target domain (src0) speaks {alpha beta}; the raw pool (src1)
+    // mostly speaks {gamma delta} with a few target-like docs mixed in
+    val target = (0L until 20L).map(i => (i, "alpha beta alpha beta", "src0"))
+    val rawOff = (20L until 40L).map(i => (i, "gamma delta gamma delta", "src1"))
+    val rawLike = (40L until 44L).map(i => (i, "alpha beta alpha beta", "src1"))
+    (target ++ rawOff ++ rawLike)
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Curation.dsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = got.map(x => x._1 -> x._3).toMap
+    // every target-like raw doc must outweigh every off-domain raw doc
+    for (like <- 40L until 44L; off <- 20L until 40L)
+      assert(byId(like) > byId(off), s"doc $like vs $off")
+    // gamma/delta never appear in the target → contribute nothing →
+    // off-domain docs score 0 tokens
+    val offRows = got.filter(x => x._1 >= 20 && x._1 < 40)
+    assert(offRows.forall(x => x._2 == 0L && x._3 == 0L))
+    // coverage column counts only both-vocab tokens
+    assert(got.filter(_._1 < 20).forall(_._2 == 4L))
+  }
+
+  test("dsir on testdata: deterministic, full coverage column sane") {
+    val a = Curation.dsirWeights(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Curation.dsirWeights(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+    // shared synthetic vocabulary → most tokens score
+    assert(a.count(_._2 > 0) > a.length / 2)
+  }
 }
