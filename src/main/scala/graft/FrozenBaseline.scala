@@ -271,5 +271,10 @@ object FrozenBaseline {
     // box/harness: floors 1.13 / 0.85
     "q61_streaming_hdr" -> 1.13,
     "sample_dsir_weights" -> 0.85,
+    // round-13 batch-J additions (event-transition matrix; robust
+    // per-type outlier flags), isolated BenchOne min-of-6 same
+    // box/harness: floors 0.76 / 0.66
+    "q62_event_transitions" -> 0.76,
+    "q63_robust_outliers" -> 0.66,
   )
 }

@@ -990,9 +990,75 @@ object Relational {
     Seq((n, med, mad)).toDF("n_orders", "median_cents", "mad_cents")
   }
 
+  /** Event-sequence transition matrix (first-order Markov counts): for
+    * each user's time-ordered event stream, count (prev_type →
+    * next_type) transitions and each transition's share of its source
+    * state in integer permille. The per-user ordering is ONE window
+    * (lag over user_id — the same exchange sessionization rides);
+    * everything after is a map-side-combinable aggregate, and the
+    * permille normalization is a window over the |types|² aggregated
+    * relation, which is bounded regardless of corpus size. Integer
+    * division keeps the share partition-independent. */
+  def q62EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_permille",
+        expr("n * 1000 div sum(n) OVER (PARTITION BY prev_type)"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  /** Robust per-group anomaly flags: daily value totals per event
+    * type, flagged when the day deviates from its type's median by
+    * more than 3× the type's MAD (the classic robust z-score monitor —
+    * outliers cannot drag the threshold the way mean/stddev lets
+    * them). Exact and integer-only: values quantized to cents PER ROW
+    * (then Long sums — partition-independent), both medians are the
+    * lower median selected by row_number over the DAILY relation.
+    * Scale shape: the events scan reduces to (type × day) rows FIRST —
+    * one map-side-combinable aggregate — so the four windows run over
+    * a bounded relation (days per type), never over raw events;
+    * `greatest(mad, 1)` keeps a zero-spread group from dividing by
+    * zero while still flagging any deviation. */
+  def q63RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .select($"event_type", date_trunc("day", $"ts").as("day"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("vc"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"vc").as("v"))
+    val overType = Window.partitionBy($"event_type")
+    val med = daily
+      .withColumn("rn",
+        row_number().over(overType.orderBy($"v", $"day")))
+      .withColumn("cnt", count(lit(1)).over(overType))
+      .filter($"rn" === expr("(cnt + 1) div 2"))
+      .select($"event_type", $"v".as("med"))
+    val dev = daily.join(med, "event_type")
+      .withColumn("ad", abs($"v" - $"med"))
+    val mad = dev
+      .withColumn("rn",
+        row_number().over(overType.orderBy($"ad", $"day")))
+      .withColumn("cnt", count(lit(1)).over(overType))
+      .filter($"rn" === expr("(cnt + 1) div 2"))
+      .select($"event_type", $"ad".as("mad"))
+    dev.join(mad, "event_type")
+      .select($"event_type", $"day", $"v", $"med", $"mad",
+        when($"ad" > lit(3) * greatest($"mad", lit(1L)), 1L)
+          .otherwise(0L).as("is_outlier"))
+      .orderBy($"event_type", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_skyline" -> (q59Skyline _),
     "q60_mad_robust" -> (q60MadRobust _),
+    "q62_event_transitions" -> (q62EventTransitions _),
+    "q63_robust_outliers" -> (q63RobustOutliers _),
     "q55_bloom_join_prune" -> (q55BloomJoinPrune _),
     "q53_window_funcs" -> (q53WindowFuncs _),
     "q54_multiset_ops" -> (q54MultisetOps _),
@@ -1036,6 +1102,43 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_event_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, count(*) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000 // sum(n) OVER (PARTITION BY prev_type)
+        |    AS BIGINT) AS p_permille
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "q63_robust_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, v AS med FROM (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM daily) WHERE rn = (cnt + 1) // 2),
+        |d AS (SELECT daily.event_type, day, v, med, abs(v - med) AS ad
+        |  FROM daily JOIN m USING (event_type)),
+        |md AS (SELECT event_type, ad AS mad FROM (
+        |  SELECT event_type, ad,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ad, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM d) WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_type, day, v, med, mad,
+        |  CAST(CASE WHEN ad > 3 * greatest(mad, 1) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_outlier
+        |FROM d JOIN md USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
     // independent formulation: the O(n²) NOT EXISTS dominance
     // definition — agreeing with the engine's prefix-scan is the check
     "q59_skyline" ->
