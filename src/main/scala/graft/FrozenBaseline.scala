@@ -276,5 +276,10 @@ object FrozenBaseline {
     // box/harness: floors 0.76 / 0.66
     "q62_event_transitions" -> 0.76,
     "q63_robust_outliers" -> 0.66,
+    // round-13 batch-K additions (cross-doc span census; ranked
+    // shared-shingle similarity), isolated BenchOne min-of-6 same
+    // box/harness: floors 1.10 / 1.51
+    "dedup_span_crossdoc" -> 1.10,
+    "text_doc_similarity" -> 1.51,
   )
 }

@@ -30,14 +30,18 @@ object Decontaminate {
     * membership bit-exactly. */
   val BENCH_PERMILLE = 100L
 
-  /** Distinct, sorted 13-gram hashes per doc. Plain JVM loop per doc
-    * (same rationale as [[Dedup]]'s shingleSets: ~15x faster than
+  /** Distinct, sorted `width`-gram hashes per doc. Plain JVM loop per
+    * doc (same rationale as [[Dedup]]'s shingleSets: ~15x faster than
     * interpreted HOF lambdas for per-doc work); the benchmark BUCKET
     * is deliberately NOT computed here — it's a columnar native
     * `mix64_bucket` expression added by [[decontaminate]], keeping the
-    * membership predicate codegen'd. */
-  private def gramSets(
-      s: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
+    * membership predicate codegen'd. Width is a parameter because the
+    * same pass serves three operators: 13-gram decontamination (this
+    * module), 20-word cross-doc span census ([[Dedup.spanCrossdoc]]),
+    * 5-word similarity shingles ([[Retrieval.docSimilarity]]). */
+  private[operators] def gramSets(
+      s: SparkSession, dir: String,
+      width: Int = NGRAM): Dataset[(Long, Array[Long])] = {
     import s.implicits._
     Tables(s, dir, "documents")
       .select($"doc_id", $"text")
@@ -45,13 +49,13 @@ object Decontaminate {
       .as[(Long, String)]
       .map { case (id, text) =>
         val words = text.split(' ')
-        val n = math.max(words.length - (NGRAM - 1), 0)
+        val n = math.max(words.length - (width - 1), 0)
         val raw = new Array[Long](n)
         var i = 0
         while (i < n) {
           val sb = new java.lang.StringBuilder
           var j = 0
-          while (j < NGRAM) {
+          while (j < width) {
             if (j > 0) sb.append(' ')
             sb.append(words(i + j))
             j += 1

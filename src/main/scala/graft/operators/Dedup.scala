@@ -398,7 +398,42 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Cross-document repeated-span census — the word-level analogue of
+    * exact substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): every [[SPAN_W]]-word span
+    * is fingerprinted; a span whose fingerprint occurs in ≥ 2 DISTINCT
+    * documents marks each of them. Output: one row per affected doc —
+    * (doc_id, n_spans, n_shared) where n_shared counts the doc's
+    * distinct spans that some OTHER doc also contains; a downstream
+    * trimmer drops or clips exactly those spans.
+    *
+    * Scale shape (100 TB): spans are distinct per doc, so the span
+    * census `count(*) per fingerprint` IS the distinct-doc count — one
+    * map-side-combinable aggregation; the rollup is one
+    * fingerprint-keyed join back (AQE-planned) + one doc-keyed
+    * aggregation. No pair expansion EVER — partner lists are the
+    * quadratic trap on boilerplate spans; the df ≥ 2 flag is all the
+    * semantics needs, so flood-prone spans cost one counter row, not
+    * df² pairs. Output is proportional to the duplicated subset. */
+  val SPAN_W = 20
+
+  def spanCrossdoc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Decontaminate.gramSets(s, dir, SPAN_W)
+      .toDF("doc_id", "grams")
+      .select($"doc_id", size($"grams").cast("long").as("n_spans"),
+        explode($"grams").as("g"))
+      .localCheckpoint() // read twice (span census, doc rollup)
+    val census = grams.groupBy($"g").agg(count(lit(1)).as("nd"))
+    grams.join(census.filter($"nd" >= 2), "g")
+      .groupBy($"doc_id", $"n_spans")
+      .agg(count(lit(1)).as("n_shared"))
+      .select($"doc_id", $"n_spans", $"n_shared")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_crossdoc" -> (spanCrossdoc _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "dedup_containment" -> (containmentPairs _),
@@ -425,6 +460,25 @@ object Dedup {
       |ORDER BY da, db""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // joins on the raw 20-word span STRINGS (no hash) — an independent
+    // re-derivation; a Spark-side fingerprint collision would show up
+    // as a count mismatch here
+    "dedup_span_crossdoc" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 18),
+        |      i -> array_to_string(w[i:i+19], ' '))) AS g
+        |  FROM words WHERE len(w) >= 20),
+        |c AS (SELECT g, count(*) AS nd FROM grams GROUP BY 1),
+        |sizes AS (SELECT doc_id, count(*) AS n_spans
+        |  FROM grams GROUP BY 1),
+        |sh AS (SELECT doc_id, count(*) AS n_shared
+        |  FROM grams JOIN c USING (g) WHERE nd >= 2 GROUP BY 1)
+        |SELECT sh.doc_id, CAST(sizes.n_spans AS BIGINT) AS n_spans,
+        |  CAST(sh.n_shared AS BIGINT) AS n_shared
+        |FROM sh JOIN sizes ON sh.doc_id = sizes.doc_id
+        |ORDER BY sh.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         | count(*) AS n_copies

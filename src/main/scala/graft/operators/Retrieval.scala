@@ -178,12 +178,95 @@ object Retrieval {
       .orderBy($"lang")
   }
 
+  /** Doc-doc similarity shingle width / boilerplate df cap / top-k. */
+  val SIM_SHINGLE_W = 5
+  val SIM_DF_CAP = 100L
+  val SIM_K = 5
+
+  /** Sparse document-to-document similarity search: for every
+    * document, its [[SIM_K]] most similar peers ranked by the
+    * idf-weighted count of shared [[SIM_SHINGLE_W]]-word shingles —
+    * the inverted-index AllPairs shape (Bayardo et al. 2007), the
+    * ranked complement of the thresholded [[Dedup]] family. The idf
+    * weight is the integer-log2 bit count `bits(N div df)` (same
+    * quantization as the surprisal family), squared per shared
+    * shingle (binary-tf vectors: the product of the two idf weights),
+    * so every score is a partition-independent Long the oracle
+    * replays bit-exactly.
+    *
+    * Scale shape (100 TB): join volume is Σ_shingle df², kept sparse
+    * by construction — shingles with df = 1 can't contribute and are
+    * pruned BEFORE the pair join, shingles with df > [[SIM_DF_CAP]]
+    * are boilerplate (near-zero idf, quadratic pair cost) and dropped
+    * like AllPairs' stop-term prefix filter (documented loss). The
+    * per-doc top-k goes through the bounded [[TopK.BottomKLongAgg]]
+    * (≤ k rows per doc per map task cross the shuffle), never a
+    * window over the pair set. */
+  def docSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Tables(s, dir, "documents").count()
+    val grams = Decontaminate.gramSets(s, dir, SIM_SHINGLE_W)
+      .toDF("doc_id", "grams")
+      .select($"doc_id", explode($"grams").as("g"))
+      .localCheckpoint() // read twice (df census, both pair-join sides)
+    val wt = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= SIM_DF_CAP)
+      .select($"g", expr(s"CAST(length(conv($n div df, 10, 2)) * " +
+        s"length(conv($n div df, 10, 2)) AS BIGINT)").as("w2"))
+    val pairs = grams.join(wt, "g")
+      .select($"g", $"doc_id".as("a"), $"w2")
+      .join(grams.select($"g", $"doc_id".as("b")), "g")
+      .filter($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(sum($"w2").as("dot_q"))
+    val agg = new TopK.BottomKLongAgg(SIM_K).toColumn.name("topk")
+    pairs
+      .select($"a", struct((-$"dot_q").as("rank"), $"b".as("key")).as("e"))
+      .as[(Long, TopK.LEntry)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg)
+      .flatMap { case (a, es) =>
+        es.zipWithIndex.map { case (e, i) =>
+          (a, (i + 1).toLong, e.key, -e.rank)
+        }
+      }
+      .toDF("doc_id", "rank", "nbr_id", "dot_q")
+      .orderBy($"doc_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> (bm25TopK _),
     "text_chunk_overlap" -> (chunkOverlap _),
+    "text_doc_similarity" -> (docSimilarity _),
     "pipeline_rag_index" -> (ragIndex _))
 
   val oracles: Map[String, String] = Map(
+    // full replay on the raw shingle STRINGS (no hash — collisions
+    // would mismatch): same df gates, same integer-log2 idf bits,
+    // same (dot DESC, nbr ASC) ranking via row_number
+    "text_doc_similarity" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(w) - ${SIM_SHINGLE_W - 2}),
+         |      i -> array_to_string(w[i:i+${SIM_SHINGLE_W - 1}], ' '))) AS g
+         |  FROM words WHERE len(w) >= $SIM_SHINGLE_W),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |c AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+         |wt AS (SELECT g,
+         |    CAST(length(bin(n // df)) * length(bin(n // df)) AS BIGINT)
+         |      AS w2
+         |  FROM c, nn WHERE df >= 2 AND df <= $SIM_DF_CAP),
+         |p AS (SELECT ga.doc_id AS doc_id, gb.doc_id AS nbr_id,
+         |    CAST(sum(w2) AS BIGINT) AS dot_q
+         |  FROM grams ga JOIN wt USING (g) JOIN grams gb USING (g)
+         |  WHERE ga.doc_id <> gb.doc_id GROUP BY 1, 2),
+         |r AS (SELECT doc_id, nbr_id, dot_q,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY dot_q DESC, nbr_id) AS rank
+         |  FROM p)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, nbr_id, dot_q
+         |FROM r WHERE rank <= $SIM_K ORDER BY doc_id, rank""".stripMargin,
     // full BM25 replay: same integer idf surrogate / per-mille
     // saturation / truncating division; top-k via row_number (the
     // oracle can afford the window; the engine side uses the bounded
