@@ -281,5 +281,10 @@ object FrozenBaseline {
     // box/harness: floors 1.10 / 1.51
     "dedup_span_crossdoc" -> 1.10,
     "text_doc_similarity" -> 1.51,
+    // round-13 batch-L additions (data-quality profile; referential
+    // audit), isolated BenchOne min-of-6 same box/harness:
+    // floors 1.30 / 1.62
+    "dq_profile" -> 1.30,
+    "dq_referential" -> 1.62,
   )
 }

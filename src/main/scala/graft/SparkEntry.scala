@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AltSources, AsofJoin, Bucketed, Cdc, Curation,
   Decontaminate, Dedup, EngineQueries, Graph, Incremental, Maintenance,
-  Multimodal, Partitioned, RangeJoin, Relational, Retrieval, Similarity,
-  Sketches, StreamBatch, TextAnalysis}
+  Multimodal, Partitioned, Quality, RangeJoin, Relational, Retrieval,
+  Similarity, Sketches, StreamBatch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
       AsofJoin.queries ++ Curation.queries ++ RangeJoin.queries ++
       StreamBatch.queries ++ Decontaminate.queries ++ Bucketed.queries ++ Partitioned.queries ++ AltSources.queries ++
       Maintenance.queries ++ Cdc.queries ++ Incremental.queries ++
-      Sketches.queries ++ Graph.queries ++ Retrieval.queries
+      Sketches.queries ++ Graph.queries ++ Retrieval.queries ++ Quality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       AsofJoin.oracles ++ Curation.oracles ++ RangeJoin.oracles ++
       StreamBatch.oracles ++ Decontaminate.oracles ++ Bucketed.oracles ++ Partitioned.oracles ++ AltSources.oracles ++
       Maintenance.oracles ++ Cdc.oracles ++ Incremental.oracles ++
-      Sketches.oracles ++ Graph.oracles ++ Retrieval.oracles
+      Sketches.oracles ++ Graph.oracles ++ Retrieval.oracles ++ Quality.oracles
 }
