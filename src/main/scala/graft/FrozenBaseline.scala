@@ -286,5 +286,8 @@ object FrozenBaseline {
     // floors 1.30 / 1.62
     "dq_profile" -> 1.30,
     "dq_referential" -> 1.62,
+    // round-13 batch-M addition (per-dimension embedding energy),
+    // isolated BenchOne min-of-6 same box/harness: floor 0.32
+    "emb_dim_energy" -> 0.32,
   )
 }

@@ -789,7 +789,42 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Per-dimension energy profile of the embedding corpus — the
+    * moment scan behind Matryoshka-style truncation and PCA sanity
+    * checks: for each of the 64 dimensions, exact integer first/second
+    * moments in milli-units (per-element `floor(x·1000 + 0.5)`, then
+    * Long sums — partition-independent) plus the integer variance
+    * surrogate `ss div n − (s div n)²` and a rank of dimensions by
+    * that energy. High-rank dims carry the signal; a truncation drops
+    * from the tail.
+    *
+    * Scale shape: posexplode to (dim, q) then ONE map-side-combined
+    * aggregate into exactly 64 groups — 64× scan rows through the
+    * partial aggregate, nothing else; the ranking window runs over the
+    * 64-row aggregated relation (bounded by construction). Long
+    * headroom: |q| ≤ ~10⁵ ⇒ Σq² stays under 2⁶³ to ~10¹² rows per
+    * dim. */
+  def dimEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val mom = Tables(s, dir, "embeddings")
+      .select(posexplode($"embedding".cast("array<double>")))
+      .select($"pos".cast("long").as("dim"),
+        expr("CAST(floor(col * 1000.0 + 0.5) AS BIGINT)").as("q"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"), sum($"q").as("sum_q"),
+        sum($"q" * $"q").as("sumsq_q"))
+    mom.select($"dim", $"n", $"sum_q", $"sumsq_q",
+        expr("sum_q div n").as("mean_milli"),
+        expr("sumsq_q div n - (sum_q div n) * (sum_q div n)")
+          .as("var_milli2"))
+      .withColumn("energy_rank", row_number()
+        .over(Window.orderBy($"var_milli2".desc, $"dim")).cast("long"))
+      .orderBy($"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_energy" -> (dimEnergy _),
     "emb_pca_power_iter" -> (pcaPowerIter _),
     "emb_abtt_project" -> (abttProject _),
     "ann_pq_topk" -> (pqTopK _),
@@ -836,6 +871,30 @@ object Similarity {
             s"w$t", s"m$t", s"v$t")).mkString(",\n")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same per-element milli quantization as the engine, same
+    // truncating-division variance surrogate, same (var DESC, dim)
+    // rank tiebreak
+    "emb_dim_energy" ->
+      """WITH e AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT CAST(i.i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(e.v[CAST(i.i AS INTEGER)] * 1000.0 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM e, range(1, 65) i(i)),
+        |m AS (SELECT dim, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sum_q,
+        |    CAST(sum(q * q) AS BIGINT) AS sumsq_q
+        |  FROM p GROUP BY 1),
+        |x AS (SELECT dim, n, sum_q, sumsq_q,
+        |    sum_q // n AS mean_milli,
+        |    sumsq_q // n - (sum_q // n) * (sum_q // n) AS var_milli2
+        |  FROM m)
+        |SELECT dim, CAST(n AS BIGINT) AS n, sum_q, sumsq_q,
+        |  CAST(mean_milli AS BIGINT) AS mean_milli,
+        |  CAST(var_milli2 AS BIGINT) AS var_milli2,
+        |  CAST(row_number() OVER (ORDER BY var_milli2 DESC, dim)
+        |    AS BIGINT) AS energy_rank
+        |FROM x ORDER BY dim""".stripMargin,
     // full PQ replay: medoid codebook by unsigned-mix64 order, argmin
     // encode (tie → smaller codeword), per-query LUT, m-ordered ADC
     // fold, rank by (adc ASC, neighbor ASC) — float folds sequential
