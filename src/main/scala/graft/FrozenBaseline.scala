@@ -289,5 +289,8 @@ object FrozenBaseline {
     // round-13 batch-M addition (per-dimension embedding energy),
     // isolated BenchOne min-of-6 same box/harness: floor 0.32
     "emb_dim_energy" -> 0.32,
+    // round-13 batch-N addition (streaming sliding-window rollup),
+    // isolated BenchOne min-of-6 same box/harness: floor 1.44
+    "q64_streaming_sliding" -> 1.44,
   )
 }

@@ -184,6 +184,37 @@ object StreamBatch {
       .orderBy($"day", $"event_type")
   }
 
+  /** SLIDING-window event rollup (1 h windows every 30 min), computed
+    * by a streaming query: every event lands in exactly two
+    * overlapping epoch-aligned windows, counted and cents-summed per
+    * (window, type). Counts and integer sums are commutative, so the
+    * result is independent of batching and arrival order by algebra —
+    * the same guarantee class as the q23 tumbling twin, now for the
+    * overlapping-window assignment (each input row fans out to
+    * width/slide = 2 state rows). Cents are quantized PER ROW before
+    * the sum (the repo-wide float rule). Drained distributed to
+    * parquet — output rows scale with (windows × types), never
+    * collected; a 24/7 deployment runs the identical plan in append
+    * mode with a watermark so state expires per closed window. */
+  def streamingSlidingAgg(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
+    import s.implicits._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val windowed = Tables.eventsTsFromNanos(
+      Tables.eventsReadStream(s, dir, rawSchema))
+      .select($"ts", $"event_type",
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("vc"))
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"),
+        $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"vc").as("sum_cents"))
+      .select($"w.start".as("win_start"), $"event_type",
+        $"n_events", $"sum_cents")
+    drainToParquet(s, windowed, "complete", "q64_streaming_sliding")
+      .orderBy($"win_start", $"event_type")
+  }
+
   /** Stream-stream interval join, executed by a real Structured
     * Streaming job: each `view` event joins the same user's `purchase`
     * events within the following hour. Both sides carry a watermark
@@ -724,6 +755,7 @@ object StreamBatch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_streaming_sliding" -> (streamingSlidingAgg _),
     "q61_streaming_hdr" -> (streamingHdr _),
     "q58_streaming_cms" -> (streamingCms _),
     "q56_streaming_hll" -> (streamingHll _),
@@ -739,6 +771,23 @@ object StreamBatch {
   )
 
   val oracles: Map[String, String] = Map(
+    // stream == batch for the overlapping-window rollup: each event
+    // belongs to the two epoch-aligned 30-min-slide windows
+    // (start = trunc30(ts) − o·30min, o ∈ {0,1}); counts/sums replay
+    // as plain batch aggregation over the fanned-out assignment
+    "q64_streaming_sliding" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (SELECT event_type, vc,
+        |    make_timestamp((us // 1800000000 - o.o) * 1800000000)
+        |      AS win_start
+        |  FROM e, (SELECT unnest([0, 1]) AS o) o)
+        |SELECT win_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(vc) AS BIGINT) AS sum_cents
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // stream == batch for an idempotent-max sketch: the batch HLL
     // register replay applies verbatim
     "q56_streaming_hll" ->
