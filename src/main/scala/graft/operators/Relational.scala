@@ -1032,6 +1032,8 @@ object Relational {
         expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("vc"))
       .groupBy($"event_type", $"day")
       .agg(sum($"vc").as("v"))
+      .localCheckpoint() // bounded (type × day); referenced 4× below —
+      // without this every reference re-scans the raw events table
     val overType = Window.partitionBy($"event_type")
     val med = daily
       .withColumn("rn",

@@ -602,4 +602,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition"),
       "order statistics must use distributed rank selection")
   }
+
+  test("q62: every window partitioned (user lag / prev-type share)") {
+    val plan = planOf(Relational.q62EventTransitions(spark, dir))
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, plan.take(2000))
+    windowLines.foreach(l => assert(
+      l.contains("user_id") || l.contains("prev_type"),
+      s"unpartitioned window: $l"))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q63: rank selections run over the materialized daily relation") {
+    val plan = planOf(Relational.q63RobustOutliers(spark, dir))
+    // the (type × day) pre-aggregate is checkpointed once — the final
+    // plan must never re-scan raw events into a window
+    assert(!plan.contains("events.parquet"),
+      "daily pre-agg must materialize, not re-scan events per branch")
+    assert(plan.contains("windowspecdefinition"), plan.take(2000))
+  }
+
+  test("span census: no pair expansion — neither cartesian nor window") {
+    val plan = planOf(Dedup.spanCrossdoc(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"),
+      "df>=2 flag rollup must not rank or expand pairs")
+  }
+
+  test("doc similarity: bounded aggregator top-k, no window, no cartesian") {
+    val plan = planOf(Retrieval.docSimilarity(spark, dir))
+    assert(!plan.contains("windowspecdefinition"),
+      "per-doc top-k must ride the bounded aggregator")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("dq profile: one scan of orders through an Expand multi-distinct") {
+    val plan = planOf(Quality.profile(spark, dir))
+    assert(scanCount(plan) == 1, plan.take(2000))
+    assert(plan.contains("Expand"), plan.take(2000))
+  }
+
+  test("dq referential: dimension parents broadcast, no cartesian") {
+    val plan = planOf(Quality.referential(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("dim energy: one embeddings scan, explode feeds partial aggregation") {
+    val plan = planOf(Similarity.dimEnergy(spark, dir))
+    assert(scanCount(plan) == 1, plan.take(2000))
+    assert(plan.contains("posexplode"), plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
 }
