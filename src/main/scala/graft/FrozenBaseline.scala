@@ -292,5 +292,10 @@ object FrozenBaseline {
     // round-13 batch-N addition (streaming sliding-window rollup),
     // isolated BenchOne min-of-6 same box/harness: floor 1.44
     "q64_streaming_sliding" -> 1.44,
+    // round-13 batch-O additions (fixed-breakpoint RFM; as-of with
+    // tolerance), isolated BenchOne min-of-6 same box/harness:
+    // floors 0.64 / 0.71
+    "q65_rfm_segments" -> 0.64,
+    "q66_asof_tolerance" -> 0.71,
   )
 }

@@ -70,8 +70,43 @@ object AsofJoin {
       .orderBy($"event_id")
   }
 
+  /** Staleness bound for the tolerance variant: an as-of match older
+    * than this many days is discarded (kdb/pandas `merge_asof`
+    * `tolerance` semantics). */
+  val ASOF_TOLERANCE_DAYS = 30
+
+  /** As-of join WITH TOLERANCE: same single-shuffle composition as
+    * [[eventsAsofOrders]], but the matched right row also carries its
+    * own timestamp, and a post-window projection nulls the payload
+    * when the match is staler than [[ASOF_TOLERANCE_DAYS]] — the
+    * "latest quote, but only if fresh" semantics. The tolerance gate
+    * is a narrow codegen'd projection AFTER the one keyed exchange;
+    * day arithmetic goes through explicit date casts so Spark's
+    * `datediff` and DuckDB's `date_diff('day', …)` agree exactly. */
+  def eventsAsofOrdersTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables(s, dir, "orders")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+      .withColumn("o_ts", $"o_orderdate")
+    val fresh = expr("datediff(to_date(ts), to_date(o_ts))") <=
+      ASOF_TOLERANCE_DAYS
+    asof(events, orders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightCols = Seq("o_orderkey", "o_ts"))
+      .select($"event_id", $"user_id",
+        when(fresh, $"o_orderkey").as("asof_orderkey"),
+        when(fresh, expr("datediff(to_date(ts), to_date(o_ts))")
+          .cast("long")).as("staleness_days"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_asof_join" -> (eventsAsofOrders _),
+    "q66_asof_tolerance" -> (eventsAsofOrdersTolerance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -82,5 +117,20 @@ object AsofJoin {
         |  FROM orders GROUP BY o_custkey, o_orderdate) o
         | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q66_asof_tolerance" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+         |  FROM orders GROUP BY 1, 2),
+         |j AS (SELECT e.event_id, e.user_id, o.o_orderkey,
+         |    date_diff('day', CAST(o.o_orderdate AS DATE),
+         |      CAST(e.ts AS DATE)) AS d
+         |  FROM events e ASOF LEFT JOIN o
+         |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+         |SELECT event_id, user_id,
+         |  CASE WHEN d <= $ASOF_TOLERANCE_DAYS THEN o_orderkey END
+         |    AS asof_orderkey,
+         |  CAST(CASE WHEN d <= $ASOF_TOLERANCE_DAYS THEN d END AS BIGINT)
+         |    AS staleness_days
+         |FROM j ORDER BY event_id""".stripMargin,
   )
 }

@@ -1056,7 +1056,51 @@ object Relational {
       .orderBy($"event_type", $"day")
   }
 
+  /** RFM customer segmentation with FIXED breakpoints — recency /
+    * frequency / monetary scores 1–5 from business-defined thresholds
+    * (30/90/180/365 days; 2/5/10/20 orders; 100/500/1k/5k monetary),
+    * segment code = r·100 + f·10 + m. Fixed breakpoints rather than
+    * ntile quantiles ON PURPOSE: quantile scoring needs a global sort
+    * (or 12 distributed rank selections) over the customer relation,
+    * while fixed thresholds keep the whole query ONE map-side-combined
+    * aggregate + a narrow codegen'd scoring projection — the shape
+    * that survives a 100× customer scale-up — and make scores stable
+    * period-over-period (a quantile scheme re-grades everyone when
+    * the mix shifts). Recency anchors to the corpus max order date
+    * (one bounded collect); monetary is cents-quantized per row. */
+  def q65RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .select($"o_custkey", to_date($"o_orderdate").as("d"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .localCheckpoint() // read twice (anchor, per-customer rollup)
+    val anchor = o.agg(max($"d")).first().getDate(0)
+    val rfm = o.groupBy($"o_custkey")
+      .agg(max($"d").as("last_day"), count(lit(1)).as("freq"),
+        sum($"cents").as("monetary_cents"))
+      .withColumn("recency_days",
+        datediff(lit(anchor), $"last_day").cast("long"))
+    def score(c: Column, cuts: Seq[Long], ascending: Boolean): Column = {
+      // 5 = best; recency is better-small, freq/monetary better-large
+      val ranks = if (ascending) Seq(5L, 4L, 3L, 2L) else Seq(1L, 2L, 3L, 4L)
+      val default = if (ascending) 1L else 5L
+      cuts.zip(ranks).foldRight(lit(default): Column) {
+        case ((cut, r), acc) => when(c <= cut, r).otherwise(acc)
+      }
+    }
+    rfm.select($"o_custkey", $"recency_days", $"freq", $"monetary_cents",
+        score($"recency_days", Seq(30L, 90L, 180L, 365L),
+          ascending = true).as("r"),
+        score($"freq", Seq(2L, 5L, 10L, 20L), ascending = false).as("f"),
+        score($"monetary_cents", Seq(10000L, 50000L, 100000L, 500000L),
+          ascending = false).as("m"))
+      .withColumn("segment", $"r" * 100 + $"f" * 10 + $"m")
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_rfm_segments" -> (q65RfmSegments _),
     "q59_skyline" -> (q59Skyline _),
     "q60_mad_robust" -> (q60MadRobust _),
     "q62_event_transitions" -> (q62EventTransitions _),
@@ -1104,6 +1148,36 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT max(d) AS anchor FROM o),
+        |r AS (SELECT o_custkey, max(d) AS last_day, count(*) AS freq,
+        |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM o GROUP BY 1),
+        |x AS (SELECT o_custkey,
+        |    CAST(date_diff('day', last_day, anchor) AS BIGINT)
+        |      AS recency_days,
+        |    CAST(freq AS BIGINT) AS freq, monetary_cents FROM r, a),
+        |sc AS (SELECT *,
+        |    CASE WHEN recency_days <= 30 THEN 5
+        |      WHEN recency_days <= 90 THEN 4
+        |      WHEN recency_days <= 180 THEN 3
+        |      WHEN recency_days <= 365 THEN 2 ELSE 1 END AS r,
+        |    CASE WHEN freq <= 2 THEN 1 WHEN freq <= 5 THEN 2
+        |      WHEN freq <= 10 THEN 3 WHEN freq <= 20 THEN 4
+        |      ELSE 5 END AS f,
+        |    CASE WHEN monetary_cents <= 10000 THEN 1
+        |      WHEN monetary_cents <= 50000 THEN 2
+        |      WHEN monetary_cents <= 100000 THEN 3
+        |      WHEN monetary_cents <= 500000 THEN 4 ELSE 5 END AS m
+        |  FROM x)
+        |SELECT o_custkey, recency_days, freq, monetary_cents,
+        |  CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS BIGINT) AS m,
+        |  CAST(r * 100 + f * 10 + m AS BIGINT) AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
     "q62_event_transitions" ->
       """WITH p AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id
