@@ -297,5 +297,10 @@ object FrozenBaseline {
     // floors 0.64 / 0.71
     "q65_rfm_segments" -> 0.64,
     "q66_asof_tolerance" -> 0.71,
+    // round-13 batch-P additions (partitioned ntile/rank windows;
+    // winnowing fingerprint selection), isolated BenchOne min-of-6
+    // same box/harness: floors 0.42 / 0.42
+    "q67_ntile_ranks" -> 0.42,
+    "text_winnowing" -> 0.42,
   )
 }

@@ -1099,7 +1099,36 @@ object Relational {
       .orderBy($"o_custkey")
   }
 
+  /** Distribution-position windows done scale-safe: quartile (ntile),
+    * rank, and integer permille rank of each supplier WITHIN ITS
+    * NATION by account balance. Every window partitions on the nation
+    * key — bounded per-partition row counts — so this is the
+    * legitimate home for ntile/rank position scoring (contrast
+    * [[q65RfmSegments]], which deliberately avoids a GLOBAL ntile).
+    * The permille is `(rank−1)·1000 div (n−1)` (truncating, 0 for a
+    * singleton group) — the integer form of percent_rank, so the
+    * oracle matches bit-exactly instead of comparing float
+    * divisions. Order is total ((acctbal, suppkey)), pinning every
+    * tie on both engines. */
+  def q67NtileRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = Window.partitionBy($"s_nationkey")
+      .orderBy($"s_acctbal", $"s_suppkey")
+    t(s, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey".cast("long").as("s_nationkey"),
+        $"s_acctbal")
+      .withColumn("quartile", ntile(4).over(win).cast("long"))
+      .withColumn("rnk", rank().over(win).cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy($"s_nationkey")))
+      .select($"s_suppkey", $"s_nationkey", $"quartile", $"rnk",
+        expr("CASE WHEN cnt > 1 THEN (rnk - 1) * 1000 div (cnt - 1) " +
+          "ELSE 0 END").as("rank_permille"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_ntile_ranks" -> (q67NtileRanks _),
     "q65_rfm_segments" -> (q65RfmSegments _),
     "q59_skyline" -> (q59Skyline _),
     "q60_mad_robust" -> (q60MadRobust _),
@@ -1148,6 +1177,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_ntile_ranks" ->
+      """WITH s AS (SELECT s_suppkey,
+        |    CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+        |  FROM supplier),
+        |w AS (SELECT s_suppkey, s_nationkey,
+        |    CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+        |    CAST(rank() OVER win AS BIGINT) AS rnk,
+        |    count(*) OVER (PARTITION BY s_nationkey) AS cnt
+        |  FROM s WINDOW win AS (PARTITION BY s_nationkey
+        |    ORDER BY s_acctbal, s_suppkey))
+        |SELECT s_suppkey, s_nationkey, quartile, rnk,
+        |  CAST(CASE WHEN cnt > 1 THEN (rnk - 1) * 1000 // (cnt - 1)
+        |    ELSE 0 END AS BIGINT) AS rank_permille
+        |FROM w ORDER BY s_suppkey""".stripMargin,
     "q65_rfm_segments" ->
       """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents

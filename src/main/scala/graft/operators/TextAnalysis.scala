@@ -375,7 +375,75 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Winnowing k-gram / window widths (word-level; Schleimer et al.
+    * 2003 §4, the MOSS fingerprint-selection algorithm). */
+  val WINNOW_K = 4
+  val WINNOW_W = 4
+
+  /** Winnowing fingerprint selection: per document, hash every
+    * [[WINNOW_K]]-word gram, slide a [[WINNOW_W]]-gram window, and in
+    * each window select the MINIMUM hash (ties → rightmost — the
+    * paper's rule, which is what bounds the fingerprint density);
+    * report per doc the gram count, the number of DISTINCT selected
+    * positions (≤ n_grams/ w on average — the guarantee), and the
+    * smallest selected fingerprint. A doc shorter than one full
+    * window still selects from its single truncated window, so every
+    * ≥ k-word doc yields ≥ 1 fingerprint. Per-doc JVM loop (the
+    * gramSets rationale); position-local algorithm ⇒ embarrassingly
+    * parallel, no shuffle before the final sort. The oracle replays
+    * hash, window argmin, and tiebreak from first principles
+    * (HUGEINT FNV + row_number (h ASC, pos DESC)). */
+  def winnowing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextHashes
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"text")
+      .transform(Tables.repartitionForCpu(_, col("doc_id")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val words = text.split(' ')
+        val n = words.length - (WINNOW_K - 1)
+        if (n <= 0) None
+        else {
+          val h = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < WINNOW_K) {
+              if (j > 0) sb.append(' ')
+              sb.append(words(i + j))
+              j += 1
+            }
+            h(i) = TextHashes.hash64(sb.toString, 0L)
+            i += 1
+          }
+          val nw = math.max(n - WINNOW_W + 1, 1)
+          val sel = collection.mutable.SortedSet[Int]()
+          var jw = 0
+          while (jw < nw) {
+            val end = math.min(jw + WINNOW_W - 1, n - 1)
+            var best = jw
+            var p = jw + 1
+            while (p <= end) {
+              // <= keeps the RIGHTMOST minimum while scanning left→right
+              if (h(p) <= h(best)) best = p
+              p += 1
+            }
+            sel += best
+            jw += 1
+          }
+          var minFp = Long.MaxValue
+          sel.foreach(p => if (h(p) < minFp) minFp = h(p))
+          Some((id, n.toLong, sel.size.toLong, minFp))
+        }
+      }
+      .toDF("doc_id", "n_grams", "n_selected", "min_fp")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnowing" -> (winnowing _),
     "text_perplexity_bigram" -> (perplexityBigram _),
     "text_perplexity_unigram" -> (perplexityUnigram _),
     "text_vocab_coverage" -> (vocabCoverage _),
@@ -390,6 +458,39 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // full first-principles replay: HUGEINT FNV per word 4-gram,
+    // truncated-tail windows, argmin with the rightmost-tie rule as
+    // row_number (h ASC, pos DESC), distinct selected positions
+    "text_winnowing" -> {
+      val fnv = OracleSql.toSigned(OracleSql.fnv1a64("g"))
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |idx AS (SELECT doc_id, w,
+         |    unnest(range(1, len(w) - ${WINNOW_K - 2})) AS i
+         |  FROM words WHERE len(w) >= $WINNOW_K),
+         |grams AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+         |    array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER)
+         |      + ${WINNOW_K - 1}], ' ') AS g
+         |  FROM idx),
+         |hashes AS (SELECT doc_id, pos, $fnv AS h FROM grams),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY 1),
+         |wins AS (SELECT doc_id, CAST(
+         |    unnest(range(0, greatest(n - ${WINNOW_W - 1}, 1)))
+         |    AS BIGINT) AS j FROM cnt),
+         |pick AS (SELECT doc_id, j, pos, h,
+         |    row_number() OVER (PARTITION BY doc_id, j
+         |      ORDER BY h, pos DESC) AS rn
+         |  FROM (SELECT wi.doc_id, wi.j, ha.pos, ha.h
+         |    FROM wins wi JOIN hashes ha ON ha.doc_id = wi.doc_id
+         |      AND ha.pos >= wi.j AND ha.pos <= wi.j + ${WINNOW_W - 1})),
+         |sel AS (SELECT DISTINCT doc_id, pos, h
+         |  FROM pick WHERE rn = 1)
+         |SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_grams,
+         |  CAST(count(*) AS BIGINT) AS n_selected,
+         |  CAST(min(s.h) AS BIGINT) AS min_fp
+         |FROM cnt c JOIN sel s ON c.doc_id = s.doc_id
+         |GROUP BY c.doc_id, c.n ORDER BY c.doc_id""".stripMargin
+    },
     // conditional-model replay: same integer floor-log2 quantization,
     // context counts normalized from the bigram table on both sides
     "text_perplexity_bigram" ->
