@@ -302,5 +302,8 @@ object FrozenBaseline {
     // same box/harness: floors 0.42 / 0.42
     "q67_ntile_ranks" -> 0.42,
     "text_winnowing" -> 0.42,
+    // round-13 batch-Q addition (pretraining data-funnel report),
+    // isolated BenchOne min-of-6 same box/harness: floor 1.10
+    "pipeline_data_funnel" -> 1.10,
   )
 }

@@ -16,17 +16,27 @@ import graft.sources.Tables
   */
 object Curation {
 
-  def curatedDocs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val words = split($"text", " ")
+  /** The composite quality score over a `text` column (alpha ratio /
+    * stopword ratio / mean-word-length blend) — shared by
+    * [[curatedDocs]] and [[dataFunnel]] so the gate cannot drift
+    * between the two pipelines. Pure columnar arithmetic: stays in
+    * whole-stage codegen. */
+  private[operators] def qualityOf(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val words = split(text, " ")
     val alphaRatio =
-      length(regexp_replace($"text", "[^a-z]", "")) / length($"text")
+      length(regexp_replace(text, "[^a-z]", "")) / length(text)
     val stopRatio = size(filter(words, w => w.isInCollection(Seq(
       "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
       "that", "for", "on", "with", "as")))) / size(words)
-    val meanWordLen = (length($"text") - size(words) + 1) / size(words)
-    val quality = alphaRatio * 0.5d + stopRatio * 0.3d +
+    val meanWordLen = (length(text) - size(words) + 1) / size(words)
+    alphaRatio * 0.5d + stopRatio * 0.3d +
       (lit(1.0d) / (meanWordLen + 1.0d)) * 0.2d
+  }
+
+  def curatedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quality = qualityOf($"text")
 
     // losers: the higher doc_id of every near-dup pair, via the
     // MinHash+LSH scale path (verified identical to the exact pair set
@@ -307,7 +317,76 @@ object Curation {
     "sample_split_assign" -> (splitAssign _),
     "sample_coreset_fps" -> (coresetFps _),
     "sample_dsir_weights" -> (dsirWeights _),
+    "pipeline_data_funnel" -> (dataFunnel _),
   )
+
+  /** The pretraining DATA FUNNEL report — the stage-by-stage survival
+    * manifest a corpus build publishes before training: cumulative
+    * doc / whitespace-token counts after each gate of the standard
+    * pipeline (Rae et al. 2021 §A; RefinedWeb table 2 shape):
+    *
+    *   00_all          → every document
+    *   10_quality      → [[qualityOf]] ≥ 0.46
+    *   20_lang         → + lang = 'en'
+    *   30_exact_dedup  → + md5 keeper (min doc_id per digest, among
+    *                     stage-20 survivors — dedup what's left)
+    *   40_decontam     → + in the training split (bucket ≥ 100) AND
+    *                     sharing no 13-gram with the benchmark fixture
+    *                     ([[Decontaminate]]'s convention verbatim)
+    *
+    * Scale shape: quality/lang are narrow codegen'd flags on ONE scan;
+    * the keeper set is one digest-keyed aggregation + one digest-keyed
+    * join; contamination reuses the broadcast-benchmark semi-join (the
+    * corpus never shuffles for it); the report itself is ONE
+    * conditional aggregate producing a single row, stacked to the
+    * 5-stage output — bounded regardless of corpus size. */
+  def dataFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang")
+      .withColumn("toks", size(split($"text", " ")).cast("long"))
+      .withColumn("q_ok", qualityOf($"text") >= 0.46)
+      .withColumn("l_ok", $"lang" === "en")
+      .withColumn("h", md5($"text"))
+    val keepers = base.filter($"q_ok" && $"l_ok")
+      .groupBy($"h").agg(min($"doc_id").as("keeper_id"))
+    val grams = Decontaminate.gramSets(s, dir).toDF("doc_id", "grams")
+      .withColumn("bucket", GraftFunctions.mix64_bucket($"doc_id", 1000L))
+      .localCheckpoint() // read twice (benchmark side, corpus side)
+    val benchGrams = grams
+      .filter($"bucket" < Decontaminate.BENCH_PERMILLE)
+      .select(explode($"grams").as("g")).distinct()
+    val contaminated = grams
+      .filter($"bucket" >= Decontaminate.BENCH_PERMILLE)
+      .select($"doc_id", explode($"grams").as("g"))
+      .join(broadcast(benchGrams), "g")
+      .select($"doc_id").distinct()
+      .withColumn("contam", lit(true))
+    val flags = base
+      .join(keepers, Seq("h"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("k_ok",
+        $"q_ok" && $"l_ok" && $"keeper_id" === $"doc_id")
+      .withColumn("d_ok", $"k_ok" &&
+        GraftFunctions.mix64_bucket($"doc_id", 1000L) >=
+          Decontaminate.BENCH_PERMILLE && $"contam".isNull)
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    def tok(c: org.apache.spark.sql.Column) =
+      sum(when(c, $"toks").otherwise(0L))
+    flags.agg(
+        count(lit(1)).as("n0"), sum($"toks").as("t0"),
+        cnt($"q_ok").as("n1"), tok($"q_ok").as("t1"),
+        cnt($"q_ok" && $"l_ok").as("n2"), tok($"q_ok" && $"l_ok").as("t2"),
+        cnt($"k_ok").as("n3"), tok($"k_ok").as("t3"),
+        cnt($"d_ok").as("n4"), tok($"d_ok").as("t4"))
+      .select(expr("stack(5, " +
+        "'00_all', n0, t0, '10_quality', n1, t1, '20_lang', n2, t2, " +
+        "'30_exact_dedup', n3, t3, '40_decontam', n4, t4) " +
+        "AS (stage, n_docs, ws_tokens)"))
+      .orderBy($"stage")
+  }
 
   /** Squared-L2 between two quantized vectors in DuckDB (dim pinned at
     * 64 like the Similarity oracles). */
@@ -465,6 +544,65 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    // composes the quality replay (pipeline_curation), the md5-keeper
+    // rule (dedup_exact), and the 13-gram contamination replay
+    // (text_decontaminate) into the same cumulative stage flags
+    "pipeline_data_funnel" -> {
+      val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |   (length(regexp_replace(text, '[^a-z]', '', 'g'))
+         |      * 1.0 / length(text)) * 0.5
+         |   + (len(list_filter(string_split(text, ' '), w -> w IN
+         |      ('the','a','an','and','or','of','to','in','is','it','that',
+         |       'for','on','with','as')))
+         |      * 1.0 / len(string_split(text, ' '))) * 0.3
+         |   + (1.0 / ((length(text) - len(string_split(text, ' ')) + 1)
+         |      * 1.0 / len(string_split(text, ' ')) + 1.0)) * 0.2 AS q
+         |  FROM documents),
+         |f AS (SELECT doc_id, toks, q >= 0.46 AS q_ok,
+         |    lang = 'en' AS l_ok, md5(text) AS h FROM scored),
+         |k AS (SELECT h, min(doc_id) AS keeper FROM f
+         |  WHERE q_ok AND l_ok GROUP BY 1),
+         |d AS (SELECT doc_id, text, $bucket AS bkt FROM documents),
+         |words AS (SELECT doc_id, bkt, string_split(text, ' ') AS w
+         |  FROM d),
+         |grams AS (SELECT DISTINCT doc_id, bkt,
+         |    unnest(list_transform(range(1, len(w) - 11),
+         |      i -> array_to_string(w[i:i+12], ' '))) AS g
+         |  FROM words WHERE len(w) >= 13),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE bkt < 100),
+         |contam AS (SELECT DISTINCT doc_id FROM grams
+         |  WHERE bkt >= 100 AND g IN (SELECT g FROM bench)),
+         |fl AS (SELECT f.doc_id, f.toks, f.q_ok, f.l_ok,
+         |    coalesce(f.q_ok AND f.l_ok AND k.keeper = f.doc_id, FALSE)
+         |      AS k_ok, d.bkt
+         |  FROM f LEFT JOIN k ON f.h = k.h
+         |  JOIN d ON f.doc_id = d.doc_id),
+         |fl2 AS (SELECT doc_id, toks, q_ok, l_ok, k_ok,
+         |    k_ok AND bkt >= 100 AND doc_id NOT IN
+         |      (SELECT doc_id FROM contam) AS d_ok
+         |  FROM fl),
+         |st AS (
+         |  SELECT '00_all' AS stage, count(*) AS n, sum(toks) AS t
+         |  FROM fl2
+         |  UNION ALL SELECT '10_quality',
+         |    sum(CASE WHEN q_ok THEN 1 ELSE 0 END),
+         |    sum(CASE WHEN q_ok THEN toks ELSE 0 END) FROM fl2
+         |  UNION ALL SELECT '20_lang',
+         |    sum(CASE WHEN q_ok AND l_ok THEN 1 ELSE 0 END),
+         |    sum(CASE WHEN q_ok AND l_ok THEN toks ELSE 0 END) FROM fl2
+         |  UNION ALL SELECT '30_exact_dedup',
+         |    sum(CASE WHEN k_ok THEN 1 ELSE 0 END),
+         |    sum(CASE WHEN k_ok THEN toks ELSE 0 END) FROM fl2
+         |  UNION ALL SELECT '40_decontam',
+         |    sum(CASE WHEN d_ok THEN 1 ELSE 0 END),
+         |    sum(CASE WHEN d_ok THEN toks ELSE 0 END) FROM fl2)
+         |SELECT stage, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(t AS BIGINT) AS ws_tokens
+         |FROM st ORDER BY stage""".stripMargin
+    },
     // full integer-log2 replay: one conditional count pass per term,
     // whole-bit log-ratio, Long sums
     "sample_dsir_weights" ->
