@@ -305,5 +305,8 @@ object FrozenBaseline {
     // round-13 batch-Q addition (pretraining data-funnel report),
     // isolated BenchOne min-of-6 same box/harness: floor 1.10
     "pipeline_data_funnel" -> 1.10,
+    // round-13 batch-R addition (KMV set-operation estimates),
+    // isolated BenchOne min-of-6 same box/harness: floor 0.61
+    "sketch_kmv_setops" -> 0.61,
   )
 }

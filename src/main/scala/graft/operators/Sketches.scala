@@ -255,7 +255,38 @@ object Sketches {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
   }
 
+  /** KMV SET-OPERATION estimates (the θ-sketch idea, Beyer et al.
+    * 2007): the distinct-user sketches of the `view` and `purchase`
+    * event streams, their MERGED union sketch (k unsigned-smallest of
+    * the two sketches' contents — KMV sketches are mergeable, which
+    * is the whole reason they work across partitions AND across
+    * sets), and the intersection estimate
+    * `matched · est_union div |union sketch|` where `matched` counts
+    * union-sketch hashes present in BOTH input sketches. Everything
+    * after the two k-bounded aggregations is driver-side arithmetic
+    * on ≤ 3k longs; all divisions truncate, so the DuckDB replay is
+    * bit-exact. */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sketchOf(tpe: String): Seq[Long] = Tables(s, dir, "events")
+      .filter(col("event_type") === tpe)
+      .select(GraftFunctions.mix64(col("user_id")).as("h")).as[Long]
+      .select(new Sketch.KmvAgg(KMV_K).toColumn)
+      .head() // bounded: ≤ k longs
+    def est(m: Seq[Long]): Long = if (m.isEmpty) 0L else kmvEstimate(m)._2
+    val a = sketchOf("view")
+    val b = sketchOf("purchase")
+    val merged = (a ++ b).distinct
+      .sortBy(_ ^ Long.MinValue).take(KMV_K)
+    val (as, bs) = (a.toSet, b.toSet)
+    val matched = merged.count(u => as(u) && bs(u)).toLong
+    val interEst = matched * est(merged) / math.max(merged.size, 1)
+    Seq((KMV_K.toLong, est(a), est(b), est(merged), matched, interEst))
+      .toDF("k", "ndv_a", "ndv_b", "ndv_union", "matched", "ndv_inter")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_setops" -> (kmvSetOps _),
     "sketch_hll_registers" -> (hllRegisters _),
     "sketch_kmv_ndv" -> (kmvNdv _),
     "sketch_cms_freq" -> (cmsFreq _),
@@ -370,6 +401,36 @@ object Sketches {
   }
 
   val oracles: Map[String, String] = Map(
+    // full sketch-contents replay: unsigned k-min sets per side, the
+    // merged union sketch, the matched count, and every estimator in
+    // the same truncating integer form as kmvEstimate
+    "sketch_kmv_setops" -> {
+      val h = OracleSql.mix64("CAST(user_id AS HUGEINT)")
+      def estSql(cte: String) =
+        s"""CASE WHEN $cte.n < $KMV_K THEN $cte.n
+           |    WHEN $cte.kth = 0 THEN $cte.n
+           |    ELSE ${KMV_K - 1} * ($U64_MAX // $cte.kth) END""".stripMargin
+      s"""WITH ska AS (SELECT DISTINCT $h AS u FROM events
+         |    WHERE event_type = 'view' ORDER BY u LIMIT $KMV_K),
+         |skb AS (SELECT DISTINCT $h AS u FROM events
+         |    WHERE event_type = 'purchase' ORDER BY u LIMIT $KMV_K),
+         |un AS (SELECT u FROM
+         |    (SELECT u FROM ska UNION SELECT u FROM skb)
+         |  ORDER BY u LIMIT $KMV_K),
+         |ea AS (SELECT count(*) AS n, max(u) AS kth FROM ska),
+         |eb AS (SELECT count(*) AS n, max(u) AS kth FROM skb),
+         |eu AS (SELECT count(*) AS n, max(u) AS kth FROM un),
+         |m AS (SELECT count(*) AS c FROM un
+         |  WHERE u IN (SELECT u FROM ska) AND u IN (SELECT u FROM skb))
+         |SELECT CAST($KMV_K AS BIGINT) AS k,
+         |  CAST(${estSql("ea")} AS BIGINT) AS ndv_a,
+         |  CAST(${estSql("eb")} AS BIGINT) AS ndv_b,
+         |  CAST(${estSql("eu")} AS BIGINT) AS ndv_union,
+         |  CAST(m.c AS BIGINT) AS matched,
+         |  CAST(m.c * (${estSql("eu")}) // greatest(eu.n, 1) AS BIGINT)
+         |    AS ndv_inter
+         |FROM ea, eb, eu, m""".stripMargin
+    },
     // sketch-contents replay: identical integer bucket formula,
     // cumulative window, and ceil-threshold selection rule
     "sketch_hdr_quantiles" -> {
