@@ -308,5 +308,10 @@ object FrozenBaseline {
     // round-13 batch-R addition (KMV set-operation estimates),
     // isolated BenchOne min-of-6 same box/harness: floor 0.61
     "sketch_kmv_setops" -> 0.61,
+    // round-13 batch-S additions (co-purchase top-k; JL random
+    // projection), isolated BenchOne min-of-6 same box/harness:
+    // floors 2.43 / 0.45
+    "graph_copurchase_topk" -> 2.43,
+    "emb_random_projection" -> 0.45,
   )
 }

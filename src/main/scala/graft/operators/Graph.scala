@@ -245,7 +245,53 @@ object Graph {
       .orderBy($"bin")
   }
 
+  /** Co-purchase top-k for the recommendation surface ("parts ordered
+    * together"): for each part, the [[COPURCHASE_K]] parts most often
+    * sharing an order with it, ranked (count DESC, partkey ASC).
+    *
+    * Scale shape: the pair expansion is per-ORDER (distinct parts per
+    * order first, then a self-join keyed on the order), so pair volume
+    * is Σ_orders d² with d = parts per order — bounded by basket size,
+    * linear in orders, never corpus². The per-part ranking rides the
+    * bounded [[graft.functions.TopK.BottomKLongAgg]] (≤ k rows per
+    * part per map task), not a window over the co-occurrence
+    * relation. */
+  val COPURCHASE_K = 5
+
+  def copurchaseTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopK
+    // basket form: ONE order-keyed shuffle builds the per-order part
+    // set (bounded by basket size), then the d² pair expansion is a
+    // narrow double-explode — no self-join, no second lineitem pass
+    val co = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+      .groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+      .select(explode($"ps").as("l_partkey"), $"ps")
+      .select($"l_partkey", explode($"ps").as("pb"))
+      .filter($"l_partkey" =!= $"pb")
+      .groupBy($"l_partkey", $"pb")
+      .agg(count(lit(1)).as("n_co"))
+    val agg = new TopK.BottomKLongAgg(COPURCHASE_K).toColumn.name("topk")
+    co
+      .select($"l_partkey",
+        struct((-$"n_co").as("rank"), $"pb".as("key")).as("e"))
+      .as[(Long, TopK.LEntry)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg)
+      .flatMap { case (p, es) =>
+        es.zipWithIndex.map { case (e, i) =>
+          (p, (i + 1).toLong, e.key, -e.rank)
+        }
+      }
+      .toDF("part", "rank", "rec_part", "n_co")
+      .orderBy($"part", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_copurchase_topk" -> (copurchaseTopK _),
     "graph_pagerank_q" -> (pagerankQ _),
     "graph_reachability" -> (reachabilityQ _),
     "graph_triangles" -> (trianglesQ _),
@@ -279,6 +325,24 @@ object Graph {
        |        UNION ALL SELECT node, $h AS dist FROM $fN)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical pair expansion (distinct parts per order, self-join),
+    // identical (n DESC, partkey ASC) ranking via row_number
+    "graph_copurchase_topk" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+         |  FROM lineitem),
+         |co AS (SELECT a.l_partkey AS part, b.l_partkey AS rec_part,
+         |    count(*) AS n_co
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2),
+         |r AS (SELECT part, rec_part, n_co,
+         |    row_number() OVER (PARTITION BY part
+         |      ORDER BY n_co DESC, rec_part) AS rank
+         |  FROM co)
+         |SELECT part, CAST(rank AS BIGINT) AS rank, rec_part,
+         |  CAST(n_co AS BIGINT) AS n_co
+         |FROM r WHERE rank <= $COPURCHASE_K
+         |ORDER BY part, rank""".stripMargin,
     // per-node KMV replay (distinct neighbor hashes ranked unsigned,
     // first k, integer estimator) then binary-digit binning — sketch
     // CONTENTS, not a tolerance band

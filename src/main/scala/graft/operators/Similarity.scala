@@ -823,7 +823,42 @@ object Similarity {
       .orderBy($"dim")
   }
 
+  /** Johnson–Lindenstrauss output dimensionality. */
+  val RP_DIMS = 16
+
+  /** JL ±1 random projection 64 → [[RP_DIMS]] dims — the cheap
+    * dimensionality reduction in front of an ANN index (Achlioptas
+    * 2003: a Rademacher ±1 matrix satisfies the JL lemma; no Gaussian
+    * needed). The "random" matrix is DERANDOMIZED to
+    * `sign(j,d) = 1 − 2·parity(mix64(j·2³² + d))` — reproducible
+    * machine to machine, replayable by the oracle — and inputs are
+    * milli-quantized per element, so every projected coordinate is an
+    * exact Long (Σ|q| ≤ 64·~10⁵ per coordinate — no overflow at any
+    * corpus size; the sum is per VECTOR, not per corpus).
+    *
+    * Scale shape: posexplode + ONE map-side-combined aggregate with
+    * [[RP_DIMS]] conditional sums, grouped on vec_id — narrow,
+    * shuffle ∝ output (N × 16 longs), embarrassingly parallel. */
+  def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    val q = Tables(s, dir, "embeddings")
+      .select($"vec_id", posexplode($"embedding".cast("array<double>")))
+      .select($"vec_id", $"pos".cast("long").as("pos"),
+        expr("CAST(floor(col * 1000.0 + 0.5) AS BIGINT)").as("q"))
+    val aggs = (0 until RP_DIMS).map { j =>
+      val sign = lit(1L) - lit(2L) *
+        pmod(GraftFunctions.mix64(lit(j.toLong * 4294967296L) + $"pos"),
+          lit(2L))
+      sum($"q" * sign).as(s"p$j")
+    }
+    q.groupBy($"vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_random_projection" -> (randomProjection _),
     "emb_dim_energy" -> (dimEnergy _),
     "emb_pca_power_iter" -> (pcaPowerIter _),
     "emb_abtt_project" -> (abttProject _),
@@ -871,6 +906,25 @@ object Similarity {
             s"w$t", s"m$t", s"v$t")).mkString(",\n")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same milli quantization, same derandomized ±1 matrix
+    // (parity of the replayed HUGEINT splitmix64)
+    "emb_random_projection" -> {
+      val cols = (0 until RP_DIMS).map { j =>
+        val h = OracleSql.mix64(
+          s"CAST(${j.toLong * 4294967296L} + pos AS HUGEINT)")
+        s"CAST(sum(q * (1 - 2 * (($h) % 2))) AS BIGINT) AS p$j"
+      }.mkString(",\n  ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, CAST(i.i - 1 AS BIGINT) AS pos,
+         |    CAST(floor(e.v[CAST(i.i AS INTEGER)] * 1000.0 + 0.5)
+         |      AS BIGINT) AS q
+         |  FROM e, range(1, 65) i(i))
+         |SELECT vec_id,
+         |  $cols
+         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
     // same per-element milli quantization as the engine, same
     // truncating-division variance surrogate, same (var DESC, dim)
     // rank tiebreak
