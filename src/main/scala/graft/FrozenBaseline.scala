@@ -313,5 +313,8 @@ object FrozenBaseline {
     // floors 2.43 / 0.45
     "graph_copurchase_topk" -> 2.43,
     "emb_random_projection" -> 0.45,
+    // round-13 batch-T addition (ORC source round-trip), isolated
+    // BenchOne min-of-6 same box/harness: floor 0.30
+    "q68_orc_source" -> 0.30,
   )
 }

@@ -54,6 +54,10 @@ object AltSources {
         ev.select("event_id", "user_id", "event_type", "value")
           .write.mode("overwrite")
           .option("header", "true").csv(s"$root/events_csv")
+        // ORC: Spark's second native columnar format — same explicit-
+        // schema read discipline; predicate pushdown works like parquet
+        ev.select("event_id", "user_id", "event_type", "value")
+          .write.mode("overwrite").orc(s"$root/events_orc")
         roots.put(key, root)
         prepared.add(key)
       }
@@ -92,6 +96,21 @@ object AltSources {
       .orderBy($"event_type")
   }
 
+  /** ORC round-trip with an explicit schema — Spark's second native
+    * columnar format; the same pushdown/pruning machinery as parquet
+    * applies, so the only operator-level difference is the format
+    * string. */
+  def q68OrcSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensure(s, dir)
+    s.read.schema(flatSchema).orc(s"$root/events_orc")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"),
+        sum($"user_id").as("sum_user"))
+      .orderBy($"event_type")
+  }
+
   /** CSV round-trip with an explicit schema (no inference pass). */
   def q34CsvSource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -109,6 +128,7 @@ object AltSources {
     "q32_schema_evolution" -> (q32SchemaEvolution _),
     "q33_json_source" -> (q33JsonSource _),
     "q34_csv_source" -> (q34CsvSource _),
+    "q68_orc_source" -> (q68OrcSource _),
   )
 
   private val flatAgg =
@@ -127,5 +147,6 @@ object AltSources {
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q33_json_source" -> flatAgg,
     "q34_csv_source" -> flatAgg,
+    "q68_orc_source" -> flatAgg,
   )
 }
