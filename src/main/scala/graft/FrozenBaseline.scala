@@ -316,5 +316,8 @@ object FrozenBaseline {
     // round-13 batch-T addition (ORC source round-trip), isolated
     // BenchOne min-of-6 same box/harness: floor 0.30
     "q68_orc_source" -> 0.30,
+    // round-13 batch-U addition (dynamic partition pruning), isolated
+    // BenchOne min-of-6 same box/harness: floor 0.68
+    "q69_dpp_hot_days" -> 0.68,
   )
 }

@@ -649,6 +649,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q69: runtime hot-day set dynamically prunes the partitioned scan") {
+    val plan = planOf(Partitioned.q69DppHotDays(spark, dir))
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression in PartitionFilters\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("dim energy: one embeddings scan, explode feeds partial aggregation") {
     val plan = planOf(Similarity.dimEnergy(spark, dir))
     assert(scanCount(plan) == 1, plan.take(2000))
