@@ -319,5 +319,10 @@ object FrozenBaseline {
     // round-13 batch-U addition (dynamic partition pruning), isolated
     // BenchOne min-of-6 same box/harness: floor 0.68
     "q69_dpp_hot_days" -> 0.68,
+    // round-13 batch-V additions (exact decimal money path;
+    // collection-function surface), isolated BenchOne min-of-6 same
+    // box/harness: floors 0.57 / 1.08
+    "q70_decimal_agg" -> 0.57,
+    "q71_complex_types" -> 1.08,
   )
 }

@@ -1127,7 +1127,59 @@ object Relational {
       .orderBy($"s_suppkey")
   }
 
+  /** Exact DECIMAL money arithmetic — the audited-ledger path where
+    * float rounding is not acceptable: per-status totals as
+    * DECIMAL(18,2), plus an exact 6%-tax projection in decimal. The
+    * source doubles carry 2-decimal money values, so the
+    * DECIMAL(12,2) cast is value-preserving, and from there every
+    * operation is exact integer-scaled arithmetic — no `round()`
+    * absorbing float drift anywhere (contrast q1, which rounds).
+    * Output precision is pinned by explicit casts on BOTH engines
+    * (Spark widens sums to (22,2), DuckDB to (38,2) — without the
+    * cast the schemas would mismatch). */
+  def q70DecimalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderstatus",
+        $"o_totalprice".cast("decimal(12,2)").as("p"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"p").cast("decimal(18,2)").as("total"),
+        // tax stays at 4 decimal places end to end: p*0.06 is EXACT
+        // at 4dp, so no decimal rounding mode is ever exercised
+        // (Spark rounds HALF_UP, DuckDB differs on ties — avoided)
+        sum($"p" * lit(BigDecimal("0.06")).cast("decimal(4,2)"))
+          .cast("decimal(18,4)").as("tax_total"),
+        max($"p").cast("decimal(12,2)").as("max_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Complex-type function surface: per-order part LISTS (sorted,
+    * deduped, rendered to a canonical string — deterministic on both
+    * engines), element membership, and a MAP built from entries then
+    * read back. Collection functions are codegen'd column ops, so the
+    * whole query is one order-keyed aggregation. */
+  def q71ComplexTypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("parts"),
+        sum(expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      .select($"l_orderkey",
+        size($"parts").cast("long").as("n_parts"),
+        concat_ws(",", sort_array($"parts")).as("part_csv"),
+        array_contains($"parts", 1L).as("has_part_1"),
+        element_at(
+          map_from_arrays(array(lit("cents"), lit("parts")),
+            array($"cents", size($"parts").cast("long"))),
+          "cents").as("cents_via_map"))
+      .orderBy($"l_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_decimal_agg" -> (q70DecimalAgg _),
+    "q71_complex_types" -> (q71ComplexTypes _),
     "q67_ntile_ranks" -> (q67NtileRanks _),
     "q65_rfm_segments" -> (q65RfmSegments _),
     "q59_skyline" -> (q59Skyline _),
@@ -1177,6 +1229,25 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q70_decimal_agg" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,2)) AS total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))
+        |      * CAST(0.06 AS DECIMAL(4,2)))
+        |    AS DECIMAL(18,4)) AS tax_total,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    AS DECIMAL(12,2)) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q71_complex_types" ->
+      """SELECT l_orderkey,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',')
+        |    AS part_csv,
+        |  bool_or(l_partkey = 1) AS has_part_1,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents_via_map
+        |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
     "q67_ntile_ranks" ->
       """WITH s AS (SELECT s_suppkey,
         |    CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
