@@ -324,5 +324,10 @@ object FrozenBaseline {
     // box/harness: floors 0.57 / 1.08
     "q70_decimal_agg" -> 0.57,
     "q71_complex_types" -> 1.08,
+    // round-13 batch-W additions (HOF vector stats; dow×hour
+    // heatmap), isolated BenchOne min-of-6 same box/harness:
+    // floors 0.44 / 0.34
+    "emb_vector_stats_hof" -> 0.44,
+    "q72_dow_hour_heatmap" -> 0.34,
   )
 }

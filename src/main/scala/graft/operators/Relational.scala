@@ -1177,7 +1177,24 @@ object Relational {
       .orderBy($"l_orderkey")
   }
 
+  /** Activity heatmap: event counts + cents by (day-of-week ×
+    * hour-of-day) — the product-analytics usage matrix. Convention
+    * pinned to DuckDB's `%w` (0 = Sunday), so Spark's `dayofweek`
+    * (1 = Sunday) shifts by one; hours are session-UTC on both
+    * engines. One map-side-combined aggregate into ≤ 168 groups. */
+  def q72DowHourHeatmap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select((dayofweek($"ts") - 1).cast("long").as("dow"),
+        hour($"ts").cast("long").as("hod"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("vc"))
+      .groupBy($"dow", $"hod")
+      .agg(count(lit(1)).as("n_events"), sum($"vc").as("sum_cents"))
+      .orderBy($"dow", $"hod")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_dow_hour_heatmap" -> (q72DowHourHeatmap _),
     "q70_decimal_agg" -> (q70DecimalAgg _),
     "q71_complex_types" -> (q71ComplexTypes _),
     "q67_ntile_ranks" -> (q67NtileRanks _),
@@ -1229,6 +1246,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q72_dow_hour_heatmap" ->
+      """SELECT CAST(strftime(ts, '%w') AS BIGINT) AS dow,
+        |  CAST(strftime(ts, '%H') AS BIGINT) AS hod,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
     "q70_decimal_agg" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))

@@ -857,7 +857,36 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Per-vector statistics via HIGHER-ORDER FUNCTIONS — the no-explode
+    * path for array math: `aggregate` folds the squared-norm and the
+    * positive-element count, `array_min`/`array_max` take the
+    * extremes, all over the milli-quantized copy built by ONE
+    * `transform`. Everything is a codegen'd columnar projection — no
+    * Generate, no shuffle before the final sort — the shape to prefer
+    * when per-row array work doesn't need a per-element relation
+    * (contrast [[dimEnergy]], which aggregates ACROSS rows and
+    * genuinely needs the explode). */
+  def vectorStatsHof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id",
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+          .as("q"))
+      .select($"vec_id",
+        size($"q").cast("long").as("dim"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+          .as("normsq_q"),
+        expr("aggregate(q, CAST(0 AS BIGINT), " +
+          "(a, x) -> a + CASE WHEN x > 0 THEN 1 ELSE 0 END)")
+          .as("n_positive"),
+        expr("array_min(q)").as("min_q"),
+        expr("array_max(q)").as("max_q"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_vector_stats_hof" -> (vectorStatsHof _),
     "emb_random_projection" -> (randomProjection _),
     "emb_dim_energy" -> (dimEnergy _),
     "emb_pca_power_iter" -> (pcaPowerIter _),
@@ -906,6 +935,22 @@ object Similarity {
             s"w$t", s"m$t", s"v$t")).mkString(",\n")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same milli quantization; list_transform/list_reduce/
+    // list_aggregate replay the HOF fold exactly (integer ops only)
+    "emb_vector_stats_hof" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(len(q) AS BIGINT) AS dim,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q),
+        |    (a, x) -> a + x * x) AS BIGINT) AS normsq_q,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q),
+        |    (a, x) -> a + CASE WHEN x > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_positive,
+        |  CAST(list_min(q) AS BIGINT) AS min_q,
+        |  CAST(list_max(q) AS BIGINT) AS max_q
+        |FROM e ORDER BY vec_id""".stripMargin,
     // same milli quantization, same derandomized ±1 matrix
     // (parity of the replayed HUGEINT splitmix64)
     "emb_random_projection" -> {
