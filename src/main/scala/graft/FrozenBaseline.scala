@@ -329,5 +329,10 @@ object FrozenBaseline {
     // floors 0.44 / 0.34
     "emb_vector_stats_hof" -> 0.44,
     "q72_dow_hour_heatmap" -> 0.34,
+    // round-13 batch-X additions (CMS-prefiltered exact chunk dedup;
+    // CUBE), isolated BenchOne min-of-6 same box/harness:
+    // floors 0.84 / 0.26
+    "dedup_cms_prefilter" -> 0.84,
+    "q73_cube" -> 0.26,
   )
 }

@@ -432,7 +432,55 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Exact duplicate CHUNK groups via a count-min prefilter — the
+    * 100 TB shape for "find the duplicates" when duplicates are rare:
+    * over the RAG chunking ([[Retrieval.CHUNK_CHARS]]/
+    * [[Retrieval.CHUNK_STRIDE]], length-gated like the ingest
+    * pipeline), pass 1 builds the bounded d×w CMS of chunk
+    * fingerprints (constant-size shuffle, [[Sketches.cmsMatrix]]);
+    * pass 2 probes it with broadcast joins and keeps only chunks
+    * whose min cell count ≥ 2 — CMS overestimates ONLY, so every true
+    * duplicate survives (no false negatives by construction) and the
+    * expensive md5 groupBy shuffles just the candidate subset instead
+    * of the whole chunk stream. Collision-slipped singletons die at
+    * the final `n_copies ≥ 2` filter, so the output EQUALS the exact
+    * duplicate-group relation bit-for-bit; keeper = lexicographic min
+    * (doc_id, chunk_id), the rag-index rule. */
+  def cmsPrefilterDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    val chunks = Tables(s, dir, "documents")
+      .select($"doc_id", $"text",
+        posexplode(sequence(lit(0),
+          greatest(length($"text") - 1, lit(0)),
+          lit(Retrieval.CHUNK_STRIDE))))
+      .select($"doc_id", $"pos".cast("long").as("chunk_id"),
+        expr(s"substring(text, col + 1, ${Retrieval.CHUNK_CHARS})")
+          .as("chunk"))
+      .filter(length($"chunk") >= Retrieval.RAG_MIN_CHARS)
+      .withColumn("hv", GraftFunctions.mix64(
+        GraftFunctions.rolling_hash64($"chunk")))
+    val matrix = Sketches.cmsMatrix(chunks.select($"hv"))
+    val probed = (0 until Sketches.CMS_DEPTH).foldLeft(chunks) { (df, d) =>
+      df.withColumn(s"b$d", GraftFunctions.mix64_bucket(
+          $"hv" + lit(d.toLong), Sketches.CMS_WIDTH))
+        .join(broadcast(matrix.filter($"d" === d)
+          .select($"bucket".as(s"b$d"), $"c".as(s"c$d"))), s"b$d")
+    }
+    probed
+      .filter(least(
+        (0 until Sketches.CMS_DEPTH).map(d => col(s"c$d")): _*) >= 2)
+      .groupBy(md5($"chunk").as("content_hash"))
+      .agg(min(struct($"doc_id", $"chunk_id")).as("m"),
+        count(lit(1)).as("n_copies"))
+      .filter($"n_copies" >= 2)
+      .select($"content_hash", $"m.doc_id".as("keeper_doc"),
+        $"m.chunk_id".as("keeper_chunk"), $"n_copies")
+      .orderBy($"content_hash")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cms_prefilter" -> (cmsPrefilterDups _),
     "dedup_span_crossdoc" -> (spanCrossdoc _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
@@ -460,6 +508,30 @@ object Dedup {
       |ORDER BY da, db""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the prefilter is lossless by construction, so the oracle is the
+    // plain exact duplicate-chunk relation (same chunking as the rag
+    // pipeline) — agreeing with it IS the proof the CMS pass dropped
+    // nothing
+    "dedup_cms_prefilter" ->
+      s"""WITH idx AS (SELECT doc_id, text,
+         |    unnest(range(0, greatest(length(text), 1),
+         |      ${Retrieval.CHUNK_STRIDE})) AS s
+         |  FROM documents),
+         |chunks AS (SELECT doc_id,
+         |    s // ${Retrieval.CHUNK_STRIDE} AS chunk_id,
+         |    substring(text, CAST(s AS INTEGER) + 1,
+         |      ${Retrieval.CHUNK_CHARS}) AS chunk
+         |  FROM idx),
+         |r AS (SELECT md5(chunk) AS h, doc_id, chunk_id,
+         |    row_number() OVER (PARTITION BY md5(chunk)
+         |      ORDER BY doc_id, chunk_id) AS rn,
+         |    count(*) OVER (PARTITION BY md5(chunk)) AS n
+         |  FROM chunks WHERE length(chunk) >= ${Retrieval.RAG_MIN_CHARS})
+         |SELECT h AS content_hash, doc_id AS keeper_doc,
+         |  CAST(chunk_id AS BIGINT) AS keeper_chunk,
+         |  CAST(n AS BIGINT) AS n_copies
+         |FROM r WHERE rn = 1 AND n >= 2
+         |ORDER BY content_hash""".stripMargin,
     // joins on the raw 20-word span STRINGS (no hash) — an independent
     // re-derivation; a Spark-side fingerprint collision would show up
     // as a count mismatch here

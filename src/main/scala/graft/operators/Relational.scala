@@ -1193,7 +1193,30 @@ object Relational {
       .orderBy($"dow", $"hod")
   }
 
+  /** CUBE — all four grouping combinations of (event_type, dow) in
+    * one Expand-based aggregate, completing the rollup (q12) /
+    * grouping-sets (q36) trio. `grouping()` flags disambiguate a
+    * grouping NULL from a data NULL, and the coalesced sentinels keep
+    * the sort key total so the oracle's ordering matches. */
+  def q73Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        (dayofweek($"ts") - 1).cast("long").as("dow"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("vc"))
+      .cube($"event_type", $"dow")
+      .agg(count(lit(1)).as("n"), sum($"vc").as("sum_cents"),
+        grouping($"event_type").cast("long").as("g_type"),
+        grouping($"dow").cast("long").as("g_dow"))
+      .select(
+        coalesce($"event_type", lit("(all)")).as("event_type"),
+        coalesce($"dow", lit(-1L)).as("dow"),
+        $"g_type", $"g_dow", $"n", $"sum_cents")
+      .orderBy($"event_type", $"dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_cube" -> (q73Cube _),
     "q72_dow_hour_heatmap" -> (q72DowHourHeatmap _),
     "q70_decimal_agg" -> (q70DecimalAgg _),
     "q71_complex_types" -> (q71ComplexTypes _),
@@ -1246,6 +1269,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_cube" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(strftime(ts, '%w') AS BIGINT) AS dow,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+        |  FROM events)
+        |SELECT coalesce(event_type, '(all)') AS event_type,
+        |  coalesce(dow, -1) AS dow,
+        |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        |  CAST(GROUPING(dow) AS BIGINT) AS g_dow,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vc) AS BIGINT) AS sum_cents
+        |FROM e GROUP BY CUBE(event_type, dow)
+        |ORDER BY coalesce(event_type, '(all)'),
+        |  coalesce(dow, -1)""".stripMargin,
     "q72_dow_hour_heatmap" ->
       """SELECT CAST(strftime(ts, '%w') AS BIGINT) AS dow,
         |  CAST(strftime(ts, '%H') AS BIGINT) AS hod,
