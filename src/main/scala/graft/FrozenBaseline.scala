@@ -334,5 +334,8 @@ object FrozenBaseline {
     // floors 0.84 / 0.26
     "dedup_cms_prefilter" -> 0.84,
     "q73_cube" -> 0.26,
+    // round-13 batch-Y addition (three-layer dedup cascade report),
+    // isolated BenchOne min-of-6 same box/harness: floor 3.08
+    "pipeline_dedup_cascade" -> 3.08,
   )
 }

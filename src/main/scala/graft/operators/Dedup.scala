@@ -479,7 +479,28 @@ object Dedup {
       .orderBy($"content_hash")
   }
 
+  /** The dedup CASCADE report — the one-row-per-layer summary a
+    * corpus build publishes for how much each dedup depth catches:
+    * exact copies (docs beyond each group's keeper), MinHash near-dup
+    * pairs (J ≥ 0.8, the LSH scale path), and cross-doc shared-span
+    * docs (the substring layer Jaccard is blind to). Each layer is an
+    * existing oracle-checked relation reduced to a bounded count —
+    * the composition itself adds no new shuffle shapes, just the
+    * report. */
+  def dedupCascade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = exactDedup(s, dir).filter($"n_copies" >= 2)
+      .agg(coalesce(sum($"n_copies" - 1), lit(0L)).as("n"))
+      .as[Long].head()
+    val near = minhashLshPairs(s, dir).count()
+    val span = spanCrossdoc(s, dir).count()
+    Seq(("1_exact_dup_docs", exact), ("2_near_dup_pairs", near),
+      ("3_shared_span_docs", span))
+      .toDF("layer", "n").orderBy($"layer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dedup_cascade" -> (dedupCascade _),
     "dedup_cms_prefilter" -> (cmsPrefilterDups _),
     "dedup_span_crossdoc" -> (spanCrossdoc _),
     "dedup_exact" -> (exactDedup _),
@@ -507,7 +528,39 @@ object Dedup {
       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
       |ORDER BY da, db""".stripMargin
 
+  private val spanOracle =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 18),
+      |      i -> array_to_string(w[i:i+19], ' '))) AS g
+      |  FROM words WHERE len(w) >= 20),
+      |c AS (SELECT g, count(*) AS nd FROM grams GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n_spans
+      |  FROM grams GROUP BY 1),
+      |sh AS (SELECT doc_id, count(*) AS n_shared
+      |  FROM grams JOIN c USING (g) WHERE nd >= 2 GROUP BY 1)
+      |SELECT sh.doc_id, CAST(sizes.n_spans AS BIGINT) AS n_spans,
+      |  CAST(sh.n_shared AS BIGINT) AS n_shared
+      |FROM sh JOIN sizes ON sh.doc_id = sizes.doc_id
+      |ORDER BY sh.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // each layer re-derived from its own oracle formulation, reduced
+    // to counts (nested WITH subqueries)
+    "pipeline_dedup_cascade" ->
+      s"""WITH ex AS (SELECT count(*) AS n_copies FROM documents
+         |  GROUP BY md5(text)),
+         |nn AS ($jaccardOracle),
+         |sp AS ($spanOracle)
+         |SELECT '1_exact_dup_docs' AS layer,
+         |  CAST(coalesce(sum(n_copies - 1)
+         |    FILTER (WHERE n_copies >= 2), 0) AS BIGINT) AS n FROM ex
+         |UNION ALL SELECT '2_near_dup_pairs',
+         |  CAST(count(*) AS BIGINT) FROM nn
+         |UNION ALL SELECT '3_shared_span_docs',
+         |  CAST(count(*) AS BIGINT) FROM sp
+         |ORDER BY layer""".stripMargin,
     // the prefilter is lossless by construction, so the oracle is the
     // plain exact duplicate-chunk relation (same chunking as the rag
     // pipeline) — agreeing with it IS the proof the CMS pass dropped
@@ -535,22 +588,7 @@ object Dedup {
     // joins on the raw 20-word span STRINGS (no hash) — an independent
     // re-derivation; a Spark-side fingerprint collision would show up
     // as a count mismatch here
-    "dedup_span_crossdoc" ->
-      """WITH words AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |grams AS (SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, len(w) - 18),
-        |      i -> array_to_string(w[i:i+19], ' '))) AS g
-        |  FROM words WHERE len(w) >= 20),
-        |c AS (SELECT g, count(*) AS nd FROM grams GROUP BY 1),
-        |sizes AS (SELECT doc_id, count(*) AS n_spans
-        |  FROM grams GROUP BY 1),
-        |sh AS (SELECT doc_id, count(*) AS n_shared
-        |  FROM grams JOIN c USING (g) WHERE nd >= 2 GROUP BY 1)
-        |SELECT sh.doc_id, CAST(sizes.n_spans AS BIGINT) AS n_spans,
-        |  CAST(sh.n_shared AS BIGINT) AS n_shared
-        |FROM sh JOIN sizes ON sh.doc_id = sizes.doc_id
-        |ORDER BY sh.doc_id""".stripMargin,
+    "dedup_span_crossdoc" -> spanOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         | count(*) AS n_copies

@@ -57,4 +57,21 @@ class CubePrefilterSpec extends AnyFunSuite {
     val d2 = write(Seq((1L, "a" * 200), (2L, "b" * 200)))
     assert(Dedup.cmsPrefilterDups(spark, d2).collect().isEmpty)
   }
+
+  test("dedup cascade: exact copies counted beyond each keeper") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_casc").toString
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    // 3 exact copies (2 beyond the keeper) + 1 unrelated doc
+    Seq((1L, text), (2L, text), (3L, text),
+      (4L, (1 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupCascade(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("1_exact_dup_docs") == 2L)
+    // identical docs are trivially near-dups and share every span
+    assert(out("2_near_dup_pairs") == 3L) // C(3,2) pairs
+    assert(out("3_shared_span_docs") == 3L)
+  }
 }
