@@ -337,5 +337,8 @@ object FrozenBaseline {
     // round-13 batch-Y addition (three-layer dedup cascade report),
     // isolated BenchOne min-of-6 same box/harness: floor 3.08
     "pipeline_dedup_cascade" -> 3.08,
+    // round-13 batch-Z addition (portable regex surface), isolated
+    // BenchOne min-of-6 same box/harness: floor 0.35
+    "q74_regex_funcs" -> 0.35,
   )
 }

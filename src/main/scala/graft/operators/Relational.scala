@@ -1215,7 +1215,28 @@ object Relational {
       .orderBy($"event_type", $"dow")
   }
 
+  /** Regex function surface — extract / count / strip with patterns
+    * chosen to mean the same thing under Java regex (Spark) and RE2
+    * (DuckDB): plain character classes and anchored groups only, no
+    * backreferences or lookaround (which RE2 lacks — the documented
+    * portability boundary). All codegen'd scalar projections over one
+    * scan. */
+  def q74RegexFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_partkey",
+        expr("CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)")
+          .as("brand_num"),
+        expr("regexp_extract(p_name, '^([a-z]+)', 1)").as("first_word"),
+        expr("CAST(regexp_count(p_name, '[aeiou]') AS BIGINT)")
+          .as("n_vowels"),
+        length(regexp_replace($"p_name", "[aeiou ]", ""))
+          .cast("long").as("n_consonants"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_regex_funcs" -> (q74RegexFuncs _),
     "q73_cube" -> (q73Cube _),
     "q72_dow_hour_heatmap" -> (q72DowHourHeatmap _),
     "q70_decimal_agg" -> (q70DecimalAgg _),
@@ -1269,6 +1290,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q74_regex_funcs" ->
+      """SELECT p_partkey,
+        |  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)
+        |    AS brand_num,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT)
+        |    AS n_vowels,
+        |  CAST(length(regexp_replace(p_name, '[aeiou ]', '', 'g'))
+        |    AS BIGINT) AS n_consonants
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q73_cube" ->
       """WITH e AS (SELECT event_type,
         |    CAST(strftime(ts, '%w') AS BIGINT) AS dow,
