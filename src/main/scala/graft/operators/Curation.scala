@@ -352,7 +352,8 @@ object Curation {
     val keepers = base.filter($"q_ok" && $"l_ok")
       .groupBy($"h").agg(min($"doc_id").as("keeper_id"))
     val grams = Decontaminate.gramSets(s, dir).toDF("doc_id", "grams")
-      .withColumn("bucket", GraftFunctions.mix64_bucket($"doc_id", 1000L))
+      .withColumn("bucket",
+        GraftFunctions.mix64_bucket($"doc_id", Decontaminate.BUCKET_MOD))
       .localCheckpoint() // read twice (benchmark side, corpus side)
     val benchGrams = grams
       .filter($"bucket" < Decontaminate.BENCH_PERMILLE)
@@ -369,7 +370,7 @@ object Curation {
       .withColumn("k_ok",
         $"q_ok" && $"l_ok" && $"keeper_id" === $"doc_id")
       .withColumn("d_ok", $"k_ok" &&
-        GraftFunctions.mix64_bucket($"doc_id", 1000L) >=
+        GraftFunctions.mix64_bucket($"doc_id", Decontaminate.BUCKET_MOD) >=
           Decontaminate.BENCH_PERMILLE && $"contam".isNull)
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
@@ -548,7 +549,11 @@ object Curation {
     // rule (dedup_exact), and the 13-gram contamination replay
     // (text_decontaminate) into the same cumulative stage flags
     "pipeline_data_funnel" -> {
-      val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"
+      // interpolated, not literal: BENCH_PERMILLE / BUCKET_MOD changes
+      // must move engine and oracle together
+      val bp = Decontaminate.BENCH_PERMILLE
+      val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")})" +
+        s" % ${Decontaminate.BUCKET_MOD}"
       s"""WITH scored AS (
          |  SELECT doc_id, text, lang,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
@@ -572,16 +577,16 @@ object Curation {
          |    unnest(list_transform(range(1, len(w) - 11),
          |      i -> array_to_string(w[i:i+12], ' '))) AS g
          |  FROM words WHERE len(w) >= 13),
-         |bench AS (SELECT DISTINCT g FROM grams WHERE bkt < 100),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE bkt < $bp),
          |contam AS (SELECT DISTINCT doc_id FROM grams
-         |  WHERE bkt >= 100 AND g IN (SELECT g FROM bench)),
+         |  WHERE bkt >= $bp AND g IN (SELECT g FROM bench)),
          |fl AS (SELECT f.doc_id, f.toks, f.q_ok, f.l_ok,
          |    coalesce(f.q_ok AND f.l_ok AND k.keeper = f.doc_id, FALSE)
          |      AS k_ok, d.bkt
          |  FROM f LEFT JOIN k ON f.h = k.h
          |  JOIN d ON f.doc_id = d.doc_id),
          |fl2 AS (SELECT doc_id, toks, q_ok, l_ok, k_ok,
-         |    k_ok AND bkt >= 100 AND doc_id NOT IN
+         |    k_ok AND bkt >= $bp AND doc_id NOT IN
          |      (SELECT doc_id FROM contam) AS d_ok
          |  FROM fl),
          |st AS (

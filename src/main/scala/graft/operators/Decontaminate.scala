@@ -30,6 +30,11 @@ object Decontaminate {
     * membership bit-exactly. */
   val BENCH_PERMILLE = 100L
 
+  /** Modulus for the splitmix64 bucket split — shared by the engine
+    * side and every interpolating oracle ([[Curation.dataFunnel]]'s
+    * included) so the two can never silently desynchronize. */
+  val BUCKET_MOD = 1000L
+
   /** Distinct, sorted `width`-gram hashes per doc. Plain JVM loop per
     * doc (same rationale as [[Dedup]]'s shingleSets: ~15x faster than
     * interpreted HOF lambdas for per-doc work); the benchmark BUCKET
@@ -102,7 +107,7 @@ object Decontaminate {
     import s.implicits._
     val grams = gramSets(s, dir).toDF("doc_id", "grams")
       .withColumn("bucket",
-        graft.functions.GraftFunctions.mix64_bucket($"doc_id", 1000L))
+        graft.functions.GraftFunctions.mix64_bucket($"doc_id", BUCKET_MOD))
     decontaminateAgainst(
       grams.filter($"bucket" >= BENCH_PERMILLE),
       grams.filter($"bucket" < BENCH_PERMILLE))
@@ -117,7 +122,8 @@ object Decontaminate {
     // re-derivation of the same relation — a Spark-side hash collision
     // would show up as a count mismatch here.
     "text_decontaminate" -> {
-      val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"
+      val bucket =
+        s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % $BUCKET_MOD"
       s"""WITH d AS (SELECT doc_id, text, $bucket AS bkt FROM documents),
          |words AS (SELECT doc_id, bkt, string_split(text, ' ') AS w FROM d),
          |grams AS (SELECT DISTINCT doc_id, bkt,

@@ -22,6 +22,33 @@ import graft.sources.Tables
   */
 object Maintenance {
 
+  /** All temp roots this JVM created, torn down by one shutdown hook —
+    * repeated sessions over the same dir previously leaked a
+    * temp-dir copy of the fixture per (session, dir) key. */
+  private val tempRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    tempRoots.forEach { r =>
+      try {
+        val p = java.nio.file.Paths.get(r)
+        if (Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => try Files.deleteIfExists(f) catch {
+              case _: java.io.IOException => ()
+            })
+        }
+      } catch { case _: Exception => () }
+    }
+  }))
+
+  private def newTempRoot(prefix: String): String = {
+    val root = Files.createTempDirectory(prefix).toString
+    tempRoots.add(root)
+    root
+  }
+
   /** Rows per compacted output file (the size target, expressed in
     * rows because the fixture rows are fixed-width-ish; a byte target
     * is the production knob). */
@@ -44,7 +71,7 @@ object Maintenance {
     val key = (s, dir)
     if (!prepared.contains(key)) synchronized {
       if (!prepared.contains(key)) {
-        val root = Files.createTempDirectory("graft-maint").toString
+        val root = newTempRoot("graft-maint")
         val ev = Tables(s, dir, "events")
           .select("event_id", "user_id", "event_type", "value")
         val n = ev.count()
@@ -107,7 +134,7 @@ object Maintenance {
     val key = (s, dir)
     if (!zorderPrepared.contains(key)) synchronized {
       if (!zorderPrepared.contains(key)) {
-        val root = Files.createTempDirectory("graft-zorder").toString
+        val root = newTempRoot("graft-zorder")
         val mask = (1L << ZORDER_BITS) - 1
         val src = Tables(s, dir, "orders")
         val dayCol = datediff(col("o_orderdate").cast("date"),
@@ -172,14 +199,14 @@ object Maintenance {
   /** (files_total, files_read) of the most recent [[fileSkipping]]
     * run — MaintenanceSpec asserts real pruning happened. */
   val lastSkipStats =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Int, Int)]()
 
   private[operators] def ensureDateLayout(
       s: SparkSession, dir: String): String = {
     val key = (s, dir)
     if (!skipPrepared.contains(key)) synchronized {
       if (!skipPrepared.contains(key)) {
-        val root = Files.createTempDirectory("graft-skip").toString
+        val root = newTempRoot("graft-skip")
         Tables(s, dir, "orders")
           .repartitionByRange(SKIP_FILES, col("o_orderdate"))
           .sortWithinPartitions(col("o_orderdate"))
@@ -224,7 +251,7 @@ object Maintenance {
     val cand = zones.filter { r => // overlap: lo < qHi AND hi >= qLo
       r.getLong(1) < qHi && r.getLong(2) >= qLo
     }.map(_.getString(0))
-    lastSkipStats.put(dir, (zones.length, cand.length))
+    lastSkipStats.put((s, dir), (zones.length, cand.length))
     val pruned =
       if (cand.isEmpty) laid.filter(lit(false)) else s.read.parquet(cand: _*)
     pruned
@@ -470,7 +497,7 @@ object Maintenance {
     if (!snapPrepared.contains(key)) synchronized {
       if (!snapPrepared.contains(key)) {
         import s.implicits._
-        val root = Files.createTempDirectory("graft-snap").toString
+        val root = newTempRoot("graft-snap")
         val base = Tables(s, dir, "orders").select($"o_orderkey".as("k"),
           $"o_orderstatus".as("status"),
           expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")

@@ -823,7 +823,11 @@ object Relational {
     * window (the q45 lesson). Window order is (o_orderdate,
     * o_orderkey): the tiebreak makes ntile — a pure row-position
     * function — deterministic across engines; percent_rank/cume_dist
-    * are tie-aware and rounded to absorb double division. */
+    * are emitted in integer parts-per-million form (the q67
+    * convention) rather than comparing rounded float divisions, whose
+    * tie behavior differs between Spark (HALF_UP) and DuckDB
+    * (half-away-from-zero). Under the total order rank == row_number
+    * and cume_dist == rn/n, so the ppm forms are exact. */
   def q53WindowFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey")
@@ -831,12 +835,16 @@ object Relational {
     t(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
       .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy($"o_custkey")))
       .withColumn("days_since_prev",
         datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)))
-      .select($"o_orderkey", $"o_custkey", $"quartile", $"pct_rank",
-        $"cume", $"days_since_prev")
+      .select($"o_orderkey", $"o_custkey", $"quartile",
+        expr("CASE WHEN cnt > 1 THEN (rn - 1) * 1000000 div (cnt - 1) " +
+          "ELSE 0 END").as("pct_rank_ppm"),
+        expr("rn * 1000000 div cnt").as("cume_ppm"),
+        $"days_since_prev")
       .orderBy($"o_orderkey")
   }
 
@@ -1128,29 +1136,43 @@ object Relational {
   }
 
   /** Exact DECIMAL money arithmetic — the audited-ledger path where
-    * float rounding is not acceptable: per-status totals as
-    * DECIMAL(18,2), plus an exact 6%-tax projection in decimal. The
-    * source doubles carry 2-decimal money values, so the
-    * DECIMAL(12,2) cast is value-preserving, and from there every
-    * operation is exact integer-scaled arithmetic — no `round()`
-    * absorbing float drift anywhere (contrast q1, which rounds).
-    * Output precision is pinned by explicit casts on BOTH engines
-    * (Spark widens sums to (22,2), DuckDB to (38,2) — without the
-    * cast the schemas would mismatch). */
-  def q70DecimalAgg(s: SparkSession, dir: String): DataFrame = {
+    * float rounding is not acceptable: per-status totals and an exact
+    * 6%-tax projection, computed end-to-end in DECIMAL. The source
+    * doubles carry 2-decimal money values, so the DECIMAL(12,2) cast
+    * is value-preserving, and from there every operation is exact
+    * integer-scaled arithmetic — no `round()` absorbing float drift
+    * anywhere (contrast q1, which rounds), and no decimal rounding
+    * mode is ever exercised (p*0.06 is exact at 4dp; Spark rounds
+    * HALF_UP where DuckDB differs on ties — avoided by construction).
+    * The WIRE type is the suite's integer-quantized money convention
+    * (total_cents / tax_e4 / max_price_cents as BIGINT): the decimal
+    * values are exactly integral at their scale, so the scale-up +
+    * long cast is lossless, and BIGINT headroom (9.2e18) covers the
+    * sum out past sf1000 — the DECIMAL(18,2) internal cast is the
+    * binding capacity bound, good to ~1e16 cents. */
+  /** The decimal-typed aggregate BEFORE the integer wire projection —
+    * exposed so DecimalComplexSpec can pin that the internal
+    * arithmetic is genuinely DecimalType end to end. */
+  def q70DecimalAggInternal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")
       .select($"o_orderstatus",
         $"o_totalprice".cast("decimal(12,2)").as("p"))
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        sum($"p").cast("decimal(18,2)").as("total"),
-        // tax stays at 4 decimal places end to end: p*0.06 is EXACT
-        // at 4dp, so no decimal rounding mode is ever exercised
-        // (Spark rounds HALF_UP, DuckDB differs on ties — avoided)
+        sum($"p").cast("decimal(18,2)").as("total_dec"),
         sum($"p" * lit(BigDecimal("0.06")).cast("decimal(4,2)"))
-          .cast("decimal(18,4)").as("tax_total"),
-        max($"p").cast("decimal(12,2)").as("max_price"))
+          .cast("decimal(18,4)").as("tax_dec"),
+        max($"p").as("max_dec"))
+  }
+
+  def q70DecimalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q70DecimalAggInternal(s, dir)
+      .select($"o_orderstatus", $"n",
+        ($"total_dec" * lit(100)).cast("long").as("total_cents"),
+        ($"tax_dec" * lit(10000)).cast("long").as("tax_e4"),
+        ($"max_dec" * lit(100)).cast("long").as("max_price_cents"))
       .orderBy($"o_orderstatus")
   }
 
@@ -1235,7 +1257,38 @@ object Relational {
       .orderBy($"p_partkey")
   }
 
+  /** DECIMAL division across the engine divergence — the decimal twin
+    * of q74's regex-portability key. DuckDB's native DECIMAL/DECIMAL
+    * silently widens to DOUBLE (verified: `typeof(d/d) = 'DOUBLE'`),
+    * while Spark keeps DECIMAL and rounds HALF_UP at a derived scale —
+    * so engine-native decimal division is NOT portable. The portable
+    * contract (documented in BASELINE.md): pin the quotient in integer
+    * space with an explicit half-up formula,
+    * `(a*2 + b) div (2*b)` for positive a,b. This key deliberately
+    * crosses the seam: the Spark side computes `avg_e4` via NATIVE
+    * decimal division + `round(…, 4)` (HALF_UP), the oracle computes
+    * it via the integer pin — the hash match proves Spark's decimal
+    * division obeys the pinned contract. (Exactness argument: the
+    * quotient is a rational with denominator 100n, so its distance
+    * from any 4dp tie boundary is ≥ 1/(2e6·n) — far above Spark's
+    * scale-22 intermediate rounding, so no double-rounding hazard.) */
+  def q75DecimalDiv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderstatus",
+        $"o_totalprice".cast("decimal(12,2)").as("p"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"p").cast("decimal(18,2)").as("total_dec"))
+      .select($"o_orderstatus", $"n",
+        ($"total_dec" * lit(100)).cast("long").as("total_cents"),
+        (round($"total_dec" / $"n".cast("decimal(20,0)"), 4)
+          * lit(10000)).cast("long").as("avg_e4"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_decimal_div" -> (q75DecimalDiv _),
     "q74_regex_funcs" -> (q74RegexFuncs _),
     "q73_cube" -> (q73Cube _),
     "q72_dow_hour_heatmap" -> (q72DowHourHeatmap _),
@@ -1321,15 +1374,27 @@ object Relational {
         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
         |    AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
+    // integer half-up pin for the mean: NOT DuckDB's native decimal
+    // division (which silently widens to DOUBLE) — see q75DecimalDiv
+    "q75_decimal_div" ->
+      """WITH a AS (SELECT o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, n, total_cents,
+        |  CAST((total_cents * 100 * 2 + n) // (2 * n) AS BIGINT)
+        |    AS avg_e4
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
     "q70_decimal_agg" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
-        |    AS DECIMAL(18,2)) AS total,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))
         |      * CAST(0.06 AS DECIMAL(4,2)))
-        |    AS DECIMAL(18,4)) AS tax_total,
-        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2)))
-        |    AS DECIMAL(12,2)) AS max_price
+        |    AS DECIMAL(18,4)) * 10000 AS BIGINT) AS tax_e4,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+        |    AS BIGINT) AS max_price_cents
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "q71_complex_types" ->
       """SELECT l_orderkey,
@@ -1460,17 +1525,23 @@ object Relational {
         |WHERE p_brand IN ('Brand#13', 'Brand#24', 'Brand#5')
         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "q53_window_funcs" ->
-      """SELECT o_orderkey, o_custkey,
-        |  CAST(ntile(4) OVER w AS INT) AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume,
-        |  CAST(date_diff('day',
-        |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
-        |    CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey
-        |  ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
+      """WITH x AS (SELECT o_orderkey, o_custkey,
+        |    CAST(ntile(4) OVER w AS INT) AS quartile,
+        |    row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS cnt,
+        |    CAST(date_diff('day',
+        |      CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_orderkey, o_custkey, quartile,
+        |  CAST(CASE WHEN cnt > 1
+        |    THEN (rn - 1) * 1000000 // (cnt - 1)
+        |    ELSE 0 END AS BIGINT) AS pct_rank_ppm,
+        |  CAST(rn * 1000000 // cnt AS BIGINT) AS cume_ppm,
+        |  days_since_prev
+        |FROM x ORDER BY o_orderkey""".stripMargin,
     "q54_multiset_ops" ->
       """WITH h1 AS (SELECT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'

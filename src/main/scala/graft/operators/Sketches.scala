@@ -374,12 +374,14 @@ object Sketches {
     val rows = counts.groupBy(_._1).toSeq.flatMap { case (et, bs) =>
       val sorted = bs.sortBy(_._2)
       val total = sorted.map(_._3).sum
+      // explicit cumulative sum, then a pure find — a side-effecting
+      // guard inside collectFirst would double-count if isDefinedAt
+      // were ever re-evaluated (e.g. under a .view)
+      val cumulative = sorted.scanLeft(0L)(_ + _._3).tail
       HDR_PCTS.map { pct =>
         val threshold = (total * pct + 99L) / 100L
-        var cum = 0L
-        val bucket = sorted.collectFirst {
-          case (_, b, n) if { cum += n; cum >= threshold } => b
-        }.get
+        val idx = cumulative.indexWhere(_ >= threshold)
+        val bucket = sorted(idx)._2
         val l = bucket / 4
         val sub = bucket % 4
         val lb =

@@ -25,10 +25,38 @@ class DecimalComplexSpec extends AnyFunSuite {
       .coalesce(1).write.parquet(s"$dir/orders.parquet")
     val out = Relational.q70DecimalAgg(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1),
-        r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString,
-        r.getDecimal(4).toPlainString)).toMap
-    assert(out("O") == ((2L, "0.30", "0.0180", "0.20")))
-    assert(out("F") == ((1L, "0.25", "0.0150", "0.25")))
+        r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 0.10 + 0.20 = exactly 30 cents (would be 0.30000000000000004 in
+    // float); 6% of 0.25 = exactly 150 at the e4 scale. The BIGINT
+    // wire is a lossless scale-up of the internal decimals.
+    assert(out("O") == ((2L, 30L, 180L, 20L)))
+    assert(out("F") == ((1L, 25L, 150L, 25L)))
+    // and the internal arithmetic really is decimal: the pre-scaling
+    // aggregate columns are DecimalType on the plan
+    import org.apache.spark.sql.types.DecimalType
+    val fields = graft.operators.Relational
+      .q70DecimalAggInternal(spark, dir).schema.fields
+    assert(fields.count(_.dataType.isInstanceOf[DecimalType]) == 3)
+  }
+
+  test("decimal div: native decimal division obeys the half-up pin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_div").toString
+    val t0 = new Timestamp(1700000000000L)
+    // "T" is an exact 4dp tie: total 0.01 over 8 orders = 0.00125,
+    // which HALF_UP rounds to 0.0013 → avg_e4 = 13 (the integer pin
+    // (200+8) div 16 = 13 must agree); "O" is the plain case.
+    val rows = Seq((1L, 1L, "O", 0.10), (2L, 1L, "O", 0.20)) ++
+      (3L to 9L).map(k => (k, 1L, "T", 0.00)) :+ ((10L, 1L, "T", 0.01))
+    rows.map { case (k, c, st, p) => (k, c, st, p, t0, "x") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val out = Relational.q75DecimalDiv(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("O") == ((2L, 30L, 1500L)))
+    assert(out("T") == ((8L, 1L, 13L)))
   }
 
   test("complex types: sorted csv, membership, map round-trip") {

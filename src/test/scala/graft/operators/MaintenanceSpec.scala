@@ -91,7 +91,7 @@ class MaintenanceSpec extends AnyFunSuite {
   test("file skipping: zone map prunes most files, answer matches full scan") {
     val got = Maintenance.fileSkipping(spark, dir).collect()
       .map(_.toString).toSeq
-    val (total, read) = Maintenance.lastSkipStats.get(dir)
+    val (total, read) = Maintenance.lastSkipStats.get((spark, dir))
     assert(total == Maintenance.SKIP_FILES)
     // a 2-month predicate over a ~7-year span, 16 range files: the
     // overlap should touch only a few files

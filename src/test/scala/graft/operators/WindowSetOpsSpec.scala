@@ -37,13 +37,13 @@ class WindowSetOpsSpec extends AnyFunSuite {
       (5L, 2L, "F", 60.0, day("1997-05-05"), "1-URGENT")))
     val out = Relational.q53WindowFuncs(spark, dir).collect()
       .map(r => r.getLong(0) ->
-        (r.getInt(2), r.getDouble(3), r.getDouble(4),
+        (r.getInt(2), r.getLong(3), r.getLong(4),
           if (r.isNullAt(5)) -1 else r.getInt(5))).toMap
-    // customer 1: quartiles 1..4, pct_rank 0, 1/3, 2/3, 1
-    assert(out(1L) == ((1, 0.0, 0.25, -1)))
-    assert(out(2L) == ((2, 0.333333, 0.5, 2)))
-    assert(out(3L) == ((3, 0.666667, 0.75, 7)))
-    assert(out(4L) == ((4, 1.0, 1.0, 22)))
+    // customer 1: quartiles 1..4, pct_rank ppm 0, 1/3, 2/3, 1 of 1e6
+    assert(out(1L) == ((1, 0L, 250000L, -1)))
+    assert(out(2L) == ((2, 333333L, 500000L, 2)))
+    assert(out(3L) == ((3, 666666L, 750000L, 7)))
+    assert(out(4L) == ((4, 1000000L, 1000000L, 22)))
     // customer 2: same date — orderkey 5 ranks before 6; both rows are
     // date-ties so percent_rank/cume_dist see one rank group
     assert(out(5L)._1 == 1 && out(6L)._1 == 2)
