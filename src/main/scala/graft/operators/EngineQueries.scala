@@ -194,6 +194,35 @@ object EngineQueries {
         task("n2", "echo_task", "thing" -> lit("b"))),
       edges = Seq(edge("n0", "n1"), edge("n1", "n2"))))
 
+  /** SLEEP with per-run variable seconds (N5; reference
+    * ThreadRun.activateSleepNode:735-768): the timer is the only thing
+    * between two echo tasks, and the virtual clock is fully
+    * deterministic, so the oracle recomputes the exact run duration —
+    * 60 ms per surrounding task (10 ms worker-start latency + 50 ms
+    * work, the [[Simulator]] constants) + 1000·secs for the timer. */
+  private val sleepSpec = wfSpec("sleep_fold", "main",
+    thread("main",
+      Map("secs" -> WFRunVariableDef(VarType.INT)),
+      nodes = Seq(
+        task("n0", "echo_task", "thing" -> lit("pre")),
+        Node(name = "n1", nodeType = NodeType.SLEEP,
+          timeoutSeconds = Some(varRef("secs"))),
+        task("n2", "echo_task", "thing" -> lit("post"))),
+      edges = Seq(edge("n0", "n1"), edge("n1", "n2"))))
+
+  /** Error containment (R2; reference SchedulerProcessor.process
+    * :63-86): waits on an external event; poison runs get a malformed
+    * TASK_EVENT aimed at a thread that does not exist instead. */
+  private val containSpec = wfSpec("containable", "main",
+    thread("main",
+      Map("got" -> WFRunVariableDef(VarType.STRING)),
+      nodes = Seq(
+        mutate(Node(name = "n0", nodeType = NodeType.EXTERNAL_EVENT,
+          externalEventDefName = Some("the-event")),
+          "got" -> mut(Mutations.Op.ASSIGN)),
+        nop("n1")),
+      edges = Seq(edge("n0", "n1"))))
+
   /** Carries a STRING variable for index/search parity (Q2/Q3/Q9). */
   private val searchSpec = wfSpec("search_var", "main",
     thread("main",
@@ -368,6 +397,57 @@ object EngineQueries {
       .orderBy($"wf_run_id")
   }
 
+  /** N5: timer-driven sleep between two tasks; the deterministic
+    * virtual-clock schedule makes run duration an exact oracle
+    * formula (120 + 1000·(key mod 5) ms). */
+  def sleepFold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = sleepSpec
+    Tables(s, dir, "orders").select($"o_orderkey")
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[Long]
+      .map { ok =>
+        val (st, _) = Simulator.run(spec, Map("secs" -> (ok % 5).toInt))
+        val dur = st.endTime.getOrElse(0L) - st.startTime.getOrElse(0L)
+        (ok, st.status, st.threadRuns(0).taskRuns.length.toLong, dur)
+      }
+      .toDF("wf_run_id", "status", "n_tasks", "duration_ms")
+      .orderBy($"wf_run_id")
+  }
+
+  /** R2: poison runs (key mod 3 = 0) receive a malformed TASK_EVENT
+    * addressed to a thread that does not exist; the containment
+    * boundary must HALT just that run with INTERNAL_LITTLEHORSE_ERROR
+    * instead of crashing the fold, while clean runs complete via the
+    * external event. Drives [[Engine.foldRun]] directly — the batch
+    * entry point the reference's SchedulerProcessor.process shapes. */
+  def errorContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = containSpec
+    Tables(s, dir, "orders").select($"o_orderkey")
+      .transform(Tables.repartitionForCpu(_, col("o_orderkey"))).as[Long]
+      .map { ok =>
+        val runId = s"run-$ok"
+        def ev(tpe: String, time: Long, threadId: Int, content: String) =
+          WFEvent(spec.objectId, spec.name, runId, time, threadId, tpe,
+            content)
+        val start = ev(WFEventType.WF_RUN_STARTED, 1000L, 0,
+          EventCodec.encodeRunRequest(WFRunRequest(
+            ListMap.empty, spec.objectId, Some(runId))))
+        val second =
+          if (ok % 3 == 0) // poison: unparseable content, bogus thread
+            ev(WFEventType.TASK_EVENT, 2000L, 7, "{not json")
+          else
+            ev(WFEventType.EXTERNAL_EVENT, 2000L, -1,
+              EventCodec.encodeExternalEvent(ExternalEventPayload(
+                "the-event", "the-event", s"p-$ok", 2000L)))
+        val (stOpt, _) = Engine.foldRun(spec, Seq(start, second))
+        val st = stOpt.get
+        (ok, st.status, st.errorCode.orNull, st.errorMessage.isDefined)
+      }
+      .toDF("wf_run_id", "status", "error_code", "has_error_message")
+      .orderBy($"wf_run_id")
+  }
+
   /** Q2/Q3/Q9 search surface: fold runs carrying a STRING variable into
     * snapshot-shaped rows (status + the `aliases` map column the
     * streaming sink materializes), then answer the search through the
@@ -452,6 +532,8 @@ object EngineQueries {
     "m3_handler_fold" -> (handlerFold _),
     "m4_interrupt_fold" -> (interruptFold _),
     "m6_stop_resume" -> (stopResumeFold _),
+    "n5_sleep_fold" -> (sleepFold _),
+    "r2_error_containment" -> (errorContainment _),
     "q2_var_index_search" -> (varIndexSearch _),
     "e2_jsonpath_props" -> (jsonPathProps _),
   )
@@ -521,6 +603,20 @@ object EngineQueries {
         | 'COMPLETED' AS status,
         | o_orderkey % 2 = 1 AS resumed_late,
         | cast(3 AS BIGINT) AS n_tasks
+        |FROM orders ORDER BY wf_run_id""".stripMargin,
+    "n5_sleep_fold" ->
+      """SELECT o_orderkey AS wf_run_id,
+        | 'COMPLETED' AS status,
+        | cast(3 AS BIGINT) AS n_tasks,
+        | cast(120 + 1000 * (o_orderkey % 5) AS BIGINT) AS duration_ms
+        |FROM orders ORDER BY wf_run_id""".stripMargin,
+    "r2_error_containment" ->
+      """SELECT o_orderkey AS wf_run_id,
+        | CASE WHEN o_orderkey % 3 = 0 THEN 'HALTED'
+        |      ELSE 'COMPLETED' END AS status,
+        | CASE WHEN o_orderkey % 3 = 0 THEN 'INTERNAL_LITTLEHORSE_ERROR'
+        |      ELSE NULL END AS error_code,
+        | o_orderkey % 3 = 0 AS has_error_message
         |FROM orders ORDER BY wf_run_id""".stripMargin,
     "q2_var_index_search" ->
       """SELECT o_orderkey AS wf_run_id
