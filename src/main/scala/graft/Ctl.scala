@@ -117,6 +117,63 @@ object Ctl {
     } finally q.stop()
   }
 
+  /** Split a repl line into verb tokens. Whitespace separates;
+    * single-quoted segments group (JSON payloads carry spaces and
+    * double quotes) — the same convention a POSIX shell would apply
+    * to the equivalent one-shot invocation. */
+  private[graft] def tokenize(line: String): List[String] = {
+    val out = List.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var started = false
+    line.foreach {
+      case '\'' => inQuote = !inQuote; started = true
+      case c if c.isWhitespace && !inQuote =>
+        if (started) { out += cur.result(); cur.clear(); started = false }
+      case c => cur.append(c); started = true
+    }
+    require(!inQuote, s"unterminated quote in: $line")
+    if (started) out += cur.result()
+    out.result()
+  }
+
+  /** Stdin-driven mode for cross-language contract tests (one JVM, one
+    * session, many verbs — tools/ctl_contract.py is the driver): each
+    * line is a verb invocation, each response is the same envelope the
+    * one-shot CLI prints, terminated by a sentinel line. `serve <ms>`
+    * runs the scheduler on a background thread (the repl stays
+    * responsive, exactly like a second lhctl process against a live
+    * server); `exit` waits for it and quits. */
+  private def repl(spark: SparkSession, root: String): Unit = {
+    val sentinel = "###END###"
+    var serveThread: Option[Thread] = None
+    var done = false
+    val in = scala.io.Source.stdin.getLines()
+    while (!done && in.hasNext) {
+      val toks = tokenize(in.next())
+      val resp: Option[String] = toks match {
+        case Nil => None
+        case List("exit") =>
+          done = true
+          serveThread.foreach(_.join())
+          Some("{\"status\": \"BYE\"}")
+        case "serve" :: rest =>
+          val t = new Thread(
+            () => exec(spark, root, "serve" :: rest), "ctl-repl-serve")
+          t.start()
+          serveThread = Some(t)
+          Some("{\"status\": \"SERVING\"}")
+        case other =>
+          Some(try exec(spark, root, other) catch {
+            case e: Exception =>
+              "{\"status\": \"ERROR\", \"message\": " +
+                LHJson.render(e.toString) + "}"
+          })
+      }
+      resp.foreach { r => println(r); println(sentinel); Console.flush() }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Ctl <rootDir> <verb> [args...]")
     val spark = SparkSession.builder()
@@ -128,7 +185,9 @@ object Ctl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try println(exec(spark, args(0), args.toSeq.drop(1)))
-    finally spark.stop()
+    try {
+      if (args(1) == "repl") repl(spark, args(0))
+      else println(exec(spark, args(0), args.toSeq.drop(1)))
+    } finally spark.stop()
   }
 }

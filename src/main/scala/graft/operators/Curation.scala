@@ -318,7 +318,53 @@ object Curation {
     "sample_coreset_fps" -> (coresetFps _),
     "sample_dsir_weights" -> (dsirWeights _),
     "pipeline_data_funnel" -> (dataFunnel _),
+    "pipeline_mix_epochs" -> (mixEpochs _),
   )
+
+  /** Per-source token target for [[mixEpochs]]. */
+  val EPOCH_BUDGET = 2000L
+
+  /** Epoch-aware source mixing — the UPsampling complement to
+    * [[tokenBudgetSample]]'s downsampling: a source smaller than the
+    * per-source token budget is repeated for `budget div total` full
+    * epochs, and the remainder is filled by a partial epoch whose
+    * membership is the same deterministic splitmix64 permille filter
+    * (`permille = 1000·rem div total`) — the "epochs over small
+    * high-quality sources" knob every published pretraining mix turns
+    * (e.g. multiple Wikipedia epochs per web epoch). Output is the
+    * per-source mixing manifest: full epochs, partial permille, docs
+    * and tokens selected for the partial epoch, and the resulting
+    * token estimate — all exact integer arithmetic.
+    *
+    * Scale shape: one map-side-combined aggregate to |sources| rows,
+    * joined back without a hint (AQE broadcasts the tiny totals), then
+    * one conditional aggregate — the corpus itself never shuffles. */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+    val totals = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("total_toks"))
+      .withColumn("epochs_full", expr(s"$EPOCH_BUDGET div total_toks"))
+      .withColumn("permille", expr(
+        s"(1000 * ($EPOCH_BUDGET - epochs_full * total_toks))" +
+          " div total_toks"))
+    docs.join(totals, "source")
+      .withColumn("in_partial", graft.functions.GraftFunctions
+        .mix64_bucket($"doc_id", 1000L) < $"permille")
+      .groupBy($"source", $"n_docs", $"total_toks", $"epochs_full",
+        $"permille")
+      .agg(
+        sum(when($"in_partial", 1L).otherwise(0L)).as("n_partial_docs"),
+        sum(when($"in_partial", $"n_tok").otherwise(0L))
+          .as("partial_toks"))
+      .select($"source", $"n_docs", $"total_toks", $"epochs_full",
+        $"permille", $"n_partial_docs",
+        ($"epochs_full" * $"total_toks" + $"partial_toks")
+          .as("est_tokens"))
+      .orderBy($"source")
+  }
 
   /** The pretraining DATA FUNNEL report — the stage-by-stage survival
     * manifest a corpus build publishes before training: cumulative
@@ -701,6 +747,35 @@ object Curation {
          |  FROM documents) t
          |WHERE rn <= $FIXED_K
          |ORDER BY source, doc_id""".stripMargin
+    },
+    // same integer epoch/permille arithmetic, same splitmix64 membership
+    "pipeline_mix_epochs" -> {
+      val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    $bucket AS bkt
+         |  FROM documents),
+         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS total_toks FROM d GROUP BY 1),
+         |e AS (SELECT source, n_docs, total_toks,
+         |    $EPOCH_BUDGET // total_toks AS epochs_full,
+         |    (1000 * ($EPOCH_BUDGET
+         |      - ($EPOCH_BUDGET // total_toks) * total_toks))
+         |      // total_toks AS permille
+         |  FROM t),
+         |p AS (SELECT d.source,
+         |    CAST(sum(CASE WHEN d.bkt < e.permille THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_partial_docs,
+         |    CAST(sum(CASE WHEN d.bkt < e.permille THEN d.n_tok
+         |      ELSE 0 END) AS BIGINT) AS partial_toks
+         |  FROM d JOIN e USING (source) GROUP BY 1)
+         |SELECT e.source, e.n_docs, e.total_toks,
+         |  CAST(e.epochs_full AS BIGINT) AS epochs_full,
+         |  CAST(e.permille AS BIGINT) AS permille,
+         |  p.n_partial_docs,
+         |  CAST(e.epochs_full * e.total_toks + p.partial_toks AS BIGINT)
+         |    AS est_tokens
+         |FROM e JOIN p USING (source) ORDER BY e.source""".stripMargin
     },
     "sample_token_budget" -> {
       val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"

@@ -194,7 +194,41 @@ object Multimodal {
       .orderBy($"modality", $"doc_id")
   }
 
+  /** Modality-aware semantic dedup — the CLIP-embedding near-dup pass
+    * a multimodal corpus runs per modality (an image is never a
+    * duplicate of an audio clip, whatever their embeddings say):
+    * [[Similarity.cellAssignedOn]]'s IVF coarse quantizer shards the
+    * corpus, and candidate pairs are restricted to the SAME
+    * (modality, cell), so the join key gains the modality — pairwise
+    * work drops below even the unimodal Σ|cell|²/2 and the shard unit
+    * stays one executor's working set at 100 TB. Same seeded
+    * centroids and cosine ≥ 0.4 predicate as the rest of the IVF
+    * family; embeddings align to documents by id, and modality is the
+    * shared doc_id mod 3 convention of [[binaryPayloads]]. */
+  def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorOps.dot
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val assigned = Similarity.cellAssignedOn(emb)
+      .withColumn("modality",
+        when($"vec_id" % 3 === 0, lit("image"))
+          .when($"vec_id" % 3 === 1, lit("audio"))
+          .otherwise(lit("video")))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        $"a.modality" === $"b.modality" && $"a.cell" === $"b.cell" &&
+          $"a.vec_id" < $"b.vec_id")
+      .withColumn("cosine",
+        dot($"a.v", $"b.v") / ($"a.norm" * $"b.norm"))
+      .filter($"cosine" >= 0.4)
+      .select($"a.modality".as("modality"), $"a.vec_id".as("va"),
+        $"b.vec_id".as("vb"))
+      .orderBy($"va", $"vb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_embedding_dedup" -> (embeddingDedup _),
     "mm_binary_stats" -> (binaryStats _),
     "mm_feature_extract" -> (featureExtract _),
     "mm_frame_sample" -> (frameSample _),
@@ -202,6 +236,36 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // same assignment re-derivation as the Similarity IVF oracles,
+    // with the modality restriction on the pair join
+    "mm_embedding_dedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e
+         |  WHERE vec_id < ${Similarity.KMEANS_K}),
+         |d AS (SELECT e.vec_id, c.cid,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, len(e.v) + 1),
+         |      i -> (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+         |         * (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]))),
+         |    (a, x) -> a + x) AS dist2
+         |  FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist2, cid) AS rn
+         |  FROM d) WHERE rn = 1)
+         |SELECT CASE WHEN a.vec_id % 3 = 0 THEN 'image'
+         |       WHEN a.vec_id % 3 = 1 THEN 'audio' ELSE 'video' END
+         |    AS modality,
+         |  a.vec_id AS va, b.vec_id AS vb
+         |FROM asg a JOIN asg b ON a.cell = b.cell
+         |  AND a.vec_id % 3 = b.vec_id % 3 AND a.vec_id < b.vec_id
+         |JOIN e ea ON ea.vec_id = a.vec_id
+         |JOIN e eb ON eb.vec_id = b.vec_id
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+         |ORDER BY va, vb""".stripMargin,
     "mm_shard_manifest" ->
       s"""WITH p AS (SELECT doc_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image'

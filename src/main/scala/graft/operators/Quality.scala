@@ -83,12 +83,74 @@ object Quality {
     checks.reduce(_ unionAll _).orderBy($"edge")
   }
 
+  /** Freshness / gap audit — the staleness monitor a streaming table
+    * gets: per event type, event count, last-seen time, staleness
+    * against the newest event anywhere, and the largest inter-event
+    * gap in the type's history (SLA breach detection).
+    *
+    * Scale design: max-gap is NOT one `lag()` over a whole type's
+    * history — that is a |types|-partition window over corpus-sized
+    * partitions (the q45 pathology). It decomposes hierarchically:
+    * intra-day gaps come from (type, day)-partitioned windows (the
+    * partition key grows with data), day-boundary gaps from a lag
+    * over the BOUNDED (type, day) summary rows, and the final max
+    * merges the two. Gap values are insensitive to timestamp-tie
+    * ordering (equal neighbors yield gap 0 under any stable order),
+    * so the decomposition is deterministic. The closing windows run
+    * over ≤ types×days rows — bounded. */
+  def freshness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .select($"event_type", unix_micros($"ts").as("us"),
+        to_date($"ts").as("day"))
+    val wDay = Window.partitionBy($"event_type", $"day").orderBy($"us")
+    val days = ev
+      .withColumn("gap", $"us" - lag($"us", 1).over(wDay))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"), min($"us").as("first_us"),
+        max($"us").as("last_us"), max($"gap").as("intra_gap"))
+    // from here on everything is types×days rows — bounded
+    val wType = Window.partitionBy($"event_type").orderBy($"day")
+    val perType = days
+      .withColumn("boundary_gap",
+        $"first_us" - lag($"last_us", 1).over(wType))
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n_events"), max($"last_us").as("last_us"),
+        greatest(coalesce(max($"intra_gap"), lit(0L)),
+          coalesce(max($"boundary_gap"), lit(0L))).as("max_gap_us"))
+    perType
+      .withColumn("anchor", max($"last_us").over(
+        Window.partitionBy())) // unpartitioned but ≤ |types| rows
+      .select($"event_type", $"n_events", $"last_us",
+        ($"anchor" - $"last_us").as("staleness_us"), $"max_gap_us")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> (profile _),
     "dq_referential" -> (referential _),
+    "dq_freshness" -> (freshness _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle takes the flat one-level form (one lag per type) —
+    // the hierarchical engine decomposition must agree with it exactly
+    "dq_freshness" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT event_type, us,
+        |    us - lag(us) OVER (PARTITION BY event_type ORDER BY us)
+        |      AS gap
+        |  FROM e),
+        |t AS (SELECT event_type, count(*) AS n, max(us) AS last_us,
+        |    coalesce(max(gap), 0) AS max_gap
+        |  FROM g GROUP BY 1),
+        |a AS (SELECT max(last_us) AS anchor FROM t)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST(last_us AS BIGINT) AS last_us,
+        |  CAST(anchor - last_us AS BIGINT) AS staleness_us,
+        |  CAST(max_gap AS BIGINT) AS max_gap_us
+        |FROM t, a ORDER BY event_type""".stripMargin,
     "dq_profile" -> {
       val branches = PROFILE_COLS.map(c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -1287,7 +1287,50 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  /** Recursive hierarchy traversal (the WITH RECURSIVE class): a
+    * bill-of-materials walk to the root with per-edge quantity
+    * multiplication. The component hierarchy is data-driven — an EDGE
+    * TABLE (child, parent, qty) derived deterministically from `part`
+    * (parent = child div 10, qty = child mod 5 + 1) so the DuckDB
+    * oracle can replay the same walk as a genuine recursive CTE.
+    *
+    * Spark has no recursive CTE; the Spark-first expression is
+    * FRONTIER ITERATION: keep (part, cur, depth, eff) states, join the
+    * still-walking rows against the edge table once per level, union
+    * with the finished rows, `localCheckpoint` per round to cut
+    * lineage (the [[Graph]]/[[Dedup]] iterative-join discipline). The
+    * level count is ceil(log10(max key)) — known up front from a
+    * 1-row bounds pass, so no driver-side convergence polling. At
+    * scale each level is ONE key-equi shuffle join over a frontier
+    * that only shrinks; depth is logarithmic in the key domain (a
+    * real BOM's depth is similarly bounded). Product stays in Long:
+    * qty ≤ 5, depth ≤ 13 digits → ≤ 5^13 ≈ 1.2e9. */
+  def q76RecursiveBom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = t(s, dir, "part")
+      .select($"p_partkey".as("child"),
+        expr("p_partkey div 10").as("parent"),
+        expr("p_partkey % 5 + 1").as("qty"))
+      .localCheckpoint() // read once per level
+    // depth bound from the key domain: digits(max) - 1 levels suffice
+    val maxKey = edges.agg(max($"child")).head().getLong(0) // 1-row
+    val levels = math.max(1, maxKey.toString.length - 1)
+    var state = edges.select($"child".as("part"), $"child".as("cur"),
+      lit(0L).as("depth"), lit(1L).as("eff"))
+    (1 to levels).foreach { _ =>
+      val stepped = state.filter($"cur" >= 10)
+        .join(edges, $"cur" === $"child")
+        .select($"part", $"parent".as("cur"),
+          ($"depth" + 1).as("depth"), ($"eff" * $"qty").as("eff"))
+      state = state.filter($"cur" < 10).union(stepped).localCheckpoint()
+    }
+    state.select($"part".as("p_partkey"), $"cur".as("root_key"),
+      $"depth", $"eff".as("eff_qty"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_recursive_bom" -> (q76RecursiveBom _),
     "q75_decimal_div" -> (q75DecimalDiv _),
     "q74_regex_funcs" -> (q74RegexFuncs _),
     "q73_cube" -> (q73Cube _),
@@ -1374,6 +1417,20 @@ object Relational {
         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
         |    AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
+    // genuine recursive CTE replay of the frontier iteration
+    "q76_recursive_bom" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS child, p_partkey // 10 AS parent,
+        |    p_partkey % 5 + 1 AS qty FROM part),
+        |walk(part, cur, depth, eff) AS (
+        |  SELECT child, child, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM e
+        |  UNION ALL
+        |  SELECT w.part, e.parent, w.depth + 1, w.eff * e.qty
+        |  FROM walk w JOIN e ON w.cur = e.child WHERE w.cur >= 10)
+        |SELECT part AS p_partkey, CAST(cur AS BIGINT) AS root_key,
+        |  CAST(depth AS BIGINT) AS depth, CAST(eff AS BIGINT) AS eff_qty
+        |FROM walk WHERE cur < 10 ORDER BY p_partkey""".stripMargin,
     // integer half-up pin for the mean: NOT DuckDB's native decimal
     // division (which silently widens to DOUBLE) — see q75DecimalDiv
     "q75_decimal_div" ->

@@ -364,14 +364,7 @@ object Similarity {
   private[graft] def semanticDedupPairsOn(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val cents: Array[(Long, Array[Double])] = emb
-      .filter($"vec_id" < KMEANS_K)
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(cents)
-    val assigned = emb.transform(Tables.repartitionForCpu(_, col("vec_id")))
-      .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, v, l2norm(v), nearestCentroid(v, bc.value)._1) }
-      .toDF("vec_id", "v", "norm", "cell")
+    val assigned = cellAssignedOn(emb)
     assigned.as("a")
       .join(assigned.as("b"),
         $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
@@ -379,6 +372,24 @@ object Similarity {
       .filter($"cosine" >= 0.4)
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
       .orderBy($"va", $"vb")
+  }
+
+  /** Coarse-quantizer assignment shared by [[semanticDedupPairsOn]]
+    * and [[Multimodal.embeddingDedup]]: (vec_id, v, norm, cell) with
+    * the seeded-centroid argmin rule of the whole IVF family. */
+  private[operators] def cellAssignedOn(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents: Array[(Long, Array[Double])] = emb
+      .filter($"vec_id" < KMEANS_K)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    emb.transform(Tables.repartitionForCpu(_, col("vec_id")))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        (id, v, l2norm(v), nearestCentroid(v, bc.value)._1)
+      }
+      .toDF("vec_id", "v", "norm", "cell")
   }
 
   /** Argmin over broadcast centroids — shared by [[kmeansAssign]],

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.GraftFunctions
 import graft.sources.Tables
 
@@ -442,7 +443,43 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Output size for [[bpePairStats]]. */
+  val BPE_TOPK = 50
+
+  /** BPE merge-candidate statistics — the pair-counting pass a BPE
+    * tokenizer trainer runs to pick its next merge: corpus-weighted
+    * counts of ADJACENT CHARACTER PAIRS within words, i.e. for every
+    * word w with corpus frequency f, each of the len(w)-1 overlapping
+    * 2-char windows contributes f. Top [[BPE_TOPK]] pairs by
+    * (count DESC, pair ASC).
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY first (one
+    * word-keyed map-side-combined aggregate — sublinear output), pair
+    * expansion then runs over distinct words only, and the pair space
+    * itself is alphabet², so the final aggregate and the rank window
+    * operate on a bounded few-hundred-row relation (the window is NOT
+    * over corpus-sized data — the q45 lesson does not apply). */
+  def bpePairStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    val counts = vocab
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> substring(word, i, 2))")).as("pair"), $"freq")
+      .groupBy($"pair").agg(sum($"freq").as("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"n".desc, $"pair")).cast("long"))
+      .filter($"rank" <= BPE_TOPK)
+      .select($"rank", $"pair", $"n")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_pair_stats" -> (bpePairStats _),
     "text_winnowing" -> (winnowing _),
     "text_perplexity_bigram" -> (perplexityBigram _),
     "text_perplexity_unigram" -> (perplexityUnigram _),
@@ -458,6 +495,23 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // vocabulary-collapsed replay: same freq-weighted char-pair counts,
+    // same (n DESC, pair ASC) rank
+    "text_bpe_pair_stats" ->
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |f AS (SELECT word, count(*) AS freq FROM w
+         |  WHERE length(word) >= 2 GROUP BY 1),
+         |p AS (SELECT unnest(list_transform(range(1, length(word)),
+         |    i -> substring(word, CAST(i AS INTEGER), 2))) AS pair,
+         |    freq
+         |  FROM f),
+         |c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p
+         |  GROUP BY 1),
+         |r AS (SELECT pair, n,
+         |    row_number() OVER (ORDER BY n DESC, pair) AS rank FROM c)
+         |SELECT CAST(rank AS BIGINT) AS rank, pair, n
+         |FROM r WHERE rank <= $BPE_TOPK ORDER BY rank""".stripMargin,
     // full first-principles replay: HUGEINT FNV per word 4-gram,
     // truncated-tail windows, argmin with the rightmost-tie rule as
     // row_number (h ASC, pos DESC), distinct selected positions
