@@ -129,13 +129,80 @@ object Cdc {
       .orderBy($"o_orderpriority")
   }
 
+  /** Changelog COMPACTION — net-effect folding of a multi-op change
+    * batch before it is applied (the Kafka-log-compaction / Debezium
+    * op-folding step that keeps a MERGE's input one-row-per-key):
+    * within a batch, I→…→D collapses to nothing (the key never
+    * existed downstream), …→D to a tombstone, I→U…→U to one INSERT
+    * with the final value, U→…→U to one UPDATE.
+    *
+    * The batch is derived deterministically from `orders` (keys ≢ 0
+    * mod 5 open with an INSERT; ≡ 0 mod 3 append an UPDATE repricing
+    * +100.00; ≡ 0 mod 4 append a DELETE), so the oracle can both
+    * replay the generic fold and cross-check it against a pure CASE
+    * derivation. The fold itself is ONE key-keyed aggregate —
+    * `min_by`/`max_by` over the version order, map-side combined, no
+    * window — the shape that holds when a backfill delivers millions
+    * of ops per key. */
+  def changelogCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "orders")
+      .select($"o_orderkey".as("k"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+          .as("cents"))
+    val ins = base.filter($"k" % 5 =!= 0)
+      .select($"k", lit(1L).as("v"), lit("I").as("op"), $"cents")
+    val upd = base.filter($"k" % 3 === 0)
+      .select($"k", lit(2L).as("v"), lit("U").as("op"),
+        ($"cents" + 10000L).as("cents"))
+    val del = base.filter($"k" % 4 === 0)
+      .select($"k", lit(3L).as("v"), lit("D").as("op"),
+        lit(null).cast("long").as("cents"))
+    ins.unionAll(upd).unionAll(del)
+      .groupBy($"k")
+      .agg(min_by($"op", $"v").as("first_op"),
+        max_by(struct($"op", $"cents"), $"v").as("last"),
+        max(when($"op" === "I", 1L).otherwise(0L)).as("has_i"))
+      .select($"k".as("o_orderkey"),
+        when($"last.op" === "D",
+          when($"first_op" === "I", lit(null).cast("string"))
+            .otherwise(lit("D")))
+          .otherwise(when($"has_i" === 1L, "I").otherwise("U"))
+          .as("net_op"),
+        when($"last.op" === "D", lit(null).cast("long"))
+          .otherwise($"last.cents").as("final_cents"))
+      .filter($"net_op".isNotNull)
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_upsert_apply" -> (upsertApply _),
     "cdc_scd2_history" -> (scd2History _),
     "cdc_incremental_agg" -> (incrementalAgg _),
+    "cdc_changelog_compact" -> (changelogCompact _),
   )
 
   val oracles: Map[String, String] = Map(
+    // first-principles CASE derivation of the net effect, independent
+    // of the engine's generic min_by/max_by fold: D present → tombstone
+    // only for pre-existing keys (I…D in one batch vanishes); else the
+    // final value with I-vs-U decided by batch membership
+    "cdc_changelog_compact" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT k AS o_orderkey,
+        |  CASE WHEN k % 4 = 0 THEN 'D'
+        |       WHEN k % 5 <> 0 THEN 'I'
+        |       ELSE 'U' END AS net_op,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       WHEN k % 3 = 0 THEN cents + 10000
+        |       ELSE cents END AS final_cents
+        |FROM b
+        |WHERE (k % 4 = 0 AND k % 5 = 0)
+        |   OR (k % 4 <> 0 AND k % 5 <> 0)
+        |   OR (k % 4 <> 0 AND k % 5 = 0 AND k % 3 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "cdc_upsert_apply" ->
       """WITH changes AS (
         |  SELECT o_orderkey,

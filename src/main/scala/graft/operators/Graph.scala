@@ -303,7 +303,58 @@ object Graph {
       .orderBy($"part", $"rank")
   }
 
+  /** Minimum degree for [[kcorePeel]]. */
+  val KCORE_K = 3
+  /** Peel rounds — a BOUNDED prefix of the k-core fixpoint (the full
+    * fixpoint has data-dependent round count; three rounds is already
+    * a strictly stronger filter than the degree threshold alone and
+    * keeps the oracle expressible as an unrolled CTE chain). */
+  val KCORE_ROUNDS = 3
+
+  /** k-core peeling over the purchase graph (same undirected
+    * customer↔supplier edge list as [[pagerankQ]]): repeatedly delete
+    * nodes with degree < [[KCORE_K]], [[KCORE_ROUNDS]] rounds, then
+    * report the surviving nodes with their residual degree — the
+    * dense-subgraph extraction used for community seeds and spam-ring
+    * mining.
+    *
+    * Scale shape (the family's iterative-join discipline): per round,
+    * ONE degree aggregate (map-side combined) and TWO semi-joins
+    * filtering the edge list against the surviving-node set, then a
+    * `localCheckpoint` lineage cut; the edge list only shrinks, so
+    * round cost is monotonically decreasing. All integer arithmetic —
+    * the oracle unrolls the same three rounds verbatim. */
+  def kcorePeel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + SUPPLIER_OFFSET).as("dst"))
+      .distinct()
+    var edges = e0
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
+    (1 to KCORE_ROUNDS).foreach { _ =>
+      val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= KCORE_K)
+        .select($"src".as("node"))
+      edges = edges
+        .join(keep.select($"node".as("ks")), $"src" === $"ks", "left_semi")
+        .join(keep.select($"node".as("kd")), $"dst" === $"kd", "left_semi")
+        .localCheckpoint()
+    }
+    edges.groupBy($"src").agg(count(lit(1)).as("residual_deg"))
+      .select(
+        when($"src" >= SUPPLIER_OFFSET, "supplier").otherwise("customer")
+          .as("kind"),
+        when($"src" >= SUPPLIER_OFFSET, $"src" - SUPPLIER_OFFSET)
+          .otherwise($"src").as("id"),
+        $"residual_deg")
+      .orderBy($"kind", $"id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore_peel" -> (kcorePeel _),
     "graph_copurchase_topk" -> (copurchaseTopK _),
     "graph_pagerank_q" -> (pagerankQ _),
     "graph_reachability" -> (reachabilityQ _),
@@ -338,6 +389,29 @@ object Graph {
        |        UNION ALL SELECT node, $h AS dist FROM $fN)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // three peel rounds unrolled verbatim; the undirected edge list is
+    // rebuilt per round from the surviving node set
+    "graph_kcore_peel" -> {
+      def round(i: Int): String =
+        s"""k$i AS (SELECT src AS node FROM e${i - 1}
+           |  GROUP BY 1 HAVING count(*) >= $KCORE_K),
+           |e$i AS (SELECT src, dst FROM e${i - 1}
+           |  WHERE src IN (SELECT node FROM k$i)
+           |    AND dst IN (SELECT node FROM k$i))""".stripMargin
+      s"""WITH half AS (
+         |  SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + $SUPPLIER_OFFSET AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e0 AS (SELECT src, dst FROM half
+         |       UNION ALL SELECT dst, src FROM half),
+         |${(1 to KCORE_ROUNDS).map(round).mkString(",\n")}
+         |SELECT CASE WHEN src >= $SUPPLIER_OFFSET THEN 'supplier'
+         |    ELSE 'customer' END AS kind,
+         |  CAST(CASE WHEN src >= $SUPPLIER_OFFSET
+         |    THEN src - $SUPPLIER_OFFSET ELSE src END AS BIGINT) AS id,
+         |  CAST(count(*) AS BIGINT) AS residual_deg
+         |FROM e$KCORE_ROUNDS GROUP BY 1, 2 ORDER BY kind, id""".stripMargin
+    },
     // identical pair expansion (distinct parts per order, self-join),
     // identical (n DESC, partkey ASC) ranking via row_number
     "graph_copurchase_topk" ->

@@ -1329,7 +1329,59 @@ object Relational {
       .orderBy($"p_partkey")
   }
 
+  /** UNPIVOT (melt) — the wide→long reshape, via Spark's native
+    * `Dataset.unpivot` (plans as Expand, the same codegen'd operator
+    * CUBE/ROLLUP use: k output rows per input row, no shuffle until
+    * the final sort). Measures are integer-quantized upfront so the
+    * long `value` column is exact on both engines. */
+  def q77Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey",
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+          .as("price_cents"),
+        $"o_custkey".cast("long").as("cust_key"),
+        datediff($"o_orderdate".cast("date"),
+          lit(java.sql.Date.valueOf("1995-01-01"))).cast("long")
+          .as("day_offset"))
+      .unpivot(
+        ids = Array(col("o_orderkey")),
+        values = Array(col("price_cents"), col("cust_key"),
+          col("day_offset")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy($"o_orderkey", $"measure")
+  }
+
+  /** MAP aggregation surface — build a map column FROM an aggregation
+    * (per-status priority→count histogram via `map_from_entries` over
+    * a sorted entry list), read it back (`element_at`), and render it
+    * canonically (sorted k:v CSV — the deterministic wire form, since
+    * map iteration order is not comparable across engines). Two
+    * stacked aggregates, both map-side combined; the entry lists are
+    * bounded by the priority domain. */
+  def q78MapAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"o_orderstatus")
+      .agg(sort_array(collect_list(struct($"o_orderpriority".as("p"),
+        $"n"))).as("entries"))
+      .select($"o_orderstatus",
+        aggregate($"entries", lit(0L), (acc, x) => acc + x("n"))
+          .as("n_total"),
+        concat_ws(",", transform($"entries",
+          x => concat(x("p"), lit(":"), x("n")))).as("prio_counts"),
+        coalesce(element_at(
+          map_from_entries($"entries"), "1-URGENT"), lit(-1L))
+          .as("urgent_n"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_map_agg" -> (q78MapAgg _),
+    "q77_unpivot" -> (q77Unpivot _),
     "q76_recursive_bom" -> (q76RecursiveBom _),
     "q75_decimal_div" -> (q75DecimalDiv _),
     "q74_regex_funcs" -> (q74RegexFuncs _),
@@ -1417,6 +1469,38 @@ object Relational {
         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
         |    AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
+    // ORDER BY inside the list aggregate pins the same entry order the
+    // Spark side gets from sort_array
+    "q78_map_agg" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority AS p,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus,
+        |  CAST(sum(n) AS BIGINT) AS n_total,
+        |  array_to_string(
+        |    list(p || ':' || CAST(n AS VARCHAR) ORDER BY p), ',')
+        |    AS prio_counts,
+        |  coalesce(max(CASE WHEN p = '1-URGENT' THEN n END),
+        |    CAST(-1 AS BIGINT)) AS urgent_n
+        |FROM c GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // UNION ALL replay of the Expand (portable; DuckDB's UNPIVOT
+    // keyword would also work but adds nothing the hash can see)
+    "q77_unpivot" ->
+      """WITH w AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |      AS price_cents,
+        |    CAST(o_custkey AS BIGINT) AS cust_key,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day_offset
+        |  FROM orders)
+        |SELECT o_orderkey, measure, value FROM (
+        |  SELECT o_orderkey, 'price_cents' AS measure,
+        |    price_cents AS value FROM w
+        |  UNION ALL
+        |  SELECT o_orderkey, 'cust_key', cust_key FROM w
+        |  UNION ALL
+        |  SELECT o_orderkey, 'day_offset', day_offset FROM w)
+        |ORDER BY o_orderkey, measure""".stripMargin,
     // genuine recursive CTE replay of the frontier iteration
     "q76_recursive_bom" ->
       """WITH RECURSIVE e AS (

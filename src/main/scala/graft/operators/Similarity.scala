@@ -76,6 +76,40 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Seed-set size for [[reciprocalTopK]]. */
+  val RECIP_N = 100
+
+  /** Mutual-kNN (reciprocal top-k) pairs — the edge set a near-dup /
+    * clustering graph is built from: (a,b) is an edge iff b is in a's
+    * top-K cosine neighbors AND a is in b's. Mutuality prunes the
+    * asymmetric "hub attracts everyone" edges plain kNN graphs suffer
+    * from. Computed exactly over the bounded [[RECIP_N]] seed set
+    * (neighbors restricted to the set, so the oracle is
+    * self-contained); the 100 TB production path feeds the same
+    * reciprocal join from IVF/LSH candidates ([[ivfTopK]]) instead of
+    * the exact ranking — this key is the exactness validator, the
+    * family's usual role split. The reciprocal test itself is ONE
+    * self-join of the top-k relation on the swapped key pair. */
+  def reciprocalTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = withNorm(Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" < RECIP_N))
+    val scored = broadcast(emb).as("a")
+      .join(emb.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("query_id"), cosine.as("cos"),
+        $"b.vec_id".as("neighbor_id"))
+    val top = rankTopK(scored)
+    top.as("x")
+      .join(top.as("y"),
+        $"x.query_id" === $"y.neighbor_id" &&
+          $"x.neighbor_id" === $"y.query_id" &&
+          $"x.query_id" < $"x.neighbor_id")
+      .select($"x.query_id".as("va"), $"x.neighbor_id".as("vb"),
+        $"x.rank".as("rank_a"), $"y.rank".as("rank_b"))
+      .orderBy($"va", $"vb")
+  }
+
   /** Exact top-k cosine neighbors for the first 10 vectors. */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -906,6 +940,7 @@ object Similarity {
     "emb_covariance_q" -> (covarianceQ _),
     "ann_filtered_topk" -> (filteredTopK _),
     "ann_brute_force_topk" -> (bruteForceTopK _),
+    "ann_reciprocal_topk" -> (reciprocalTopK _),
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
     "dedup_semantic_ivf" -> (semanticDedupPairs _),
@@ -1262,6 +1297,23 @@ object Similarity {
          |JOIN e ea ON ea.vec_id = a.vec_id
          |JOIN e eb ON eb.vec_id = b.vec_id
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+         |ORDER BY va, vb""".stripMargin,
+    // exact top-K over the seed set, then the swapped-pair self-join
+    "ann_reciprocal_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < $RECIP_N),
+         |t AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+         |      AS BIGINT) AS rank
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id) r
+         |  WHERE rank <= $K)
+         |SELECT x.query_id AS va, x.neighbor_id AS vb,
+         |  x.rank AS rank_a, y.rank AS rank_b
+         |FROM t x JOIN t y ON x.query_id = y.neighbor_id
+         |  AND x.neighbor_id = y.query_id
+         |WHERE x.query_id < x.neighbor_id
          |ORDER BY va, vb""".stripMargin,
     "ann_brute_force_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (

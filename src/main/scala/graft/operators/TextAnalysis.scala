@@ -478,7 +478,39 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** Keyword set for [[codeDetect]] — code-specific tokens chosen to
+    * avoid common English collisions. */
+  val CODE_KEYWORDS = Seq("def", "class", "return", "import", "function",
+    "var", "const", "lambda", "void", "int")
+
+  /** Code-vs-prose detection — the cheap classifier every pretraining
+    * pipeline runs to route documents to the code or prose mix:
+    * punctuation-symbol density (braces/brackets/operators per 1000
+    * chars, exact integer permille) + code-keyword hits, with the
+    * routing decision `is_code = symbols ≥ 50‰ OR keywords ≥ 3`.
+    * Pure codegen'd string projections over one scan (the regex stays
+    * in the q74 portable character-class subset); scan-bound at any
+    * scale like the rest of the text family. */
+  def codeDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kwHits = size(filter(split($"text", " "),
+      w => w.isInCollection(CODE_KEYWORDS))).cast("long")
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        length(regexp_replace($"text", "[^{}()=;\\[\\]<>]", ""))
+          .cast("long").as("n_sym"),
+        length($"text").cast("long").as("n_chars"),
+        kwHits.as("kw_hits"))
+      .select($"doc_id",
+        expr("n_sym * 1000 div n_chars").as("symbol_permille"),
+        $"kw_hits")
+      .select($"doc_id", $"symbol_permille", $"kw_hits",
+        ($"symbol_permille" >= 50L || $"kw_hits" >= 3L).as("is_code"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_detect" -> (codeDetect _),
     "text_bpe_pair_stats" -> (bpePairStats _),
     "text_winnowing" -> (winnowing _),
     "text_perplexity_bigram" -> (perplexityBigram _),
@@ -495,6 +527,23 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same portable character class, same integer permille + keyword
+    // membership, same routing predicate
+    "text_code_detect" -> {
+      val kws = CODE_KEYWORDS.map(k => s"'$k'").mkString(",")
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(length(regexp_replace(text, '[^{}()=;\\[\\]<>]', '',
+         |      'g')) AS BIGINT) AS n_sym,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN ($kws))) AS BIGINT) AS kw_hits
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(n_sym * 1000 // n_chars AS BIGINT) AS symbol_permille,
+         |  kw_hits,
+         |  (n_sym * 1000 // n_chars >= 50 OR kw_hits >= 3) AS is_code
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
     // vocabulary-collapsed replay: same freq-weighted char-pair counts,
     // same (n DESC, pair ASC) rank
     "text_bpe_pair_stats" ->

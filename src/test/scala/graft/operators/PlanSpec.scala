@@ -662,4 +662,55 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("posexplode"), plan.take(2000))
     assert(plan.contains("HashAggregate"), plan.take(2000))
   }
+
+  test("q77 unpivot plans as Expand, not a join or repeated scans") {
+    val plan = planOf(Relational.q77Unpivot(spark, dir))
+    assert(plan.contains("Expand"), plan.take(2000))
+    assert(scanCount(plan) == 1, plan.take(2000))
+  }
+
+  test("bpe pair stats: rank window runs AFTER the pair aggregate") {
+    val plan = planOf(TextAnalysis.bpePairStats(spark, dir))
+    // the corpus collapses through two aggregates before the bounded
+    // alphabet² relation is ranked — in the top-down formatted plan
+    // the Window must sit ABOVE (textually before) the aggregates; a
+    // window fed directly by the corpus scan would invert that
+    val wIdx = plan.indexOf("Window")
+    val aIdx = plan.indexOf("HashAggregate")
+    assert(wIdx > 0 && aIdx > 0 && wIdx < aIdx,
+      s"aggregate above window: $wIdx vs $aIdx\n${plan.take(2000)}")
+  }
+
+  test("dq freshness: gap windows are (type, day)-partitioned") {
+    val plan = planOf(Quality.freshness(spark, dir))
+    // the corpus-side window must carry the day column in its
+    // partition spec; only the bounded types×days relation may use a
+    // coarser (or empty) partitioning
+    val corpusWindows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(event_type"))
+      .filter(_.contains(" us#"))
+      .toSeq
+    assert(corpusWindows.nonEmpty, plan.take(3000))
+    corpusWindows.foreach(l =>
+      assert(l.contains("day#"), s"type-only corpus window: $l"))
+  }
+
+  test("mm embedding dedup joins on (modality, cell): no cartesian") {
+    val plan = planOf(Multimodal.embeddingDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("changelog compact: one keyed aggregate, no window, no cartesian") {
+    val plan = planOf(Cdc.changelogCompact(spark, dir))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("reciprocal topk ranks through the bounded aggregator, no window") {
+    val plan = planOf(Similarity.reciprocalTopK(spark, dir))
+    assert(!plan.contains("windowspecdefinition"),
+      "reciprocal ranking must ride the bounded TopK aggregator")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
