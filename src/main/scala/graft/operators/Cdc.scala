@@ -175,7 +175,65 @@ object Cdc {
       .orderBy($"o_orderkey")
   }
 
+  /** Rows per checksum bucket range for [[bucketChecksum]]. */
+  val CHECKSUM_BUCKET = 64L
+  /** Injected replica drift: keys ≡0 mod these get a +1-cent
+    * corruption / are silently dropped. */
+  val CORRUPT_MOD = 997L
+  val DROP_MOD = 1009L
+
+  /** Replica reconciliation by bucket checksums — the Merkle/range-
+    * digest pattern every CDC pipeline needs to audit "did the
+    * replica actually converge" WITHOUT shipping either table: both
+    * sides reduce to one row per key-range bucket (count, money sum,
+    * and an order-independent XOR of per-row `mix64` digests), and
+    * only the damaged buckets survive the compare. Per side it is ONE
+    * map-side-combined aggregate over a scan (XOR is commutative, so
+    * the digest is partition-order-independent — the same property
+    * that makes the suite's integer folds cluster-safe), and the
+    * joined compare is bucket-count-sized. The replica here is
+    * derived from `orders` with seeded drift (a +1-cent corruption
+    * every [[CORRUPT_MOD]] keys, a dropped row every [[DROP_MOD]]) so
+    * the oracle replays both sides from first principles via the
+    * [[OracleSql]] HUGEINT mix64 emulation. */
+  def bucketChecksum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    val base = Tables(s, dir, "orders")
+      .select($"o_orderkey".cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+          .as("cents"))
+    val replica = base.filter($"k" % DROP_MOD =!= 0)
+      .select($"k",
+        when($"k" % CORRUPT_MOD === 0, $"cents" + 1L)
+          .otherwise($"cents").as("cents"))
+    def digest(df: DataFrame, p: String): DataFrame = df
+      .select(expr(s"k div $CHECKSUM_BUCKET").as("bucket"),
+        $"cents",
+        GraftFunctions.mix64(
+          GraftFunctions.mix64($"k").bitwiseXOR($"cents")).as("h"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as(s"${p}_cnt"),
+        sum($"cents").as(s"${p}_sum"),
+        expr("bit_xor(h)").as(s"${p}_xor"))
+    digest(base, "src")
+      .join(digest(replica, "tgt"), Seq("bucket"), "full_outer")
+      .filter(coalesce($"src_cnt", lit(0L)) =!=
+          coalesce($"tgt_cnt", lit(0L)) ||
+        coalesce($"src_xor", lit(0L)) =!= coalesce($"tgt_xor", lit(0L)))
+      .select($"bucket",
+        coalesce($"src_cnt", lit(0L)).as("src_cnt"),
+        coalesce($"tgt_cnt", lit(0L)).as("tgt_cnt"),
+        (coalesce($"src_sum", lit(0L)) - coalesce($"tgt_sum", lit(0L)))
+          .as("cents_delta"),
+        when(coalesce($"src_cnt", lit(0L)) =!=
+            coalesce($"tgt_cnt", lit(0L)), "count_drift")
+          .otherwise("value_drift").as("status"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_bucket_checksum" -> (bucketChecksum _),
     "cdc_upsert_apply" -> (upsertApply _),
     "cdc_scd2_history" -> (scd2History _),
     "cdc_incremental_agg" -> (incrementalAgg _),
@@ -183,6 +241,40 @@ object Cdc {
   )
 
   val oracles: Map[String, String] = Map(
+    // both sides re-derived, per-row digests via the HUGEINT mix64
+    // emulation, XOR-reduced per bucket
+    "cdc_bucket_checksum" -> {
+      val h = OracleSql.toSigned(OracleSql.mix64(
+        s"xor(${OracleSql.mix64("CAST(k AS HUGEINT)")}, " +
+          "CAST(cents AS HUGEINT))"))
+      s"""WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |rep AS (SELECT k,
+         |    CASE WHEN k % $CORRUPT_MOD = 0 THEN cents + 1
+         |         ELSE cents END AS cents
+         |  FROM base WHERE k % $DROP_MOD <> 0),
+         |src AS (SELECT k // $CHECKSUM_BUCKET AS bucket,
+         |    CAST(count(*) AS BIGINT) AS src_cnt,
+         |    CAST(sum(cents) AS BIGINT) AS src_sum,
+         |    bit_xor($h) AS src_xor
+         |  FROM base GROUP BY 1),
+         |tgt AS (SELECT k // $CHECKSUM_BUCKET AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tgt_cnt,
+         |    CAST(sum(cents) AS BIGINT) AS tgt_sum,
+         |    bit_xor($h) AS tgt_xor
+         |  FROM rep GROUP BY 1)
+         |SELECT bucket,
+         |  coalesce(src_cnt, 0) AS src_cnt,
+         |  coalesce(tgt_cnt, 0) AS tgt_cnt,
+         |  coalesce(src_sum, 0) - coalesce(tgt_sum, 0) AS cents_delta,
+         |  CASE WHEN coalesce(src_cnt, 0) <> coalesce(tgt_cnt, 0)
+         |    THEN 'count_drift' ELSE 'value_drift' END AS status
+         |FROM src FULL OUTER JOIN tgt USING (bucket)
+         |WHERE coalesce(src_cnt, 0) <> coalesce(tgt_cnt, 0)
+         |   OR coalesce(src_xor, 0) <> coalesce(tgt_xor, 0)
+         |ORDER BY bucket""".stripMargin
+    },
     // first-principles CASE derivation of the net effect, independent
     // of the engine's generic min_by/max_by fold: D present → tombstone
     // only for pre-existing keys (I…D in one batch vanishes); else the

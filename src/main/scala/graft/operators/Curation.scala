@@ -305,7 +305,55 @@ object Curation {
       .orderBy($"cluster_id")
   }
 
+  /** Per-source keep quotas (permille of the source's docs) for
+    * [[qualityQuota]]: even-numbered sources 400‰, odd 200‰. */
+  val QUOTA_EVEN_PM = 400L
+  val QUOTA_ODD_PM = 200L
+
+  /** Quality-quota selection — fill a per-source keep quota with the
+    * BEST documents (the "mix to a target distribution, quality-first"
+    * curation step): docs rank within their source by an exact
+    * integer quality score (stopword-hit permille — the
+    * [[TextAnalysis]] lexicon), the quota is a per-source permille of
+    * its doc count, and the report gives each source's cut line:
+    * threshold score, the doc sitting on it, and kept/total token
+    * sums. One corpus window (source-partitioned rank under the total
+    * order (score DESC, doc_id)) + one aggregate. At 100 TB the rank
+    * window becomes the [[operators.Relational]] q45-style
+    * distributed rank selection (find the threshold without a global
+    * per-source sort); the summary shape and oracle are unchanged —
+    * documented trade, same as q29. */
+  def qualityQuota(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = split($"text", " ")
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", size(words).cast("long").as("n_tok"),
+        (size(filter(words,
+          w => w.isInCollection(TextAnalysis.STOPWORDS))) * 1000)
+          .cast("long").as("hits1k"))
+      .select($"doc_id", $"source", $"n_tok",
+        expr("hits1k div n_tok").as("score"),
+        when(expr("CAST(substring(source, 4, 10) AS BIGINT)") % 2 === 0,
+          QUOTA_EVEN_PM).otherwise(QUOTA_ODD_PM).as("quota_pm"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"score".desc, $"doc_id")
+    docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      .withColumn("quota", expr("n * quota_pm div 1000"))
+      .groupBy($"source")
+      .agg(max($"n").as("n_docs"), max($"quota").as("quota"),
+        max(when($"rn" === $"quota", $"score")).as("thr_score"),
+        max(when($"rn" === $"quota", $"doc_id")).as("thr_doc"),
+        sum(when($"rn" <= $"quota", $"n_tok").otherwise(0L))
+          .as("kept_tokens"),
+        sum($"n_tok").as("total_tokens"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_quality_quota" -> (qualityQuota _),
     "pipeline_dedup_keeper" -> (dedupKeeper _),
     "pipeline_curation" -> (curatedDocs _),
     "sample_stratified" -> (stratifiedSample _),
@@ -591,6 +639,35 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    // same integer score, same (score DESC, doc_id) rank, same
+    // permille quota and conditional cut-line aggregates
+    "sample_quality_quota" -> {
+      val sw = TextAnalysis.STOPWORDS.map(x => s"'$x'").mkString(",")
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN ($sw))) AS BIGINT) * 1000 AS hits1k
+         |  FROM documents),
+         |s AS (SELECT doc_id, source, n_tok,
+         |    hits1k // n_tok AS score,
+         |    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+         |      THEN $QUOTA_EVEN_PM ELSE $QUOTA_ODD_PM END AS quota_pm
+         |  FROM d),
+         |r AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM s),
+         |q AS (SELECT *, n * quota_pm // 1000 AS quota FROM r)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |  CAST(max(quota) AS BIGINT) AS quota,
+         |  max(CASE WHEN rn = quota THEN score END) AS thr_score,
+         |  max(CASE WHEN rn = quota THEN doc_id END) AS thr_doc,
+         |  CAST(sum(CASE WHEN rn <= quota THEN n_tok ELSE 0 END)
+         |    AS BIGINT) AS kept_tokens,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+         |FROM q GROUP BY 1 ORDER BY source""".stripMargin
+    },
     // composes the quality replay (pipeline_curation), the md5-keeper
     // rule (dedup_exact), and the 13-gram contamination replay
     // (text_decontaminate) into the same cumulative stage flags

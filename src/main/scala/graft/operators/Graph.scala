@@ -353,7 +353,57 @@ object Graph {
       .orderBy($"kind", $"id")
   }
 
+  /** Pairs reported by [[jaccardCocustomer]] — a global top-K, not an
+    * absolute threshold: the permille distribution collapses as the
+    * supplier dimension grows (sf0.01 median 208‰ → sf0.1 median 21‰),
+    * so any fixed cut is either non-binding or empty across scales,
+    * while top-K stays bounded and meaningful at every SF. */
+  val JACCARD_TOP_K = 200
+
+  /** Neighborhood-Jaccard node similarity (link prediction /
+    * "related sellers"): supplier pairs scored by the Jaccard of
+    * their customer sets, `|A∩B| * 1000 div (|A|+|B|-|A∩B|)` in exact
+    * integer permille. The intersection comes from ONE wedge
+    * self-join of the deduped (supplier, customer) edge list keyed on
+    * the customer — join volume is Σ_c deg(c)², linear in edges for
+    * bounded per-customer fan-out — and the two degree joins
+    * broadcast (supplier-dim-sized). The report is a global
+    * [[JACCARD_TOP_K]] under a total order. At 100 TB the production
+    * path feeds
+    * the same scoring from minhashed neighbor sets (the
+    * [[Dedup.minhashLsh]] shape); this key is the family's exact
+    * validator on the bounded dimension, same role split as
+    * `dedup_ngram_jaccard`. */
+  def jaccardCocustomer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select($"l_suppkey".as("supp"), $"o_custkey".as("cust"))
+      .distinct()
+      .localCheckpoint() // read twice (wedge join + degrees)
+    val deg = e.groupBy($"supp").agg(count(lit(1)).as("deg"))
+    val common = e.as("a")
+      .join(e.as("b"),
+        $"a.cust" === $"b.cust" && $"a.supp" < $"b.supp")
+      .groupBy($"a.supp".as("sa"), $"b.supp".as("sb"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(deg.select($"supp".as("sa"), $"deg".as("dega"))),
+        "sa")
+      .join(broadcast(deg.select($"supp".as("sb"), $"deg".as("degb"))),
+        "sb")
+      .select($"sa".cast("long").as("sa"), $"sb".cast("long").as("sb"),
+        $"common", ($"dega" + $"degb" - $"common").as("unions"))
+      .select($"sa", $"sb", $"common", $"unions",
+        expr("common * 1000 div unions").as("jaccard_permille"))
+      // global top-K under a total order -> TakeOrderedAndProject
+      // (per-partition K + driver K-merge; never a full sort)
+      .orderBy($"jaccard_permille".desc, $"sa", $"sb")
+      .limit(JACCARD_TOP_K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_jaccard_cocustomer" -> (jaccardCocustomer _),
     "graph_kcore_peel" -> (kcorePeel _),
     "graph_copurchase_topk" -> (copurchaseTopK _),
     "graph_pagerank_q" -> (pagerankQ _),
@@ -389,6 +439,28 @@ object Graph {
        |        UNION ALL SELECT node, $h AS dist FROM $fN)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same wedge self-join + integer-permille Jaccard
+    "graph_jaccard_cocustomer" ->
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS supp,
+         |    o_custkey AS cust
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |deg AS (SELECT supp, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e GROUP BY 1),
+         |pairs AS (SELECT a.supp AS sa, b.supp AS sb,
+         |    CAST(count(*) AS BIGINT) AS common
+         |  FROM e a JOIN e b
+         |    ON a.cust = b.cust AND a.supp < b.supp
+         |  GROUP BY 1, 2)
+         |SELECT CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb,
+         |  common,
+         |  CAST(da.deg + db.deg - common AS BIGINT) AS unions,
+         |  CAST(common * 1000 // (da.deg + db.deg - common) AS BIGINT)
+         |    AS jaccard_permille
+         |FROM pairs
+         |JOIN deg da ON da.supp = sa
+         |JOIN deg db ON db.supp = sb
+         |ORDER BY jaccard_permille DESC, sa, sb
+         |LIMIT $JACCARD_TOP_K""".stripMargin,
     // three peel rounds unrolled verbatim; the undirected edge list is
     // rebuilt per round from the surviving node set
     "graph_kcore_peel" -> {

@@ -127,13 +127,95 @@ object Quality {
       .orderBy($"event_type")
   }
 
+  /** Histogram buckets / value domain cap / period split for
+    * [[histogramDrift]]. Values ≥ [[DRIFT_CAP_CENTS]] clamp into the
+    * top bucket, so the bucketing is total without a data-dependent
+    * max pass. */
+  val DRIFT_BUCKETS = 16L
+  val DRIFT_CAP_CENTS = 10000L
+  val DRIFT_SPLIT_DAY = "2024-01-16"
+
+  /** Distribution-drift audit — the day-over-day histogram comparison
+    * every ingestion pipeline runs to catch silent upstream changes
+    * (schema'd the same, distributed differently): per event_type,
+    * the `value` histogram of the first half of the month vs the
+    * second, compared in integer permille space. Drift =
+    * Σ_buckets (p1‰ − p2‰)² (an exact-integer L2 on the permille
+    * vectors, bounded by 16·10⁶); the report adds the worst bucket
+    * (max |Δ‰|, ties to the lowest bucket via an integer composite
+    * key). ONE map-side-combined aggregate over the scan builds both
+    * histograms (conditional sums keyed on the split day); everything
+    * after is |types|×[[DRIFT_BUCKETS]] rows — bounded at any
+    * corpus size. */
+  def histogramDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = java.sql.Date.valueOf(DRIFT_SPLIT_DAY)
+    val bucketed = Tables(s, dir, "events")
+      .select($"event_type",
+        (to_date($"ts") < lit(split)).as("p1"),
+        expr(s"least(${DRIFT_BUCKETS - 1}L, " +
+          "CAST(floor(value * 100.0 + 0.5) AS BIGINT) " +
+          s"* $DRIFT_BUCKETS div $DRIFT_CAP_CENTS)").as("bucket"))
+      .groupBy($"event_type", $"bucket")
+      .agg(sum(when($"p1", 1L).otherwise(0L)).as("c1"),
+        sum(when($"p1", 0L).otherwise(1L)).as("c2"))
+    // totals via a window over the aggregated |types|×buckets relation
+    // (bounded), so the events scan happens exactly once
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    bucketed
+      .withColumn("n1", sum($"c1").over(byType))
+      .withColumn("n2", sum($"c2").over(byType))
+      .select($"event_type", $"bucket", $"n1", $"n2",
+        expr("c1 * 1000 div n1").as("pm1"),
+        expr("c2 * 1000 div n2").as("pm2"))
+      .select($"event_type", $"bucket", $"n1", $"n2",
+        (($"pm1" - $"pm2") * ($"pm1" - $"pm2")).as("d2"),
+        abs($"pm1" - $"pm2").as("ad"))
+      .groupBy($"event_type")
+      .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+        sum($"d2").as("drift_l2_pm2"),
+        // composite: largest |Δ‰| first, lowest bucket on ties
+        min_by($"bucket", (lit(1001L) - $"ad") * 100L + $"bucket")
+          .as("worst_bucket"),
+        max($"ad").as("worst_abs_pm"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> (profile _),
     "dq_referential" -> (referential _),
     "dq_freshness" -> (freshness _),
+    "dq_histogram_drift" -> (histogramDrift _),
   )
 
   val oracles: Map[String, String] = Map(
+    // same clamped bucketing, permille vectors, L2 and composite
+    // worst-bucket key — all integer arithmetic
+    "dq_histogram_drift" ->
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(ts AS DATE) < DATE '$DRIFT_SPLIT_DAY' AS p1,
+         |    least(${DRIFT_BUCKETS - 1},
+         |      CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+         |        * $DRIFT_BUCKETS // $DRIFT_CAP_CENTS) AS bucket
+         |  FROM events),
+         |c AS (SELECT event_type, bucket,
+         |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN p1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c2) AS BIGINT) AS n2
+         |  FROM c GROUP BY 1),
+         |p AS (SELECT c.event_type, bucket, n1, n2,
+         |    c1 * 1000 // n1 AS pm1, c2 * 1000 // n2 AS pm2
+         |  FROM c JOIN t ON c.event_type = t.event_type)
+         |SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+         |  CAST(sum((pm1 - pm2) * (pm1 - pm2)) AS BIGINT)
+         |    AS drift_l2_pm2,
+         |  arg_min(bucket,
+         |    (1001 - abs(pm1 - pm2)) * 100 + bucket) AS worst_bucket,
+         |  CAST(max(abs(pm1 - pm2)) AS BIGINT) AS worst_abs_pm
+         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
     // the oracle takes the flat one-level form (one lag per type) —
     // the hierarchical engine decomposition must agree with it exactly
     "dq_freshness" ->

@@ -1379,7 +1379,177 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  /** OHLC resampling — the time-series bucket-summary shape (candle
+    * charts, market-data rollups, metric downsampling): per
+    * (series, day) emit the first/last observation plus min/max/sum/
+    * count. First/last are `min_by`/`max_by` keyed on the unique,
+    * monotone `event_id` (arrival order) — deterministic on both
+    * engines, unlike a timestamp key that can tie. ONE map-side-
+    * combined hash aggregate over the scan, no window, no shuffle
+    * beyond the group keys — the resample stays scan-bound at any
+    * scale, and the output is bounded by series×days. Money is
+    * integer cents per the suite's quantized-money convention. */
+  def q79OhlcResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type", date_trunc("day", $"ts").as("day"),
+        $"event_id",
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"day")
+      .agg(min_by($"cents", $"event_id").as("open_cents"),
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        max_by($"cents", $"event_id").as("close_cents"),
+        count(lit(1)).as("volume"),
+        sum($"cents").as("total_cents"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Gaps-and-islands — contiguous-run detection (activity streaks,
+    * sensor uptime, SLA windows) via the row_number-difference
+    * technique: within a user, consecutive active days share
+    * `day - row_number()`, so one window + one aggregate recovers
+    * every island. The window runs over the PRE-AGGREGATED distinct
+    * (user, day) relation — bounded by users × day-domain, never the
+    * raw event stream — which is what keeps the single-partition-per-
+    * user window safe at 100 TB (a user-year is ≤ 366 rows no matter
+    * how many raw events back it). The per-user report picks the
+    * longest island (earliest start on ties) through an integer
+    * composite order key, exact on both engines. */
+  def q80GapIslands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val days = t(s, dir, "events")
+      .select($"user_id",
+        datediff(to_date($"ts"), lit(java.sql.Date.valueOf("2024-01-01")))
+          .cast("long").as("d"))
+      .distinct()
+    val islands = days
+      .withColumn("grp", $"d" - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"d").as("start_d"), max($"d").as("end_d"),
+        count(lit(1)).as("len"))
+    islands.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum($"len").as("active_days"),
+        max($"len").as("max_len"),
+        // composite key: longest first, then earliest start (d < 1000)
+        min_by($"start_d", (lit(1000L) - $"len") * 1000L + $"start_d")
+          .as("best_start"))
+      .orderBy($"user_id")
+  }
+
+  /** Interval union (merge-overlaps) — the continuous-time sibling of
+    * [[q80GapIslands]]: each event opens an interval
+    * `[ts, ts + value seconds)`; per user, overlapping intervals merge
+    * and the report is merged-interval count, total covered time and
+    * span (uptime/SLA-coverage accounting). The sweep is the
+    * running-max technique: an interval starts a new merged group iff
+    * its start exceeds the max end seen so far — two windows (running
+    * max, running sum) under the unique total order `(ts_us,
+    * event_id)`, then two aggregates. Windows are user-partitioned
+    * and per-user density is bounded by design, so no partition
+    * outgrows an executor at scale. All integer microseconds. */
+  def q81IntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val prevEnd = max($"end_us")
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        (unix_micros($"ts") +
+          expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)") * 10000L)
+          .as("end_us"))
+      .withColumn("new_iv",
+        when(prevEnd.isNull || $"ts_us" > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum($"new_iv").over(w))
+      .groupBy($"user_id", $"island")
+      .agg(min($"ts_us").as("s"), max($"end_us").as("e"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_merged"),
+        sum($"e" - $"s").as("covered_us"),
+        (max($"e") - min($"s")).as("span_us"))
+      .orderBy($"user_id")
+  }
+
+  /** Fuzzy entity linking (record linkage / ER), canonicalize-then-
+    * link: a dirty name column is resolved against a clean dimension
+    * by (a) DEDUPLICATING both name columns first — name cardinality
+    * is orders of magnitude below row count, so the expensive edit-
+    * distance work runs on the distinct-name relation, (b) a BLOCKED
+    * candidate join (first letter of the damaged token + the intact
+    * second token — textbook stable-token blocking, never all-pairs),
+    * (c) `levenshtein ≤ 2` scoring with a deterministic integer
+    * argmin (distance, then key), and (d) a hash join back from the
+    * resolved name map to the full table. The dirty side is derived
+    * from `part` by a seeded single-char deletion inside the first
+    * word (position keyed by p_partkey, first char preserved), so the
+    * oracle replays the corruption and the link from first
+    * principles, and `recovered` is checkable ground truth. */
+  def q82FuzzyLink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = t(s, dir, "part").select($"p_partkey", $"p_name")
+    // seeded corruption: delete char at pos 2..len(w1) of word 1
+    val dirty = parts.select($"p_partkey",
+      split($"p_name", " ").as("ws"))
+      .select($"p_partkey", $"ws"(0).as("w1"), $"ws"(1).as("w2"))
+      .select($"p_partkey", $"w2",
+        ($"p_partkey" % (length($"w1") - 1) + 2).cast("int").as("pos"),
+        $"w1")
+      .select($"p_partkey",
+        concat(expr("substring(w1, 1, pos - 1)"),
+          expr("substring(w1, pos + 1, 100)"), lit(" "), $"w2")
+          .as("dirty_name"))
+    val dirtyNames = dirty.select($"dirty_name").distinct()
+      .withColumn("bkey", concat(substring($"dirty_name", 1, 1),
+        lit("|"), substring_index($"dirty_name", " ", -1)))
+    val cleanNames = parts.select($"p_name").distinct()
+      .withColumn("bkey", concat(substring($"p_name", 1, 1),
+        lit("|"), substring_index($"p_name", " ", -1)))
+    // the distinct-name link is dimension-sized -> broadcast both ways
+    val resolved = dirtyNames
+      .join(broadcast(cleanNames), "bkey")
+      .withColumn("dist", levenshtein($"dirty_name", $"p_name"))
+      .filter($"dist" <= 2)
+      .groupBy($"dirty_name")
+      .agg(min($"dist").cast("long").as("best_dist"),
+        min_by($"p_name", struct($"dist", $"p_name")).as("best_clean"),
+        count(lit(1)).as("n_cands"))
+    dirty.join(broadcast(resolved), Seq("dirty_name"), "left")
+      .join(parts, "p_partkey") // ground truth for `recovered`
+      .select($"p_partkey", $"dirty_name",
+        $"best_clean", coalesce($"best_dist", lit(-1L)).as("best_dist"),
+        coalesce($"n_cands", lit(0L)).as("n_cands"),
+        ($"best_clean" <=> $"p_name").as("recovered"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Generator surface with OUTER semantics — `posexplode_outer`
+    * (the LATERAL VIEW OUTER class): rows whose generator input is
+    * empty must SURVIVE as a single null row instead of vanishing
+    * (the classic silent-data-loss bug in flattening pipelines —
+    * q77's Expand covers the dense reshape; this covers the sparse
+    * one). Status-P orders get an empty token array on purpose. A
+    * generator is map-local (no shuffle until the final sort). */
+  def q83ExplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus",
+        when($"o_orderstatus" === "P", array().cast("array<string>"))
+          .otherwise(split($"o_orderpriority", "-")).as("parts"))
+      .select($"o_orderkey", $"o_orderstatus",
+        posexplode_outer($"parts"))
+      .select($"o_orderkey", $"o_orderstatus",
+        $"pos".cast("long").as("pos"), $"col".as("token"))
+      .orderBy($"o_orderkey", $"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_explode_outer" -> (q83ExplodeOuter _),
+    "q82_fuzzy_link" -> (q82FuzzyLink _),
+    "q81_interval_coverage" -> (q81IntervalCoverage _),
+    "q80_gap_islands" -> (q80GapIslands _),
+    "q79_ohlc_resample" -> (q79OhlcResample _),
     "q78_map_agg" -> (q78MapAgg _),
     "q77_unpivot" -> (q77Unpivot _),
     "q76_recursive_bom" -> (q76RecursiveBom _),
@@ -1438,6 +1608,121 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // parallel unnests zip in DuckDB; the empty-array rows come back
+    // via the UNION ALL null branch (the OUTER semantics)
+    "q83_explode_outer" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'P' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split(o_orderpriority, '-') END AS parts
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(unnest(range(1, len(parts) + 1)) AS BIGINT) - 1 AS pos,
+        |  unnest(parts) AS token
+        |FROM o WHERE len(parts) > 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, NULL, NULL
+        |FROM o WHERE len(parts) = 0
+        |ORDER BY o_orderkey, pos NULLS FIRST""".stripMargin,
+    // same running-max sweep under the same unique total order
+    "q81_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts)
+        |      + CAST(floor(value * 100.0 + 0.5) AS BIGINT) * 10000
+        |      AS end_us
+        |  FROM events),
+        |pe AS (SELECT *, max(end_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_end
+        |  FROM iv),
+        |f AS (SELECT *, CASE WHEN prev_end IS NULL
+        |    OR ts_us > prev_end THEN 1 ELSE 0 END AS new_iv FROM pe),
+        |g AS (SELECT *, sum(new_iv) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS island FROM f),
+        |isl AS (SELECT user_id, island, min(ts_us) AS s,
+        |    max(end_us) AS e
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_merged,
+        |  CAST(sum(e - s) AS BIGINT) AS covered_us,
+        |  CAST(max(e) - min(s) AS BIGINT) AS span_us
+        |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // corruption, blocking, scoring and the deterministic argmin all
+    // replayed from first principles; the (min dist, then min name)
+    // composite is expressed as the two-step min
+    "q82_fuzzy_link" ->
+      """WITH parts AS (SELECT p_partkey, p_name,
+        |    split_part(p_name, ' ', 1) AS w1,
+        |    split_part(p_name, ' ', 2) AS w2
+        |  FROM part),
+        |dirty AS (SELECT p_partkey,
+        |    substr(w1, 1, CAST(p_partkey % (length(w1) - 1) + 2
+        |        AS INTEGER) - 1)
+        |      || substr(w1, CAST(p_partkey % (length(w1) - 1) + 2
+        |        AS INTEGER) + 1)
+        |      || ' ' || w2 AS dirty_name
+        |  FROM parts),
+        |dn AS (SELECT DISTINCT dirty_name,
+        |    substr(dirty_name, 1, 1) || '|'
+        |      || split_part(dirty_name, ' ', 2) AS bkey
+        |  FROM dirty),
+        |cn AS (SELECT DISTINCT p_name,
+        |    substr(p_name, 1, 1) || '|'
+        |      || split_part(p_name, ' ', 2) AS bkey
+        |  FROM part),
+        |scored AS (SELECT dn.dirty_name, cn.p_name,
+        |    levenshtein(dn.dirty_name, cn.p_name) AS dist
+        |  FROM dn JOIN cn USING (bkey)
+        |  WHERE levenshtein(dn.dirty_name, cn.p_name) <= 2),
+        |r1 AS (SELECT dirty_name, CAST(min(dist) AS BIGINT)
+        |    AS best_dist, CAST(count(*) AS BIGINT) AS n_cands
+        |  FROM scored GROUP BY 1),
+        |r2 AS (SELECT s.dirty_name, min(s.p_name) AS best_clean
+        |  FROM scored s JOIN r1 ON s.dirty_name = r1.dirty_name
+        |    AND s.dist = r1.best_dist
+        |  GROUP BY 1)
+        |SELECT d.p_partkey, d.dirty_name, r2.best_clean,
+        |  coalesce(r1.best_dist, -1) AS best_dist,
+        |  coalesce(r1.n_cands, 0) AS n_cands,
+        |  (r2.best_clean IS NOT DISTINCT FROM p.p_name) AS recovered
+        |FROM dirty d
+        |LEFT JOIN r1 ON d.dirty_name = r1.dirty_name
+        |LEFT JOIN r2 ON d.dirty_name = r2.dirty_name
+        |JOIN part p ON p.p_partkey = d.p_partkey
+        |ORDER BY d.p_partkey""".stripMargin,
+    // arg_min/arg_max on the unique event_id replay min_by/max_by
+    "q79_ohlc_resample" ->
+      """WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, day,
+        |  arg_min(cents, event_id) AS open_cents,
+        |  max(cents) AS high_cents,
+        |  min(cents) AS low_cents,
+        |  arg_max(cents, event_id) AS close_cents,
+        |  CAST(count(*) AS BIGINT) AS volume,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM e GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    // same rn-difference islands over the distinct (user, day) grid
+    "q80_gap_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS d
+        |  FROM events),
+        |tagged AS (SELECT user_id, d,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS grp
+        |  FROM days),
+        |islands AS (SELECT user_id, grp,
+        |    min(d) AS start_d, max(d) AS end_d,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM tagged GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(len) AS BIGINT) AS active_days,
+        |  CAST(max(len) AS BIGINT) AS max_len,
+        |  arg_min(start_d, (1000 - len) * 1000 + start_d) AS best_start
+        |FROM islands GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q74_regex_funcs" ->
       """SELECT p_partkey,
         |  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)

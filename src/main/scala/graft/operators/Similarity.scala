@@ -57,11 +57,13 @@ object Similarity {
     * bit-stable under any partitioning), so the result — and the
     * window-SQL DuckDB oracle — is unchanged. Double rank is safe here
     * (unlike the samplers' 64-bit hash ranks): cos IS a Double. */
-  private def rankTopK(scored: DataFrame): DataFrame = {
+  private def rankTopK(scored: DataFrame): DataFrame = rankTopN(scored, K)
+
+  private def rankTopN(scored: DataFrame, n: Int): DataFrame = {
     val s = scored.sparkSession
     import s.implicits._
     import graft.functions.TopK
-    val topk = new TopK.TopKAgg(K).toColumn.name("topk")
+    val topk = new TopK.TopKAgg(n).toColumn.name("topk")
     scored.select(col("query_id"), col("cos"), col("neighbor_id"))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
@@ -304,7 +306,20 @@ object Similarity {
     * [[bruteForceTopK]] — no corpus-side shuffle. */
   def int8TopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables(s, dir, "embeddings")
+    val emb = int8Frame(s, dir)
+    val qs = emb.filter($"vec_id" < N_QUERIES)
+    val scored = broadcast(qs).as("a")
+      .join(emb.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
+        ((dot($"a.q", $"b.q") * $"a.scale") * $"b.scale").as("cos"))
+    rankTopK(scored)
+  }
+
+  /** SQ8-quantized corpus frame shared by [[int8TopK]] and
+    * [[rerankTopK]]'s stage 1. */
+  private def int8Frame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding")
       .as[(Long, Array[Float])]
       .map { case (id, vf) =>
@@ -320,12 +335,40 @@ object Similarity {
         (id, maxabs, q)
       }
       .toDF("vec_id", "scale", "q")
-    val qs = emb.filter($"vec_id" < N_QUERIES)
-    val scored = broadcast(qs).as("a")
-      .join(emb.as("b"), $"a.vec_id" =!= $"b.vec_id")
+  }
+
+  /** Shortlist size for [[rerankTopK]]'s cheap first stage. */
+  val RERANK_SHORTLIST = 20
+
+  /** Two-stage retrieve-then-rerank — THE production ANN serving
+    * shape: a cheap quantized scan builds a per-query shortlist
+    * ([[RERANK_SHORTLIST]] candidates via SQ8 integer dot products,
+    * stage 1 = [[int8TopK]]'s scoring), then ONLY the shortlist is
+    * re-scored with exact double cosines and re-ranked to the final
+    * top-[[K]]. At 100 TB stage 1 is the thing that touches the
+    * corpus (integer ADC, broadcast queries, bounded top-k
+    * aggregator) and stage 2 touches queries×shortlist rows — the
+    * expensive exact math never sees corpus scale. Both stages ride
+    * the bounded aggregator; the oracle replays quantization,
+    * shortlist and re-scoring from first principles. */
+  def rerankTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb8 = int8Frame(s, dir)
+    val scored8 = broadcast(emb8.filter($"vec_id" < N_QUERIES)).as("a")
+      .join(emb8.as("b"), $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
         ((dot($"a.q", $"b.q") * $"a.scale") * $"b.scale").as("cos"))
-    rankTopK(scored)
+    val shortlist = rankTopN(scored8, RERANK_SHORTLIST)
+      .select($"query_id", $"neighbor_id")
+    val exact = withNorm(Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+    val rescored = broadcast(shortlist)
+      .join(exact.as("a"), $"query_id" === $"a.vec_id")
+      .join(exact.as("b"), $"neighbor_id" === $"b.vec_id")
+      .select($"query_id", $"neighbor_id", cosine.as("cos"))
+    rankTopK(rescored)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
   }
 
   /** Number of seeded centroids for [[kmeansAssign]]. */
@@ -946,6 +989,7 @@ object Similarity {
     "dedup_semantic_ivf" -> (semanticDedupPairs _),
     "emb_quantize_int8" -> (quantizeInt8 _),
     "ann_int8_topk" -> (int8TopK _),
+    "ann_rerank_topk" -> (rerankTopK _),
     "emb_kmeans_assign" -> (kmeansAssign _),
     "emb_kmeans_update" -> (kmeansUpdate _),
   )
@@ -1139,6 +1183,60 @@ object Similarity {
         |      ORDER BY s DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM sc) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // stage 1 = the int8 chain ranked to the shortlist, stage 2 =
+    // exact cosine re-scoring of shortlist pairs only
+    "ann_rerank_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM e),
+         |vn AS (
+         |  SELECT vec_id,
+         |    CASE WHEN nrm = 0 THEN v
+         |         ELSE list_transform(v, x -> x / nrm) END AS v
+         |  FROM n),
+         |mx AS (
+         |  SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(x))) AS ma
+         |  FROM vn),
+         |qq AS (
+         |  SELECT vec_id, ma,
+         |    CASE WHEN ma = 0
+         |         THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+         |         ELSE list_transform(v, x -> floor(x * 127.0 / ma + 0.5))
+         |    END AS q
+         |  FROM mx),
+         |sc AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, len(a.q) + 1),
+         |          i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])),
+         |        (x, y) -> x + y) * a.ma) * b.ma) AS s
+         |  FROM qq a JOIN qq b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < $N_QUERIES),
+         |shortlist AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY s DESC, neighbor_id) AS r
+         |    FROM sc) t
+         |  WHERE r <= $RERANK_SHORTLIST),
+         |rescored AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    list_cosine_similarity(ea.v, eb.v) AS cos
+         |  FROM shortlist sl
+         |  JOIN e ea ON ea.vec_id = sl.query_id
+         |  JOIN e eb ON eb.vec_id = sl.neighbor_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM rescored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // identical IEEE product + floor quantization per (row, i, j),
     // summed in exact integer arithmetic — replayed by unnesting the
     // upper-triangle index pairs per row; the (-1,-1) row carries n.

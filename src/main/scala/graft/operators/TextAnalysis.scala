@@ -14,8 +14,8 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private val STOPWORDS = Seq("the", "a", "an", "and", "or", "of", "to",
-    "in", "is", "it", "that", "for", "on", "with", "as")
+  private[operators] val STOPWORDS = Seq("the", "a", "an", "and", "or",
+    "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
 
   /** Whitespace tokens + a BPE-ish regex segmentation (letters runs,
     * digit runs, single other chars). */
@@ -509,7 +509,87 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Shingle width for [[ngramNovelty]]. */
+  val NOVELTY_NGRAM = 3
+
+  /** N-gram novelty — per-document share of word-3-gram shingles that
+    * occur in NO other document, the memorization/boilerplate proxy
+    * data-curation pipelines use to separate template-generated text
+    * from genuinely novel content (the inverse view of the dedup
+    * family: instead of finding the copies, score how much of each
+    * doc ISN'T copied). Two passes: distinct shingles per doc, then a
+    * global document-frequency aggregate joined back — the
+    * [[tfidfTopTerms]] shape, with df==1 as the novelty predicate.
+    * The permille is exact integer arithmetic. At 100 TB the df
+    * shuffle ships 64-bit shingle HASHES, not strings
+    * ([[graft.functions.TextHashes]]); this key shuffles the raw
+    * shingles so the oracle joins the same strings the engine
+    * grouped — the [[Decontaminate.decontaminate]] precedent. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the when-guard keeps the slice total: Catalyst pushes the
+    // explode's inferred size(grams)>0 constraint into the scan as an
+    // UNORDERED post-scan filter set, so a bare length pre-filter
+    // does NOT protect the transform from sub-3-word docs
+    val grams = Tables(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id",
+        when(size($"w") >= NOVELTY_NGRAM, array_distinct(transform(
+          sequence(lit(0), size($"w") - NOVELTY_NGRAM),
+          i => concat_ws(" ", slice($"w", i + 1, lit(NOVELTY_NGRAM))))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .filter(size($"grams") > 0)
+      .select($"doc_id", size($"grams").cast("long").as("n_shingles"),
+        explode($"grams").as("g"))
+    val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy($"doc_id", $"n_shingles")
+      .agg(sum(when($"df" === 1L, 1L).otherwise(0L)).as("novel"))
+      .select($"doc_id", $"n_shingles", $"novel",
+        expr("novel * 1000 div n_shingles").as("novelty_permille"))
+      .orderBy($"doc_id")
+  }
+
+  /** Prefix width (words) for [[boilerplatePrefix]]. */
+  val BOILER_PREFIX_WORDS = 2
+  /** A source is flagged when its top prefix covers ≥ this share. */
+  val BOILER_FLAG_PERMILLE = 100L
+
+  /** Boilerplate-prefix audit — the per-source header detector
+    * (scraped corpora repeat navigation/licence headers at the top of
+    * every page from a site): for each source, the most common
+    * leading [[BOILER_PREFIX_WORDS]]-word prefix and the share of the
+    * source's docs that start with it, flagging sources past
+    * [[BOILER_FLAG_PERMILLE]]. One narrow projection + one
+    * (source, prefix) count (map-side combined); everything after
+    * runs on the bounded distinct-prefix relation. Top prefix is a
+    * deterministic argmin composite (count DESC, prefix ASC). */
+  def boilerplatePrefix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = split($"text", " ")
+    val counts = Tables(s, dir, "documents")
+      .select($"source",
+        when(size(w) >= BOILER_PREFIX_WORDS,
+          concat_ws(" ", slice(w, 1, BOILER_PREFIX_WORDS)))
+          .otherwise($"text").as("prefix"))
+      .groupBy($"source", $"prefix")
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy($"source")
+      .agg(sum($"c").as("n_docs"),
+        max($"c").as("top_count"),
+        min_by($"prefix", struct((-$"c").as("nc"), $"prefix"))
+          .as("top_prefix"))
+      .select($"source", $"n_docs", $"top_prefix", $"top_count",
+        expr("top_count * 1000 div n_docs").as("share_pm"))
+      .select($"source", $"n_docs", $"top_prefix", $"top_count",
+        $"share_pm",
+        ($"share_pm" >= BOILER_FLAG_PERMILLE).as("flagged"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate_prefix" -> (boilerplatePrefix _),
+    "text_ngram_novelty" -> (ngramNovelty _),
     "text_code_detect" -> (codeDetect _),
     "text_bpe_pair_stats" -> (bpePairStats _),
     "text_winnowing" -> (winnowing _),
@@ -527,6 +607,53 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // the (count DESC, prefix ASC) argmin is expressed as the
+    // two-step min (max count, then min prefix at that count)
+    "text_boilerplate_prefix" -> {
+      val prefixExpr =
+        s"""CASE WHEN len(string_split(text, ' '))
+           |       >= $BOILER_PREFIX_WORDS
+           |  THEN array_to_string(
+           |    (string_split(text, ' '))[1:$BOILER_PREFIX_WORDS], ' ')
+           |  ELSE text END""".stripMargin
+      s"""WITH c AS (SELECT source, $prefixExpr AS prefix,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |    max(c) AS top_count
+         |  FROM c GROUP BY 1),
+         |tp AS (SELECT c.source, min(c.prefix) AS top_prefix
+         |  FROM c JOIN t ON c.source = t.source AND c.c = t.top_count
+         |  GROUP BY 1)
+         |SELECT t.source, n_docs, top_prefix, top_count,
+         |  CAST(top_count * 1000 // n_docs AS BIGINT) AS share_pm,
+         |  (top_count * 1000 // n_docs >= $BOILER_FLAG_PERMILLE)
+         |    AS flagged
+         |FROM t JOIN tp ON t.source = tp.source
+         |ORDER BY t.source""".stripMargin
+    },
+    // raw-string shingle replay (decontaminate precedent): joins the
+    // identical 3-gram strings, so an engine-side tokenization or
+    // dedup slip shows up as a count mismatch
+    "text_ngram_novelty" ->
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(
+         |      range(1, len(w) - ${NOVELTY_NGRAM - 2}),
+         |      i -> array_to_string(w[i:i+${NOVELTY_NGRAM - 1}], ' ')))
+         |      AS g
+         |  FROM words WHERE len(w) >= $NOVELTY_NGRAM),
+         |df AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+         |scored AS (SELECT gr.doc_id,
+         |    CASE WHEN df.df = 1 THEN 1 ELSE 0 END AS is_novel
+         |  FROM grams gr JOIN df ON gr.g = df.g)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(is_novel) AS BIGINT) AS novel,
+         |  CAST(sum(is_novel) * 1000 // count(*) AS BIGINT)
+         |    AS novelty_permille
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // same portable character class, same integer permille + keyword
     // membership, same routing predicate
     "text_code_detect" -> {

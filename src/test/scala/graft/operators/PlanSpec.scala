@@ -713,4 +713,104 @@ class PlanSpec extends AnyFunSuite {
       "reciprocal ranking must ride the bounded TopK aggregator")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("ohlc: one events scan into one aggregate, no window") {
+    val plan = planOf(Relational.q79OhlcResample(spark, dir))
+    assert(scanCount(plan) == 1, plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"),
+      "open/close must ride min_by/max_by, not first_value windows")
+  }
+
+  test("gap islands: user-partitioned window ABOVE the distinct day grid") {
+    val plan = planOf(Relational.q80GapIslands(spark, dir))
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, plan.take(2000))
+    windowLines.foreach(l => assert(l.contains("user_id"),
+      s"unpartitioned window: $l"))
+    // the (user, day) dedup aggregate must feed the window, not the
+    // raw event stream: in the top-down formatted plan the Window
+    // sits textually before at least one HashAggregate
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx > 0 && plan.indexOf("HashAggregate", wIdx) > 0,
+      plan.take(2000))
+  }
+
+  test("jaccard: bounded top-k report, broadcast degrees, no cartesian") {
+    val plan = planOf(Graph.jaccardCocustomer(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-K must not plan a full sort")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("bucket checksum: two digest aggregates, no window, no cartesian") {
+    val plan = planOf(Cdc.bucketChecksum(spark, dir))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("bit_xor"), plan.take(2000))
+  }
+
+  test("ngram novelty: df join back, no window, no cartesian") {
+    val plan = planOf(TextAnalysis.ngramNovelty(spark, dir))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("interval coverage: both sweep windows user-partitioned") {
+    val plan = planOf(Relational.q81IntervalCoverage(spark, dir))
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, plan.take(2000))
+    windowLines.foreach(l => assert(l.contains("user_id"),
+      s"unpartitioned window: $l"))
+  }
+
+  test("fuzzy link: distinct-name link broadcasts, no cartesian") {
+    val plan = planOf(Relational.q82FuzzyLink(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "every join in the canonicalize-then-link plan is dim-sized")
+  }
+
+  test("rerank: both stages ride the bounded aggregator, no window") {
+    val plan = planOf(Similarity.rerankTopK(spark, dir))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("boilerplate prefix: one documents scan, no window") {
+    val plan = planOf(TextAnalysis.boilerplatePrefix(spark, dir))
+    assert(scanCount(plan) == 1, plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+  }
+
+  test("quality quota: rank windows are source-partitioned") {
+    val plan = planOf(Curation.qualityQuota(spark, dir))
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, plan.take(2000))
+    windowLines.foreach(l => assert(l.contains("source"),
+      s"unpartitioned window: $l"))
+  }
+
+  test("explode outer: generator plans map-local, one orders scan") {
+    val plan = planOf(Relational.q83ExplodeOuter(spark, dir))
+    assert(plan.contains("Generate"), plan.take(2000))
+    assert(scanCount(plan) == 1, plan.take(2000))
+  }
+
+  test("histogram drift: one events scan builds both period histograms") {
+    val plan = planOf(Quality.histogramDrift(spark, dir))
+    assert(scanCount(plan) == 1, plan.take(2000))
+    // the totals window runs over the bounded post-aggregate relation
+    // and must be type-partitioned
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, plan.take(2000))
+    windowLines.foreach(l => assert(l.contains("event_type"),
+      s"unpartitioned window: $l"))
+  }
 }
