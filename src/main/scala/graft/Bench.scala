@@ -260,6 +260,9 @@ object Bench {
     // (above the bucketed noise floor because ADC ranks globally, but
     // still reconstruction-limited on i.i.d. vectors)
     val recallPqCorpus = corpusRecall("ann_pq_topk")
+    // IVF-PQ sits between the two noise-floor rows (cell pruning) and
+    // the IVF row (exact within-cell math) on this corpus
+    val recallIvfPqCorpus = corpusRecall("ann_ivfpq_topk")
     val recallPqPlanted = if (!only.contains("ann_pq_topk")) -1.0 else try {
       import spark.implicits._
       import org.apache.spark.sql.functions._
@@ -301,7 +304,7 @@ object Bench {
         samples(k).map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps $repMode, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"rep_sec":$repSec,"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"errored":$erroredJson,"errors":$errorsJson,"unfrozen_queries":$unfrozen,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_planted_twin_top1":$recallPlanted,"ann_pq_planted_twin_top5":$recallPqPlanted,"ann_ivf_vs_brute_corpus":$recallIvfCorpus,"unstructured_noise_floor":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_pq_vs_brute_corpus":$recallPqCorpus,"why":"test embeddings are i.i.d. random (no true neighbors, all cosines ~0.3), so bucketed-LSH/PQ corpus recall on them is the noise floor of the method, not an operating point — headline recall is the planted-twin and IVF rows above; BASELINE.md 'ANN recall reporting'"}},"ivf_curve":$ivfCurve}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps $repMode, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"rep_sec":$repSec,"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"errored":$erroredJson,"errors":$errorsJson,"unfrozen_queries":$unfrozen,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_planted_twin_top1":$recallPlanted,"ann_pq_planted_twin_top5":$recallPqPlanted,"ann_ivf_vs_brute_corpus":$recallIvfCorpus,"ann_ivfpq_vs_brute_corpus":$recallIvfPqCorpus,"unstructured_noise_floor":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_pq_vs_brute_corpus":$recallPqCorpus,"why":"test embeddings are i.i.d. random (no true neighbors, all cosines ~0.3), so bucketed-LSH/PQ corpus recall on them is the noise floor of the method, not an operating point — headline recall is the planted-twin and IVF rows above; BASELINE.md 'ANN recall reporting'"}},"ivf_curve":$ivfCurve}"""
     // The artifact must not depend on a bounded stdout tail surviving
     // (round 5's driver capture lost 25 queries mid-JSON): write the
     // full JSON to a stable file, then print it, with the path as the

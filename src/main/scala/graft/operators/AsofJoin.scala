@@ -51,6 +51,65 @@ object AsofJoin {
     filled.filter(col("__pri") === 1).drop("__k", "__t", "__pri")
   }
 
+  /** FORWARD as-of: for each left row, the EARLIEST right row with the
+    * same key whose time is ≥ the left time — the "next event after"
+    * direction (next shipment after an order, next quote after a
+    * trade). Identical single-shuffle composition to [[asof]] with the
+    * window order reversed (time DESC): in descending order the
+    * unbounded-preceding frame holds exactly the rows with time ≥
+    * current, and `last(…, ignoreNulls)` picks the nearest of them.
+    * Right rows still sort before left rows on ties, so the match is
+    * inclusive (right.time ≥ left.time). */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__pri", lit(1))
+    val carried = rightCols.map(c => col(c))
+    val r = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
+      .withColumn("__pri", lit(0))
+    val lAll = l.columns.filterNot(_.startsWith("__")).toSeq
+    val unioned =
+      l.select((lAll.map(col) ++ Seq(col("__k"), col("__t"), col("__pri")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+        .unionByName(
+          r.select((lAll.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+            Seq(col("__k"), col("__t"), col("__pri")) ++ carried): _*))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__pri"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__pri") === 1).drop("__k", "__t", "__pri")
+  }
+
+  /** Query: each event joined to the customer's NEXT order at or after
+    * event time ([[asofForward]]), with the lead time in days — the
+    * attribution-window direction ("did this click convert"). */
+  def eventsAsofNextOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables(s, dir, "orders")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(min($"o_orderkey").as("o_orderkey"))
+      .withColumn("o_ts", $"o_orderdate")
+    asofForward(events, orders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightCols = Seq("o_orderkey", "o_ts"))
+      .select($"event_id", $"user_id",
+        $"o_orderkey".as("next_orderkey"),
+        expr("datediff(to_date(o_ts), to_date(ts))").cast("long")
+          .as("lead_days"))
+      .orderBy($"event_id")
+  }
+
   /** Query: each event joined to the customer's latest order at event
     * time. Orders are first deduped to one per (customer, date) with a
     * deterministic winner so the as-of tie-break is well-defined in
@@ -107,9 +166,22 @@ object AsofJoin {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_asof_join" -> (eventsAsofOrders _),
     "q66_asof_tolerance" -> (eventsAsofOrdersTolerance _),
+    "q84_asof_forward" -> (eventsAsofNextOrder _),
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's ASOF picks the nearest match under any inequality:
+    // <= gives the forward (next-at-or-after) direction
+    "q84_asof_forward" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey,
+        |  CAST(date_diff('day', CAST(e.ts AS DATE),
+        |    CAST(o.o_orderdate AS DATE)) AS BIGINT) AS lead_days
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "q18_asof_join" ->
       """SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
         |FROM events e ASOF LEFT JOIN (

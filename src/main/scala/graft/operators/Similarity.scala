@@ -772,6 +772,117 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** IVF-PQ — the FAISS-style composed index and the real 100 TB ANN
+    * shape: a coarse quantizer shards the corpus into cells
+    * ([[ivfTopK]]'s seeded centroids on the unit sphere), each vector
+    * stores only its cell id + [[PQ_M]] one-byte RESIDUAL codes
+    * (v − centroid quantized against a deterministic carrier
+    * codebook — residuals are what make PQ codes sharp enough to rank
+    * inside a cell), and a query probes its [[NPROBE]] nearest cells
+    * with a per-(query, cell) ADC lookup table. Corpus cost at scale:
+    * one narrow map per vector (cell + codes, no shuffle), candidates
+    * = corpus × NPROBE/K, exact math only on bounded driver-side
+    * structures (K centroids, [[PQ_C]] carriers, queries×NPROBE
+    * LUTs). Every float op is a sequential fold in pinned order, so
+    * the DuckDB oracle replays assignment, residual encoding, probing
+    * and ADC bit-exactly — same discipline as [[pqTopKOn]]. */
+  def ivfpqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, vf) =>
+        var s2 = 0.0
+        vf.foreach(x => s2 += x.toDouble * x.toDouble)
+        val nrm = math.sqrt(s2)
+        (id,
+          if (nrm == 0.0) vf.map(_.toDouble)
+          else vf.map(_.toDouble / nrm))
+      }
+    // coarse quantizer: the normalized seed vectors (bounded collect)
+    val cents: Array[(Long, Array[Double])] =
+      emb.filter(_._1 < KMEANS_K).collect().sortBy(_._1)
+    // PQ carriers (same unsigned-mix64 rule as pqTopKOn), with their
+    // RESIDUALS as the codebook entries
+    val carriers = emb.toDF("vec_id", "v")
+      .select($"vec_id", GraftFunctions.mix64($"vec_id")
+        .bitwiseXOR(lit(Long.MinValue)).as("h"))
+      .orderBy($"h").limit(PQ_C)
+      .select($"vec_id").as[Long].collect() // bounded: PQ_C ids
+    val carrierSet = carriers.toSet
+    val carrierVecs = emb
+      .filter(r => carrierSet.contains(r._1)).collect().toMap
+    def residual(v: Array[Double]): Array[Double] = {
+      val c = cents(nearestCentroid(v, cents)._1.toInt)._2
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val codebook = Array.tabulate(PQ_M) { m =>
+      carriers.map { id =>
+        residual(carrierVecs(id)).slice(m * PQ_DSUB, (m + 1) * PQ_DSUB)
+      }
+    }
+    def subDistR(r: Array[Double], m: Int, c: Int): Double = {
+      var d = 0.0; var i = 0
+      while (i < PQ_DSUB) {
+        val diff = r(m * PQ_DSUB + i) - codebook(m)(c)(i)
+        d += diff * diff; i += 1
+      }
+      d
+    }
+    // per-(query, probed cell) ADC tables (bounded: queries × NPROBE)
+    val luts = emb.filter(_._1 < N_QUERIES).collect().sortBy(_._1)
+      .flatMap { case (qid, qv) =>
+        cents.map { case (cid, c) =>
+          var s2 = 0.0; var i = 0
+          while (i < qv.length) {
+            val d = qv(i) - c(i); s2 += d * d; i += 1
+          }
+          (s2, cid)
+        }.sortBy(identity).take(NPROBE).map { case (_, cid) =>
+          val qr = Array.tabulate(qv.length)(i =>
+            qv(i) - cents(cid.toInt)._2(i))
+          (qid, cid,
+            Array.tabulate(PQ_M, PQ_C)((m, c) => subDistR(qr, m, c)))
+        }
+      }
+    val bcCents = s.sparkContext.broadcast(cents)
+    val bcCb = s.sparkContext.broadcast(codebook)
+    val bcLuts = s.sparkContext.broadcast(luts)
+    val scored = emb.flatMap { case (id, v) =>
+      val cs = bcCents.value
+      val cb = bcCb.value
+      var bestC = -1L; var bestD = Double.MaxValue
+      cs.foreach { case (cid, c) =>
+        var s2 = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - c(i); s2 += d * d; i += 1 }
+        if (s2 < bestD) { bestD = s2; bestC = cid }
+      }
+      val cell = bestC
+      val r = Array.tabulate(v.length)(i => v(i) - cs(cell.toInt)._2(i))
+      val codes = Array.tabulate(PQ_M) { m =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < PQ_C) {
+          var d = 0.0; var i = 0
+          while (i < PQ_DSUB) {
+            val diff = r(m * PQ_DSUB + i) - cb(m)(c)(i)
+            d += diff * diff; i += 1
+          }
+          if (d < bd) { bd = d; best = c } // tie → smaller c
+          c += 1
+        }
+        best
+      }
+      bcLuts.value.iterator
+        .filter { case (qid, probe, _) => probe == cell && qid != id }
+        .map { case (qid, _, l) =>
+          var adc = 0.0; var m = 0
+          while (m < PQ_M) { adc += l(m)(codes(m)); m += 1 }
+          (qid, -adc, id) // negated: rankTopK ranks DESC
+        }
+    }.toDF("query_id", "cos", "neighbor_id")
+    rankTopK(scored)
+  }
+
   /** Power-iteration steps for [[pcaPowerIter]]. */
   val PCA_ITERS = 4
 
@@ -990,6 +1101,7 @@ object Similarity {
     "emb_quantize_int8" -> (quantizeInt8 _),
     "ann_int8_topk" -> (int8TopK _),
     "ann_rerank_topk" -> (rerankTopK _),
+    "ann_ivfpq_topk" -> (ivfpqTopK _),
     "emb_kmeans_assign" -> (kmeansAssign _),
     "emb_kmeans_update" -> (kmeansUpdate _),
   )
@@ -1135,6 +1247,94 @@ object Similarity {
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list(l.d2 ORDER BY l.m)), (a, b) -> a + b) AS d
          |  FROM enc x JOIN lut l ON l.m = x.m AND l.cidx = x.cidx
+         |  WHERE l.qid <> x.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id
+         |FROM (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d, neighbor_id) AS rn FROM adc)
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+    },
+    // the pq chain extended with cells: coarse assignment (argmin
+    // squared-L2, tie to lower cid), residuals, carrier-RESIDUAL
+    // codebook, NPROBE probes, per-(query, cell) LUTs — every float
+    // op in the Scala fold order; range(1,65) pins dim 64 like the
+    // pca chain
+    "ann_ivfpq_topk" -> {
+      val h = OracleSql.mix64("CAST(vec_id AS HUGEINT)")
+      def sq(a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(1, 65), i ->
+           |        ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+           |      (x, y) -> x + y)""".stripMargin
+      def sqSub(r: String, cv: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(1, $PQ_DSUB + 1), i ->
+           |        ($r[m * $PQ_DSUB + i] - $cv[i]) *
+           |        ($r[m * $PQ_DSUB + i] - $cv[i]))),
+           |      (x, y) -> x + y)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |nn AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM e0),
+         |e AS (
+         |  SELECT vec_id,
+         |    CASE WHEN nrm = 0 THEN v
+         |         ELSE list_transform(v, x -> x / nrm) END AS v
+         |  FROM nn),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+         |  WHERE vec_id < $KMEANS_K),
+         |asg0 AS (SELECT e.vec_id, c.cid,
+         |    ${sq("e.v", "c.cv")} AS d2
+         |  FROM e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2, cid) AS rn FROM asg0) WHERE rn = 1),
+         |res AS (SELECT a.vec_id, a.cid AS cell,
+         |    list_transform(range(1, 65),
+         |      i -> e.v[i] - c.cv[i]) AS r
+         |  FROM asg a JOIN e USING (vec_id)
+         |  JOIN cents c ON c.cid = a.cid),
+         |car AS (SELECT vec_id, cidx FROM (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY ($h)) - 1 AS cidx
+         |  FROM e) WHERE cidx < $PQ_C),
+         |ms AS (SELECT unnest(range($PQ_M)) AS m),
+         |cb AS (SELECT car.cidx, ms.m,
+         |    res.r[ms.m * $PQ_DSUB + 1 : ms.m * $PQ_DSUB + $PQ_DSUB]
+         |      AS cv
+         |  FROM car JOIN res USING (vec_id) CROSS JOIN ms),
+         |enc0 AS (SELECT res.vec_id, res.cell, cb.m, cb.cidx,
+         |    ${sqSub("res.r", "cb.cv")} AS d2
+         |  FROM res CROSS JOIN cb),
+         |enc AS (SELECT vec_id, cell, m, cidx FROM (
+         |  SELECT vec_id, cell, m, cidx,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, cidx) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |probes AS (SELECT qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sq("q.v", "c.cv")}, c.cid) AS rn
+         |  FROM (SELECT vec_id, v FROM e WHERE vec_id < $N_QUERIES) q
+         |  CROSS JOIN cents c) WHERE rn <= $NPROBE),
+         |qres AS (SELECT p.qid, p.cid,
+         |    list_transform(range(1, 65),
+         |      i -> q.v[i] - c.cv[i]) AS qr
+         |  FROM probes p JOIN e q ON q.vec_id = p.qid
+         |  JOIN cents c ON c.cid = p.cid),
+         |lut AS (SELECT qres.qid, qres.cid, cb.m, cb.cidx,
+         |    ${sqSub("qres.qr", "cb.cv")} AS d2
+         |  FROM qres CROSS JOIN cb),
+         |adc AS (SELECT l.qid AS query_id, x.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(l.d2 ORDER BY l.m)), (a, b) -> a + b) AS d
+         |  FROM enc x JOIN lut l ON l.m = x.m AND l.cidx = x.cidx
+         |    AND l.cid = x.cell
          |  WHERE l.qid <> x.vec_id
          |  GROUP BY 1, 2)
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id

@@ -184,6 +184,52 @@ object StreamBatch {
       .orderBy($"day", $"event_type")
   }
 
+  /** Streaming OHLC — the q79 batch resample run as a streaming
+    * aggregation: per (day window, type), open/close via
+    * `min_by`/`max_by` on the unique monotone `event_id` plus
+    * min/max/count/sum. min_by/max_by merge associatively and the
+    * order key is totally ordered, so the result is independent of
+    * batching and arrival order — the stream and the batch oracle are
+    * equal by algebra, not by luck (the q23 guarantee class extended
+    * to argmin/argmax state). Complete-mode memory sink; the result
+    * is days×types — bounded. */
+  def streamingOhlc(s: SparkSession, dir: String): DataFrame =
+      withStatePartitions(s, dir) {
+    import s.implicits._
+    import graft.sources.Tables
+    Tables.ensureNanosFlag(s)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val windowed = Tables.eventsTsFromNanos(
+      Tables.eventsReadStream(s, dir, rawSchema))
+      .select($"ts", $"event_type", $"event_id",
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(min_by($"cents", $"event_id").as("open_cents"),
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        max_by($"cents", $"event_id").as("close_cents"),
+        count(lit(1)).as("volume"),
+        sum($"cents").as("total_cents"))
+      .select($"w.start".as("day"), $"event_type", $"open_cents",
+        $"high_cents", $"low_cents", $"close_cents", $"volume",
+        $"total_cents")
+    val table = s"graft_stream_ohlc_${nameCounter.incrementAndGet()}"
+    val q = windowed.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q, "q85_stream_ohlc")
+    val rows = s.table(table)
+      .as[(java.sql.Timestamp, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    s.catalog.dropTempView(table)
+    rows.toDF("day", "event_type", "open_cents", "high_cents",
+      "low_cents", "close_cents", "volume", "total_cents")
+      .orderBy($"event_type", $"day")
+  }
+
   /** SLIDING-window event rollup (1 h windows every 30 min), computed
     * by a streaming query: every event lands in exactly two
     * overlapping epoch-aligned windows, counted and cents-summed per
@@ -763,6 +809,7 @@ object StreamBatch {
     "q44_streaming_kmv" -> (streamingKmv _),
     "q47_stream_scd1_latest" -> (streamingScd1Latest _),
     "q23_streaming_daily_agg" -> (streamingDailyAgg _),
+    "q85_stream_ohlc" -> (streamingOhlc _),
     "q26_stream_stream_join" -> (streamingIntervalJoin _),
     "q31_streaming_dedup_keys" -> (streamingDedupKeys _),
     "q38_streaming_sessions" -> (streamingSessions _),
@@ -819,6 +866,20 @@ object StreamBatch {
       """SELECT date_trunc('day', ts) AS day, event_type,
         | CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // the q79 batch oracle keyed the same way the stream windows it
+    "q85_stream_ohlc" ->
+      """WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT day, event_type,
+        |  arg_min(cents, event_id) AS open_cents,
+        |  max(cents) AS high_cents,
+        |  min(cents) AS low_cents,
+        |  arg_max(cents, event_id) AS close_cents,
+        |  CAST(count(*) AS BIGINT) AS volume,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM e GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "q26_stream_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
         | v.ts AS view_ts, p.ts AS buy_ts

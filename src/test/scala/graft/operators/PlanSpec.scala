@@ -775,6 +775,22 @@ class PlanSpec extends AnyFunSuite {
       "every join in the canonicalize-then-link plan is dim-sized")
   }
 
+  test("asof forward: one keyed exchange drives the reversed sweep") {
+    val plan = planOf(AsofJoin.eventsAsofNextOrder(spark, dir))
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, plan.take(2000))
+    windowLines.foreach(l => assert(l.contains("__k"),
+      s"window not keyed on __k: $l"))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("ivfpq: candidates ride the bounded aggregator, no window") {
+    val plan = planOf(Similarity.ivfpqTopK(spark, dir))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("rerank: both stages ride the bounded aggregator, no window") {
     val plan = planOf(Similarity.rerankTopK(spark, dir))
     assert(!plan.contains("windowspecdefinition"), plan.take(2000))
