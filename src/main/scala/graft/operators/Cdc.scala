@@ -232,7 +232,40 @@ object Cdc {
       .orderBy($"bucket")
   }
 
+  /** Point-in-time (temporal) dimension join — the SCD2 consumer
+    * side: each fact row joins the dimension VERSION that was valid
+    * at the fact's timestamp, not today's row (the correctness rule
+    * that separates a reproducible ML feature pipeline from a leaky
+    * one). The dim feed is deduped to one change per (key, day) with
+    * a deterministic winner, versioned with a per-key window
+    * (bounded: versions per key ≤ days), and the validity lookup
+    * rides [[AsofJoin.asof]]'s single-shuffle composition — in an
+    * SCD2 history the version with the latest valid_from ≤ ts IS the
+    * version whose validity interval contains ts, so no range join
+    * is needed. */
+  def temporalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val feed = Tables(s, dir, "orders")
+      .filter($"o_custkey" < 200)
+      .groupBy($"o_custkey".as("key"), $"o_orderdate".as("valid_from"))
+      .agg(max_by($"o_orderpriority", $"o_orderkey").as("attr"))
+    val w = Window.partitionBy($"key").orderBy($"valid_from")
+    val hist = feed.select($"key", $"valid_from", $"attr",
+      row_number().over(w).cast("long").as("version"))
+    val facts = Tables(s, dir, "events")
+      .filter($"user_id" < 200)
+      .select($"event_id", $"user_id", $"ts")
+    AsofJoin.asof(facts, hist,
+      leftKey = "user_id", rightKey = "key",
+      leftTime = "ts", rightTime = "valid_from",
+      rightCols = Seq("version", "attr"))
+      .select($"event_id", $"user_id", $"version", $"attr")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_temporal_join" -> (temporalJoin _),
     "cdc_bucket_checksum" -> (bucketChecksum _),
     "cdc_upsert_apply" -> (upsertApply _),
     "cdc_scd2_history" -> (scd2History _),
@@ -241,6 +274,22 @@ object Cdc {
   )
 
   val oracles: Map[String, String] = Map(
+    // same dedup + versioning; the validity lookup is DuckDB's ASOF
+    "cdc_temporal_join" ->
+      """WITH feed AS (SELECT o_custkey AS key,
+        |    o_orderdate AS valid_from,
+        |    arg_max(o_orderpriority, o_orderkey) AS attr
+        |  FROM orders WHERE o_custkey < 200 GROUP BY 1, 2),
+        |hist AS (SELECT key, valid_from, attr,
+        |    CAST(row_number() OVER (PARTITION BY key
+        |      ORDER BY valid_from) AS BIGINT) AS version
+        |  FROM feed)
+        |SELECT e.event_id, e.user_id, h.version, h.attr
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE user_id < 200) e
+        |ASOF LEFT JOIN hist h
+        |  ON e.user_id = h.key AND e.ts >= h.valid_from
+        |ORDER BY e.event_id""".stripMargin,
     // both sides re-derived, per-row digests via the HUGEINT mix64
     // emulation, XOR-reduced per bucket
     "cdc_bucket_checksum" -> {

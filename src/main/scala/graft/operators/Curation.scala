@@ -352,7 +352,91 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** Shard count for [[globalShuffle]]. */
+  val SHUFFLE_SHARDS = 8L
+
+  /** Deterministic global shuffle — reproducible training-data
+    * ordering: every doc gets a shard (splitmix64 bucket) and a
+    * position within its shard (rank under the unsigned-mix64 order,
+    * doc_id tiebreak), so any worker can reconstruct exactly which
+    * examples land in which shard at which offset — no RNG state, no
+    * coordination, re-runnable after a crash (the property
+    * torch-style data loaders get from seeded epoch permutations,
+    * here as a pure function of the key). Physically this IS the
+    * write path: one hash-partition exchange on the shard + an
+    * in-shard sort, exactly what writing the shuffled shards to disk
+    * costs anyway. */
+  def globalShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id",
+        GraftFunctions.mix64_bucket($"doc_id", SHUFFLE_SHARDS)
+          .as("shard"),
+        GraftFunctions.mix64($"doc_id")
+          .bitwiseXOR(lit(Long.MinValue)).as("hu"))
+    docs.select($"doc_id", $"shard",
+      row_number().over(
+        Window.partitionBy($"shard").orderBy($"hu", $"doc_id"))
+        .cast("long").as("pos"))
+      .orderBy($"doc_id")
+  }
+
+  /** Dataset card — the per-source summary table a released training
+    * set ships with, composed from the suite's audited primitives in
+    * ONE report: volume (docs, whitespace tokens), language spread,
+    * exact-duplicate share (corpus-wide, by raw text — the oracle
+    * re-derives it by grouping the text itself), median quality
+    * (stopword permille, the q29 rank-selection shape) and code share
+    * (the `text_code_detect` routing rule). One corpus scan + one
+    * corpus-wide text dedup aggregate + one per-source rank window;
+    * the output is |sources| rows at any corpus size. Every metric is
+    * exact-integer. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = split($"text", " ")
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang", $"text",
+        size(words).cast("long").as("n_tok"),
+        (size(filter(words,
+          w => w.isInCollection(TextAnalysis.STOPWORDS))) * 1000)
+          .cast("long").as("hits1k"),
+        length(regexp_replace($"text", "[^{}()=;\\[\\]<>]", ""))
+          .cast("long").as("n_sym"),
+        size(filter(words, w =>
+          w.isInCollection(TextAnalysis.CODE_KEYWORDS)))
+          .cast("long").as("kw_hits"))
+      .select($"doc_id", $"source", $"lang", $"text", $"n_tok",
+        expr("hits1k div n_tok").as("score"),
+        (expr("n_sym * 1000 div length(text)") >= 50L ||
+          $"kw_hits" >= 3L).as("is_code"))
+    val dupTexts = base.groupBy($"text")
+      .agg(count(lit(1)).as("tc"))
+      .filter($"tc" >= 2L)
+      .select($"text", lit(1L).as("is_dup"))
+    val w = Window.partitionBy($"source").orderBy($"score", $"doc_id")
+    base.join(dupTexts, Seq("text"), "left")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy($"source")))
+      .groupBy($"source")
+      .agg(max($"n").as("n_docs"),
+        sum($"n_tok").as("total_tokens"),
+        countDistinct($"lang").as("n_langs"),
+        expr("sum(coalesce(is_dup, 0)) * 1000 div max(n)")
+          .as("dup_pm"),
+        max(when($"rn" === ceil($"n" * 0.5), $"score"))
+          .as("p50_quality_pm"),
+        expr("sum(CASE WHEN is_code THEN 1 ELSE 0 END) * 1000 " +
+          "div max(n)").as("code_pm"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dataset_card" -> (datasetCard _),
+    "sample_global_shuffle" -> (globalShuffle _),
     "sample_quality_quota" -> (qualityQuota _),
     "pipeline_dedup_keeper" -> (dedupKeeper _),
     "pipeline_curation" -> (curatedDocs _),
@@ -639,6 +723,55 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    // independent re-derivation: dups by grouping the RAW TEXT, the
+    // same integer quality/code rules, the same ceil(n/2) rank pick
+    "pipeline_dataset_card" -> {
+      val sw = TextAnalysis.STOPWORDS.map(x => s"'$x'").mkString(",")
+      val kw = TextAnalysis.CODE_KEYWORDS.map(x => s"'$x'").mkString(",")
+      s"""WITH b AS (SELECT doc_id, source, lang, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN ($sw))) AS BIGINT) * 1000 AS hits1k,
+         |    CAST(length(regexp_replace(text, '[^{}()=;\\[\\]<>]', '',
+         |      'g')) AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN ($kw))) AS BIGINT) AS kw_hits
+         |  FROM documents),
+         |sc AS (SELECT doc_id, source, lang, text, n_tok,
+         |    hits1k // n_tok AS score,
+         |    (n_sym * 1000 // length(text) >= 50 OR kw_hits >= 3)
+         |      AS is_code
+         |  FROM b),
+         |dups AS (SELECT text, 1 AS is_dup FROM sc
+         |  GROUP BY text HAVING count(*) >= 2),
+         |r AS (SELECT sc.*, dups.is_dup,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY score, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM sc LEFT JOIN dups ON sc.text = dups.text)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(coalesce(is_dup, 0)) * 1000 // max(n) AS BIGINT)
+         |    AS dup_pm,
+         |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+         |    THEN score END) AS p50_quality_pm,
+         |  CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) * 1000
+         |    // max(n) AS BIGINT) AS code_pm
+         |FROM r GROUP BY 1 ORDER BY source""".stripMargin
+    },
+    // HUGEINT splitmix64 replay: same bucket, same unsigned rank order
+    "sample_global_shuffle" -> {
+      val h = OracleSql.mix64("CAST(doc_id AS HUGEINT)")
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(($h) % $SHUFFLE_SHARDS AS BIGINT) AS shard,
+         |    ($h) AS hu
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY hu, doc_id) AS BIGINT) AS pos
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     // same integer score, same (score DESC, doc_id) rank, same
     // permille quota and conditional cut-line aggregates
     "sample_quality_quota" -> {

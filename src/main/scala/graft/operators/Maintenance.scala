@@ -595,7 +595,52 @@ object Maintenance {
       .orderBy($"old_status", $"new_status")
   }
 
+  /** Delta membership for [[incrementalStats]]: keys ≡0 mod this are
+    * the "newly appended" slice. */
+  val INCR_DELTA_MOD = 10L
+
+  /** Incremental ANALYZE — maintain table statistics under appends
+    * WITHOUT rescanning the base: per-column stats are computed on
+    * the base slice and the delta slice separately, then MERGED with
+    * the stats algebra (counts add, mins min, maxes max, sums add) —
+    * the mergeable-statistic subset a lakehouse keeps per file/commit
+    * and folds at query time (NDV joins this set via the mergeable
+    * KMV sketch, proven in `sketch_kmv_setops`; kept out of this
+    * key's wire so every output stays exact-integer). The oracle
+    * computes the SAME stats from the full table in one pass — the
+    * hash match IS the proof that merge(base, delta) == full. Money
+    * is integer cents throughout. */
+  def incrementalStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_orderkey".cast("long").as("k"),
+        $"o_custkey".cast("long").as("c"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+          .as("p"))
+    def side(df: org.apache.spark.sql.DataFrame) = {
+      val specs = Seq("k" -> $"k", "c" -> $"c", "p" -> $"p")
+      val aggs = count(lit(1)).as("n_rows") +: specs.flatMap {
+        case (n, col) => Seq(count(col).as(s"nn_$n"),
+          min(col).as(s"min_$n"), max(col).as(s"max_$n"),
+          sum(col).as(s"sum_$n"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .selectExpr("stack(3, " + specs.map { case (n, _) =>
+          s"'$n', n_rows, nn_$n, min_$n, max_$n, sum_$n"
+        }.mkString(", ") +
+          ") AS (column_name, n_rows, n_nonnull, min_v, max_v, sum_v)")
+    }
+    side(o.filter($"k" % INCR_DELTA_MOD =!= 0))
+      .unionAll(side(o.filter($"k" % INCR_DELTA_MOD === 0)))
+      .groupBy($"column_name")
+      .agg(sum($"n_rows").as("n_rows"), sum($"n_nonnull").as("n_nonnull"),
+        min($"min_v").as("min_v"), max($"max_v").as("max_v"),
+        sum($"sum_v").as("sum_v"))
+      .orderBy($"column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_incremental_stats" -> (incrementalStats _),
     "maint_snapshot_read" -> (snapshotRead _),
     "maint_snapshot_diff" -> (snapshotDiff _),
     "maint_zorder_cluster" -> (zorderCluster _),
@@ -616,6 +661,25 @@ object Maintenance {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // ONE full-table pass: the merge(base, delta) == full proof
+    "maint_incremental_stats" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS c,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS p
+        |  FROM orders),
+        |s AS (
+        |  SELECT 'k' AS column_name, count(*) AS n_rows,
+        |    count(k) AS n_nonnull, min(k) AS min_v, max(k) AS max_v,
+        |    sum(k) AS sum_v FROM o
+        |  UNION ALL
+        |  SELECT 'c', count(*), count(c), min(c), max(c), sum(c) FROM o
+        |  UNION ALL
+        |  SELECT 'p', count(*), count(p), min(p), max(p), sum(p) FROM o)
+        |SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nonnull AS BIGINT) AS n_nonnull,
+        |  CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v,
+        |  CAST(sum_v AS BIGINT) AS sum_v
+        |FROM s ORDER BY column_name""".stripMargin,
     // the as-of-v1 state from first principles: v1 updates applied to
     // the base, v2 invisible — if the reader ever listed the directory
     // instead of the manifest, the U2 rows would appear and the hash

@@ -775,6 +775,40 @@ class PlanSpec extends AnyFunSuite {
       "every join in the canonicalize-then-link plan is dim-sized")
   }
 
+  test("dataset card: source-partitioned windows, no cartesian") {
+    val plan = planOf(Curation.datasetCard(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, plan.take(2000))
+    windowLines.foreach(l => assert(l.contains("source"),
+      s"unpartitioned window: $l"))
+  }
+
+  test("incremental stats: two slice aggregates, no window, no cartesian") {
+    val plan = planOf(Maintenance.incrementalStats(spark, dir))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("temporal join: keyed asof sweep, no range join, no cartesian") {
+    val plan = planOf(Cdc.temporalJoin(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, plan.take(2000))
+  }
+
+  test("global shuffle: one shard-keyed window over one scan") {
+    val plan = planOf(Curation.globalShuffle(spark, dir))
+    assert(scanCount(plan) == 1, plan.take(2000))
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, plan.take(2000))
+    windowLines.foreach(l => assert(l.contains("shard"),
+      s"window not shard-partitioned: $l"))
+  }
+
   test("asof forward: one keyed exchange drives the reversed sweep") {
     val plan = planOf(AsofJoin.eventsAsofNextOrder(spark, dir))
     val windowLines = plan.linesIterator
