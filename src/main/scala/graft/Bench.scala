@@ -260,9 +260,30 @@ object Bench {
     // (above the bucketed noise floor because ADC ranks globally, but
     // still reconstruction-limited on i.i.d. vectors)
     val recallPqCorpus = corpusRecall("ann_pq_topk")
-    // IVF-PQ sits between the two noise-floor rows (cell pruning) and
-    // the IVF row (exact within-cell math) on this corpus
+    // IVF-PQ composes BOTH lossy steps (cell pruning + residual
+    // quantization), so its random-corpus overlap is a noise-floor
+    // row; the headline is the planted-twin retrieval below
     val recallIvfPqCorpus = corpusRecall("ann_ivfpq_topk")
+    val recallIvfPqPlanted =
+      if (!only.contains("ann_ivfpq_topk")) -1.0 else try {
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val qvecs = corpus.filter(col("vec_id") < 10)
+          .as[(Long, Array[Float])].collect().sortBy(_._1)
+        val rnd = new scala.util.Random(44)
+        val twins = qvecs.map { case (id, v) =>
+          (1000000L + id, v.map(x => x + rnd.nextGaussian().toFloat * 0.01f))
+        }
+        val emb = corpus.union(twins.toSeq.toDF("vec_id", "embedding"))
+        val tops = graft.operators.Similarity.ivfpqTopKOn(emb).collect()
+          .map(r => r.getLong(0) -> r.getLong(2))
+          .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+        qvecs.map(_._1).count(id =>
+          tops.getOrElse(id, Set.empty[Long]).contains(1000000L + id))
+          .toDouble / qvecs.length
+      } catch { case _: Throwable => -1.0 }
     val recallPqPlanted = if (!only.contains("ann_pq_topk")) -1.0 else try {
       import spark.implicits._
       import org.apache.spark.sql.functions._
@@ -304,7 +325,7 @@ object Bench {
         samples(k).map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps $repMode, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"rep_sec":$repSec,"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"errored":$erroredJson,"errors":$errorsJson,"unfrozen_queries":$unfrozen,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_planted_twin_top1":$recallPlanted,"ann_pq_planted_twin_top5":$recallPqPlanted,"ann_ivf_vs_brute_corpus":$recallIvfCorpus,"ann_ivfpq_vs_brute_corpus":$recallIvfPqCorpus,"unstructured_noise_floor":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_pq_vs_brute_corpus":$recallPqCorpus,"why":"test embeddings are i.i.d. random (no true neighbors, all cosines ~0.3), so bucketed-LSH/PQ corpus recall on them is the noise floor of the method, not an operating point — headline recall is the planted-twin and IVF rows above; BASELINE.md 'ANN recall reporting'"}},"ivf_curve":$ivfCurve}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"min-of-$reps $repMode, plans warmed on sf0.001, full materialization","gc_sec":${gcMillis() / 1e3},"rep_sec":$repSec,"vs_frozen":$vsFrozen,"vs_frozen_total":$totalRatio,"over_2x":$over2x,"errored":$erroredJson,"errors":$errorsJson,"unfrozen_queries":$unfrozen,"frozen_ref":"${FrozenBaseline.methodology}","stream_timing":$streamTiming,"recall":{"ann_lsh_planted_twin_top1":$recallPlanted,"ann_pq_planted_twin_top5":$recallPqPlanted,"ann_ivf_vs_brute_corpus":$recallIvfCorpus,"ann_ivfpq_planted_twin_top5":$recallIvfPqPlanted,"unstructured_noise_floor":{"ann_lsh_vs_brute_corpus":$recallCorpus,"ann_pq_vs_brute_corpus":$recallPqCorpus,"ann_ivfpq_vs_brute_corpus":$recallIvfPqCorpus,"why":"test embeddings are i.i.d. random (no true neighbors, all cosines ~0.3), so bucketed-LSH/PQ/IVF-PQ corpus recall on them is the noise floor of the method, not an operating point — headline recall is the planted-twin and IVF rows above; BASELINE.md 'ANN recall reporting'"}},"ivf_curve":$ivfCurve}"""
     // The artifact must not depend on a bounded stdout tail surviving
     // (round 5's driver capture lost 25 queries mid-JSON): write the
     // full JSON to a stable file, then print it, with the path as the

@@ -786,10 +786,20 @@ object Similarity {
     * LUTs). Every float op is a sequential fold in pinned order, so
     * the DuckDB oracle replays assignment, residual encoding, probing
     * and ADC bit-exactly — same discipline as [[pqTopKOn]]. */
-  def ivfpqTopK(s: SparkSession, dir: String): DataFrame = {
+  def ivfpqTopK(s: SparkSession, dir: String): DataFrame =
+    ivfpqTopKOn(Tables(s, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")))
+
+  /** Core of [[ivfpqTopK]] over any (vec_id, embedding) frame —
+    * exposed so the bench can measure planted-twin recall (corpus
+    * recall on i.i.d. random embeddings is the method's noise floor,
+    * same caveat as [[pqTopKOn]]/[[lshTopKOn]]). */
+  private[graft] def ivfpqTopKOn(embIn: DataFrame): DataFrame = {
+    val s = embIn.sparkSession
     import s.implicits._
     import graft.functions.GraftFunctions
-    val emb = Tables(s, dir, "embeddings")
+    val emb = embIn
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .map { case (id, vf) =>
         var s2 = 0.0
