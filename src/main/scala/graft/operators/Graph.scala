@@ -402,7 +402,53 @@ object Graph {
       .limit(JACCARD_TOP_K)
   }
 
+  /** HITS iterations. */
+  val HITS_ITERS = 2
+
+  /** Bipartite HITS (hubs & authorities) over the purchase graph —
+    * the marketplace-quality ranking PageRank doesn't give you: good
+    * CUSTOMERS (hubs) are ones who buy from good SUPPLIERS
+    * (authorities), and vice versa, mutually reinforcing. Scores live
+    * in integer micro-units with the [[pagerankQ]] fixed-point
+    * discipline; after every half-step the vector renormalizes by
+    * `x div (max(x) div 10⁶ + 1)` (the PCA-chain overflow guard), so
+    * every sum is exact, partition-independent Long arithmetic and
+    * the oracle unrolls the same [[HITS_ITERS]] rounds verbatim. Per
+    * half-step: ONE edge⋈score join + ONE map-side-combined sum; the
+    * renorm max is a 1-row aggregate on a node-bounded relation. */
+  def hitsBipartite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("p"))
+      .distinct()
+      .localCheckpoint() // read 2×HITS_ITERS times
+    def renorm(df: DataFrame, k: String, v: String): DataFrame = {
+      // materialize the node-sized score vector ONCE per half-step:
+      // the 1-row max and the next half-step's join both read the
+      // checkpoint instead of re-running the whole preceding chain
+      // (without this, every renorm head() replays all prior rounds)
+      val mat = df.localCheckpoint()
+      val m = mat.agg(max(col(v))).head().getLong(0) // 1 row, bounded
+      mat.select(col(k), expr(s"$v div (${m}L div 1000000L + 1L)").as(v))
+    }
+    var auth = edges.select($"p").distinct()
+      .select($"p", lit(1000000L).as("a"))
+    var hub: DataFrame = null
+    (1 to HITS_ITERS).foreach { _ =>
+      hub = renorm(
+        edges.join(auth, "p").groupBy($"c").agg(sum($"a").as("h")),
+        "c", "h")
+      auth = renorm(
+        edges.join(hub, "c").groupBy($"p").agg(sum($"h").as("a")),
+        "p", "a")
+    }
+    auth.select($"p".cast("long").as("s_suppkey"), $"a".as("auth_ppm"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits_bipartite" -> (hitsBipartite _),
     "graph_jaccard_cocustomer" -> (jaccardCocustomer _),
     "graph_kcore_peel" -> (kcorePeel _),
     "graph_copurchase_topk" -> (copurchaseTopK _),
@@ -439,6 +485,33 @@ object Graph {
        |        UNION ALL SELECT node, $h AS dist FROM $fN)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both half-steps of every round unrolled, with the same
+    // max-div renormalization in exact integer arithmetic
+    "graph_hits_bipartite" -> {
+      def round(i: Int): String = {
+        val aPrev = s"a${i - 1}"
+        s"""h${i}r AS (SELECT c, sum(a) AS h FROM e
+           |  JOIN $aPrev USING (p) GROUP BY 1),
+           |h${i}m AS (SELECT max(h) AS m FROM h${i}r),
+           |h$i AS (SELECT c,
+           |  h // ((SELECT m FROM h${i}m) // 1000000 + 1) AS h
+           |  FROM h${i}r),
+           |a${i}r AS (SELECT p, sum(h) AS a FROM e
+           |  JOIN h$i USING (c) GROUP BY 1),
+           |a${i}m AS (SELECT max(a) AS m FROM a${i}r),
+           |a$i AS (SELECT p,
+           |  a // ((SELECT m FROM a${i}m) // 1000000 + 1) AS a
+           |  FROM a${i}r)""".stripMargin
+      }
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |a0 AS (SELECT DISTINCT p, CAST(1000000 AS BIGINT) AS a
+         |  FROM e),
+         |${(1 to HITS_ITERS).map(round).mkString(",\n")}
+         |SELECT CAST(p AS BIGINT) AS s_suppkey,
+         |  CAST(a AS BIGINT) AS auth_ppm
+         |FROM a$HITS_ITERS ORDER BY s_suppkey""".stripMargin
+    },
     // same wedge self-join + integer-permille Jaccard
     "graph_jaccard_cocustomer" ->
       s"""WITH e AS (SELECT DISTINCT l_suppkey AS supp,

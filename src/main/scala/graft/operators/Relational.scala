@@ -1544,7 +1544,36 @@ object Relational {
       .orderBy($"o_orderkey", $"pos")
   }
 
+  /** PIVOT with MULTIPLE aggregates per pivot value (q28 pivots one
+    * measure; real reporting pivots count AND sum together): per
+    * priority row, each order status contributes a `<STATUS>_n` and a
+    * `<STATUS>_cents` column. Spark plans this as ONE hash aggregate
+    * whose grouping expands values × aggs conditional columns — no
+    * extra shuffle versus the single-agg pivot; the explicit value
+    * list keeps the output schema static (a discovery pass at 100 TB
+    * would scan once just to learn the columns). Money in integer
+    * cents. */
+  def q86PivotMultiAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderpriority",
+        $"o_orderstatus",
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+      // absent (priority, status) cells pivot to NULL; pin them to 0
+      // so the wire is total at any SF
+      .select($"o_orderpriority" +:
+        Seq("O", "F", "P").flatMap(v => Seq(
+          coalesce(col(s"${v}_n"), lit(0L)).as(s"${v}_n"),
+          coalesce(col(s"${v}_cents"), lit(0L)).as(s"${v}_cents"))): _*)
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_pivot_multi_agg" -> (q86PivotMultiAgg _),
     "q83_explode_outer" -> (q83ExplodeOuter _),
     "q82_fuzzy_link" -> (q82FuzzyLink _),
     "q81_interval_coverage" -> (q81IntervalCoverage _),
@@ -1608,6 +1637,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // conditional-aggregation replay with the same <STATUS>_<agg>
+    // column names and 0-pinned absent cells
+    "q86_pivot_multi_agg" -> {
+      val cols = Seq("O", "F", "P").flatMap(v => Seq(
+        s"""CAST(coalesce(sum(CASE WHEN o_orderstatus = '$v'
+           |    THEN 1 END), 0) AS BIGINT) AS "${v}_n"""".stripMargin,
+        s"""CAST(coalesce(sum(CASE WHEN o_orderstatus = '$v'
+           |    THEN cents END), 0) AS BIGINT) AS "${v}_cents""""
+          .stripMargin)).mkString(",\n  ")
+      s"""WITH b AS (SELECT o_orderpriority, o_orderstatus,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders)
+         |SELECT o_orderpriority,
+         |  $cols
+         |FROM b GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+    },
     // parallel unnests zip in DuckDB; the empty-array rows come back
     // via the UNION ALL null branch (the OUTER semantics)
     "q83_explode_outer" ->

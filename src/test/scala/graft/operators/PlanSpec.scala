@@ -775,6 +775,13 @@ class PlanSpec extends AnyFunSuite {
       "every join in the canonicalize-then-link plan is dim-sized")
   }
 
+  test("pivot multi-agg: one expanded aggregate, one scan, no extra join") {
+    val plan = planOf(Relational.q86PivotMultiAgg(spark, dir))
+    assert(scanCount(plan) == 1, plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+    assert(!plan.contains("Join"), "pivot must not plan a join")
+  }
+
   test("dataset card: source-partitioned windows, no cartesian") {
     val plan = planOf(Curation.datasetCard(spark, dir))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
