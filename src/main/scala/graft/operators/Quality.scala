@@ -182,7 +182,47 @@ object Quality {
       .orderBy($"event_type")
   }
 
+  /** Benford expected first-digit frequencies in permille
+    * (⌊log10(1+1/d)·1000+0.5⌉ for d = 1..9) — pinned as integer
+    * literals so the oracle never touches float log10. */
+  val BENFORD_PM = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+
+  /** Benford first-digit audit — the classic anomaly screen for
+    * manufactured numeric data (fraud detection, synthetic-data
+    * leakage): the leading-digit distribution of order totals vs
+    * Benford's law, in exact integer permille. The leading digit is
+    * integer string arithmetic on the CENTS quantization (multiplying
+    * by 100 shifts the decimal point and preserves the leading
+    * digit), so both engines derive it identically with no float
+    * formatting in the loop. ONE map-side-combined aggregate; output
+    * is 9 rows at any scale. The verdict column reports the absolute
+    * permille deviation per digit — on TPC-H-style uniform prices the
+    * audit correctly FAILS (uniform data is not Benford), which is
+    * the point: the key checks the machinery, not the corpus. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val expected = BENFORD_PM.zipWithIndex
+      .map { case (pm, i) => (i + 1L, pm) }.toDF("digit", "benford_pm")
+    val digits = Tables(s, dir, "orders")
+      .select(expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+        .as("cents"))
+      .filter($"cents" > 0L)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) " +
+        "AS BIGINT)").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum($"n")).head().getLong(0) // 1 row
+    digits.join(broadcast(expected), Seq("digit"), "right")
+      .select($"digit", coalesce($"n", lit(0L)).as("n"),
+        expr(s"coalesce(n, 0L) * 1000L div ${total}L")
+          .as("observed_pm"),
+        $"benford_pm")
+      .select($"digit", $"n", $"observed_pm", $"benford_pm",
+        abs($"observed_pm" - $"benford_pm").as("abs_dev_pm"))
+      .orderBy($"digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford_audit" -> (benfordAudit _),
     "dq_profile" -> (profile _),
     "dq_referential" -> (referential _),
     "dq_freshness" -> (freshness _),
@@ -190,6 +230,29 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    // same cents-string leading digit, same integer permille; the
+    // expected row set is generated from the same pinned literals
+    "dq_benford_audit" -> {
+      val exp = BENFORD_PM.zipWithIndex
+        .map { case (pm, i) => s"(${i + 1}, $pm)" }.mkString(", ")
+      s"""WITH ex(digit, benford_pm) AS (VALUES $exp),
+         |c AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5)
+         |    AS BIGINT) AS cents
+         |  FROM orders),
+         |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+         |    AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS n
+         |  FROM c WHERE cents > 0 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+         |SELECT CAST(ex.digit AS BIGINT) AS digit,
+         |  coalesce(d.n, 0) AS n,
+         |  CAST(coalesce(d.n, 0) * 1000 // t.total AS BIGINT)
+         |    AS observed_pm,
+         |  CAST(ex.benford_pm AS BIGINT) AS benford_pm,
+         |  CAST(abs(coalesce(d.n, 0) * 1000 // t.total
+         |    - ex.benford_pm) AS BIGINT) AS abs_dev_pm
+         |FROM ex LEFT JOIN d ON d.digit = ex.digit CROSS JOIN t
+         |ORDER BY digit""".stripMargin
+    },
     // same clamped bucketing, permille vectors, L2 and composite
     // worst-bucket key — all integer arithmetic
     "dq_histogram_drift" ->

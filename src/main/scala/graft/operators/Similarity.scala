@@ -410,6 +410,38 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** IVF cell-balance audit — the shard-skew report every IVF/semantic
+    * -dedup deployment watches: per coarse cell (the [[kmeansAssign]]
+    * rule: argmin squared-L2 to the seeded centroids, ties to the
+    * lower id), its vector count, share in exact integer permille,
+    * and the skew versus a perfectly balanced layout
+    * (`share·K div 1000`, 1000 = balanced). Cell probe cost and
+    * same-cell pair volume are both quadratic in the fat cells —
+    * this report is what tells you to re-train the quantizer. One
+    * narrow map + one map-side-combined count; everything after runs
+    * on the K-row relation. */
+  def cellBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents: Array[(Long, Array[Double])] = emb
+      .filter($"vec_id" < KMEANS_K)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    val counts = emb.as[(Long, Array[Double])]
+      .map { case (_, v) => nearestCentroid(v, bc.value)._1 }
+      .toDF("cell")
+      .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
+    counts
+      .withColumn("total", sum($"n_vectors").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select($"cell", $"n_vectors",
+        expr("n_vectors * 1000 div total").as("share_pm"))
+      .select($"cell", $"n_vectors", $"share_pm",
+        expr(s"share_pm * $KMEANS_K").as("balance_ppm"))
+      .orderBy($"cell")
+  }
+
   private def l2norm(v: Array[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < v.length) { acc += v(i) * v(i); i += 1 }
@@ -1112,6 +1144,7 @@ object Similarity {
     "ann_int8_topk" -> (int8TopK _),
     "ann_rerank_topk" -> (rerankTopK _),
     "ann_ivfpq_topk" -> (ivfpqTopK _),
+    "emb_cell_balance" -> (cellBalance _),
     "emb_kmeans_assign" -> (kmeansAssign _),
     "emb_kmeans_update" -> (kmeansUpdate _),
   )
@@ -1500,6 +1533,35 @@ object Similarity {
     // squared-L2 re-derived with the same sequential fold order
     // ((0+d0²)+d1²+…) so the doubles — and therefore the argmin
     // ordering and the rounded output — are bit-identical.
+    // same argmin assignment as emb_kmeans_assign, reduced to the
+    // K-row balance report with window totals
+    "emb_cell_balance" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e
+         |  WHERE vec_id < $KMEANS_K),
+         |d AS (SELECT e.vec_id, c.cid,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, len(e.v) + 1),
+         |      i -> (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+         |         * (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]))),
+         |    (a, x) -> a + x) AS dist2
+         |  FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist2, cid) AS rn
+         |  FROM d) WHERE rn = 1),
+         |g AS (SELECT cid AS cell, CAST(count(*) AS BIGINT)
+         |    AS n_vectors
+         |  FROM asg GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total FROM g)
+         |SELECT cell, n_vectors,
+         |  CAST(n_vectors * 1000 // t.total AS BIGINT) AS share_pm,
+         |  CAST(n_vectors * 1000 // t.total * $KMEANS_K AS BIGINT)
+         |    AS balance_ppm
+         |FROM g CROSS JOIN t ORDER BY cell""".stripMargin,
     "emb_kmeans_assign" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -775,6 +775,22 @@ class PlanSpec extends AnyFunSuite {
       "every join in the canonicalize-then-link plan is dim-sized")
   }
 
+  test("benford: one orders scan, digit table broadcast") {
+    val plan = planOf(Quality.benfordAudit(spark, dir))
+    assert(scanCount(plan) == 1, plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the 9-row expected table must broadcast")
+  }
+
+  test("cell balance: narrow assignment map, window on the K-row relation") {
+    val plan = planOf(Similarity.cellBalance(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the unpartitioned total window is legal ONLY because it runs
+    // over the bounded K-cell relation
+    assert(plan.contains("windowspecdefinition"), plan.take(2000))
+  }
+
   test("pivot multi-agg: one expanded aggregate, one scan, no extra join") {
     val plan = planOf(Relational.q86PivotMultiAgg(spark, dir))
     assert(scanCount(plan) == 1, plan.take(2000))
