@@ -150,7 +150,16 @@ object Ctl {
     var done = false
     val in = scala.io.Source.stdin.getLines()
     while (!done && in.hasNext) {
-      val toks = tokenize(in.next())
+      // tokenize throws on malformed input (unterminated quote); guard
+      // it like exec so one bad line answers ERROR instead of killing
+      // the session (and any background serve thread) — r14 advice
+      val toks = try tokenize(in.next()) catch {
+        case e: Exception =>
+          println("{\"status\": \"ERROR\", \"message\": " +
+            LHJson.render(e.toString) + "}")
+          println(sentinel); Console.flush()
+          Nil
+      }
       val resp: Option[String] = toks match {
         case Nil => None
         case List("exit") =>

@@ -334,6 +334,10 @@ object Curation {
           .cast("long").as("hits1k"))
       .select($"doc_id", $"source", $"n_tok",
         expr("hits1k div n_tok").as("score"),
+        // srcN convention: parity of the numeric suffix picks the
+        // quota. Spark's cast returns null on non-srcN names and
+        // null % 2 === 0 is null → ODD quota; the oracle mirrors with
+        // TRY_CAST so both engines take the same fallback (r14 advice)
         when(expr("CAST(substring(source, 4, 10) AS BIGINT)") % 2 === 0,
           QUOTA_EVEN_PM).otherwise(QUOTA_ODD_PM).as("quota_pm"))
     val w = Window.partitionBy($"source")
@@ -783,7 +787,7 @@ object Curation {
          |  FROM documents),
          |s AS (SELECT doc_id, source, n_tok,
          |    hits1k // n_tok AS score,
-         |    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+         |    CASE WHEN TRY_CAST(substr(source, 4) AS BIGINT) % 2 = 0
          |      THEN $QUOTA_EVEN_PM ELSE $QUOTA_ODD_PM END AS quota_pm
          |  FROM d),
          |r AS (SELECT *,

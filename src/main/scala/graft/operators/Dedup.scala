@@ -371,12 +371,34 @@ object Dedup {
     val edges = pairs.select($"da".as("a"), $"db".as("b"))
       .union(pairs.select($"db".as("a"), $"da".as("b")))
       .localCheckpoint()
-    var labels = Tables(s, dir, "documents")
+    val labels0 = Tables(s, dir, "documents")
       .select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
-    // labels only ever decrease, so Σcluster_id strictly decreases
-    // until the fixpoint — a one-pass aggregate is a cheaper
-    // convergence probe than a self-join diff
-    var prevSum = Long.MaxValue
+    labelPropagate(s, edges, labels0)
+      .select($"doc_id", $"cluster_id",
+        ($"doc_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  /** Min-label propagation to fixpoint over a directed edge list
+    * (callers pass both directions for undirected graphs). `labels0`
+    * is (doc_id, cluster_id), normally cluster_id = doc_id.
+    *
+    * Convergence probe: count labels that CHANGED this round (one
+    * aggregate row to the driver). The r13 shape summed cluster_id
+    * and tested the sum for a fixpoint — cheaper-looking, but at
+    * ≳10¹⁰ docs with 64-bit ids the running sum can wrap Long, and a
+    * wrapped sum coinciding across a real change would terminate
+    * early (r14 verdict advisory). The changed-label count has the
+    * same 1-row driver cost, is exact at ANY corpus size / id
+    * magnitude (it never adds ids, only counts strict decreases — a
+    * least() result can't exceed its input, so no arithmetic on ids
+    * at all), and reads a flag computed for free inside the same
+    * projection. DedupSpec plants ids at Long.MaxValue scale to pin
+    * this. */
+  private[graft] def labelPropagate(
+      s: SparkSession, edges: DataFrame, labels0: DataFrame): DataFrame = {
+    import s.implicits._
+    var labels = labels0
     var converged = false
     while (!converged) {
       val nbr = edges.join(labels, $"b" === $"doc_id")
@@ -384,18 +406,15 @@ object Dedup {
       val next = labels.join(nbr, $"doc_id" === $"a", "left")
         .select($"doc_id",
           least($"cluster_id", coalesce($"nl", $"cluster_id"))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          ($"nl".isNotNull && $"nl" < $"cluster_id").as("chg"))
         .localCheckpoint()
       // sum() is NULL on an empty table — degrade to an empty clustering
-      val sumRow = next.agg(sum($"cluster_id")).first()
-      val sum2 = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-      converged = sum2 == prevSum
-      prevSum = sum2
-      labels = next
+      val chgRow = next.agg(sum(when($"chg", 1L).otherwise(0L))).first()
+      converged = chgRow.isNullAt(0) || chgRow.getLong(0) == 0L
+      labels = next.select($"doc_id", $"cluster_id")
     }
-    labels.select($"doc_id", $"cluster_id",
-      ($"doc_id" === $"cluster_id").as("is_keeper"))
-      .orderBy($"doc_id")
+    labels
   }
 
   /** Cross-document repeated-span census — the word-level analogue of

@@ -42,19 +42,16 @@ object Graph {
         ($"l_suppkey" + SUPPLIER_OFFSET).as("dst"))
       .distinct()
     // undirected flow: rank moves both ways along a purchase relation.
-    // deg is FUSED into the checkpointed edge table (r13 triage of the
-    // driver-host 1.66× ratio): the degree join is paid once before the
-    // checkpoint, so each iteration is edges⋈ranks + the rank rebuild —
-    // two joins instead of three, and the checkpoint materializes
-    // src-hash-partitioned so iterations only shuffle the rank side.
-    // checkpoint ONE direction and derive the reverse by a narrow
-    // projection over the materialized table — half the checkpoint
-    // write of materializing the full undirected list. (r14 triage
-    // A/B: fusing deg into the checkpoint — by join or by window —
-    // measured SLOWER than this shape at sf0.1, 3.2–3.5 s vs 2.4 s
-    // floor: deg and ranks are node-sized, so AQE broadcasts them and
-    // the per-iteration deg join is already free, while a fused
-    // checkpoint is wider and pays its cost 3×.)
+    // Shipped shape: checkpoint ONE edge direction and derive the
+    // reverse by a narrow projection over the materialized table —
+    // half the checkpoint write of the full undirected list — and
+    // leave the per-iteration degree join to AQE (deg and ranks are
+    // node-sized, so AQE broadcasts them and the join is effectively
+    // free). (r14 triage A/B: the rejected alternative — fusing deg
+    // into the checkpointed edge table, by join or by window —
+    // measured SLOWER at sf0.1, 3.2–3.5 s vs 2.4 s floor, because the
+    // fused checkpoint is wider and pays its cost on all 3
+    // iterations while saving a join that was already free.)
     val half = e0.localCheckpoint()
     val edges = half
       .union(half.select($"dst".as("src"), $"src".as("dst")))

@@ -1433,8 +1433,10 @@ object Relational {
       .agg(count(lit(1)).as("n_islands"),
         sum($"len").as("active_days"),
         max($"len").as("max_len"),
-        // composite key: longest first, then earliest start (d < 1000)
-        min_by($"start_d", (lit(1000L) - $"len") * 1000L + $"start_d")
+        // longest island first, then earliest start — struct ordering,
+        // not an arithmetic composite: (1000-len)*1000+start silently
+        // corrupts past day offset 1000 (r14 advice)
+        min_by($"start_d", struct((-$"len").as("nl"), $"start_d"))
           .as("best_start"))
       .orderBy($"user_id")
   }
@@ -1761,13 +1763,15 @@ object Relational {
         |islands AS (SELECT user_id, grp,
         |    min(d) AS start_d, max(d) AS end_d,
         |    CAST(count(*) AS BIGINT) AS len
-        |  FROM tagged GROUP BY 1, 2)
+        |  FROM tagged GROUP BY 1, 2),
+        |w AS (SELECT *, max(len) OVER (PARTITION BY user_id) AS mx
+        |  FROM islands)
         |SELECT user_id,
         |  CAST(count(*) AS BIGINT) AS n_islands,
         |  CAST(sum(len) AS BIGINT) AS active_days,
         |  CAST(max(len) AS BIGINT) AS max_len,
-        |  arg_min(start_d, (1000 - len) * 1000 + start_d) AS best_start
-        |FROM islands GROUP BY 1 ORDER BY user_id""".stripMargin,
+        |  min(CASE WHEN len = mx THEN start_d END) AS best_start
+        |FROM w GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q74_regex_funcs" ->
       """SELECT p_partkey,
         |  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)

@@ -438,7 +438,10 @@ object Similarity {
       .select($"cell", $"n_vectors",
         expr("n_vectors * 1000 div total").as("share_pm"))
       .select($"cell", $"n_vectors", $"share_pm",
-        expr(s"share_pm * $KMEANS_K").as("balance_ppm"))
+        // per-mille semantics: 1000 = perfectly balanced cell
+        // (share_pm * K), named _pm accordingly (r14 advice: the old
+        // balance_ppm name implied parts-per-million, a 1000× misread)
+        expr(s"share_pm * $KMEANS_K").as("balance_pm"))
       .orderBy($"cell")
   }
 
@@ -1560,7 +1563,7 @@ object Similarity {
          |SELECT cell, n_vectors,
          |  CAST(n_vectors * 1000 // t.total AS BIGINT) AS share_pm,
          |  CAST(n_vectors * 1000 // t.total * $KMEANS_K AS BIGINT)
-         |    AS balance_ppm
+         |    AS balance_pm
          |FROM g CROSS JOIN t ORDER BY cell""".stripMargin,
     "emb_kmeans_assign" ->
       s"""WITH e AS (
