@@ -93,14 +93,23 @@ object BenchScale {
       spark.read.parquet(s"$src/$dim.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$dim.parquet")
 
+    // SPARK_GRAFT_DOC_SUFFIX=none: replicate documents VERBATIM (ids
+    // still shifted). The default per-replica word suffix exists so
+    // dedup decades don't degenerate into cross-replica exact-dup
+    // cliques — but it breaks vocabulary-shaped workloads: suffixed
+    // words fail bpeTrain's ^[a-z]+$ pre-tokenization (and zero the
+    // stopword scores), so a suffixed decade would measure a corpus
+    // whose frequency mass DOESN'T grow with K. For those, exact
+    // duplication is the honest decade (vocab constant, freq ×K).
     if (only("documents")) {
+    val plain = sys.env.get("SPARK_GRAFT_DOC_SUFFIX").contains("none")
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
     (0 until k).map { i =>
       docs.as[(Long, String, String, String, Long)].map {
         case (id, text, lang, source, n) =>
           val tagged =
-            if (i == 0) text
+            if (i == 0 || plain) text
             else text.split(' ').map(w => w + "_" + i).mkString(" ")
           (id + i * 10000000L, tagged, lang, source, tagged.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -478,6 +478,83 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** Merge rounds for [[bpeTrain]]. */
+  val BPE_TRAIN_ROUNDS = 12
+
+  /** BPE tokenizer TRAINING — the iterated merge loop that
+    * [[bpePairStats]] is one round of, and the canonical LLM-pipeline
+    * loop (Sennrich et al. 2016): K rounds of (count adjacent symbol
+    * pairs weighted by word frequency → pick the best pair → merge it
+    * greedily left-to-right in every word). Output is the merge table
+    * itself — (merge_round, pa, pb, merged, n) — which IS the trained
+    * tokenizer.
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY in ONE scan
+    * (word-keyed map-side-combined aggregate, sublinear output,
+    * `localCheckpoint`ed); every one of the K rounds then runs on the
+    * bounded vocab relation only — one pair aggregate whose argmax is
+    * a SINGLE driver row, and a merge applied as a LITERAL
+    * codegen'd `replace` (the "broadcast merge table" is plan-time
+    * constant folding, no join at all). At 100 TB the corpus pass is
+    * the linear term and the loop is vocabulary-bound — replicated
+    * decades leave the vocab (hence the whole loop) exactly constant.
+    *
+    * Symbol sequences ride a flat string, tokens delimited by `||`
+    * (`||l||o||w||`): merging (a,b) is `replace(sym,
+    * "|a||b|", "|ab|")`, and because every boundary is TWO bars,
+    * consecutive non-overlapping matches don't consume each other's
+    * delimiter — left-to-right `replace` is then EXACTLY greedy BPE
+    * merge application, bit-identical between Spark and DuckDB (the
+    * oracle replays all K rounds unrolled, generated by the same
+    * Scala loop). Words are restricted to `^[a-z]+$` (standard
+    * pre-tokenization; also keeps the delimiter out of the data). */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab0 = Tables(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select(
+        concat(lit("||"), array_join(split($"word", ""), "||"),
+          lit("||")).as("sym"),
+        $"freq")
+      .localCheckpoint()
+    // guarded: sequence(1, 0) is DESCENDING in Spark, so single-token
+    // words must short-circuit (r14 lesson: total expressions, never
+    // rely on upstream filters) — `when` without `otherwise` is null
+    // and explode(null) emits no rows, exactly the empty pair list
+    val pairsOf = when(size($"arr") >= 2, expr(
+      "transform(sequence(1, size(arr) - 1)," +
+        " i -> named_struct('pa', arr[i - 1], 'pb', arr[i]))"))
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= BPE_TRAIN_ROUNDS && !exhausted) {
+      val best = vocab
+        .withColumn("arr", filter(split($"sym", "[|][|]"), t => t =!= ""))
+        .select(explode(pairsOf).as("p"), $"freq")
+        .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+        .agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"pa", $"pb")
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (pa, pb, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, pa, pb, pa + pb, n))
+        // literal (non-regex) replace — same left-to-right
+        // non-overlapping semantics as DuckDB's replace()
+        vocab = vocab.withColumn("sym",
+          replace($"sym", lit(s"|$pa||$pb|"), lit(s"|$pa$pb|")))
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("merge_round", "pa", "pb", "merged", "n")
+      .orderBy($"merge_round")
+  }
+
   /** Keyword set for [[codeDetect]] — code-specific tokens chosen to
     * avoid common English collisions. */
   val CODE_KEYWORDS = Seq("def", "class", "return", "import", "function",
@@ -592,6 +669,7 @@ object TextAnalysis {
     "text_ngram_novelty" -> (ngramNovelty _),
     "text_code_detect" -> (codeDetect _),
     "text_bpe_pair_stats" -> (bpePairStats _),
+    "text_bpe_train" -> (bpeTrain _),
     "text_winnowing" -> (winnowing _),
     "text_perplexity_bigram" -> (perplexityBigram _),
     "text_perplexity_unigram" -> (perplexityUnigram _),
@@ -688,6 +766,44 @@ object TextAnalysis {
          |    row_number() OVER (ORDER BY n DESC, pair) AS rank FROM c)
          |SELECT CAST(rank AS BIGINT) AS rank, pair, n
          |FROM r WHERE rank <= $BPE_TOPK ORDER BY rank""".stripMargin,
+    // all K merge rounds unrolled by the same Scala loop the engine
+    // runs — per round: pair counts over the ||-delimited symbol
+    // strings, a 1-row (n DESC, pa, pb) argmax CTE, and the greedy
+    // left-to-right literal replace (LEFT JOIN ON TRUE so an exhausted
+    // round degrades to identity instead of truncating the vocab)
+    "text_bpe_train" -> {
+      val rounds = (1 to BPE_TRAIN_ROUNDS).map { r =>
+        s"""pairs_$r AS (SELECT p.pa AS pa, p.pb AS pb, freq FROM (
+           |  SELECT freq, unnest(list_transform(range(1, len(arr)),
+           |    i -> struct_pack(pa := arr[i], pb := arr[i + 1]))) AS p
+           |  FROM (SELECT list_filter(string_split(sym, '||'),
+           |      t -> t <> '') AS arr, freq
+           |    FROM vocab_$r))),
+           |best_$r AS (SELECT pa, pb, n FROM (
+           |  SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS n
+           |  FROM pairs_$r GROUP BY 1, 2)
+           |  ORDER BY n DESC, pa, pb LIMIT 1),
+           |vocab_${r + 1} AS (SELECT CASE WHEN b.pa IS NULL THEN sym
+           |    ELSE replace(sym, '|' || b.pa || '||' || b.pb || '|',
+           |      '|' || b.pa || b.pb || '|') END AS sym, freq
+           |  FROM vocab_$r LEFT JOIN best_$r b ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to BPE_TRAIN_ROUNDS).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_round, pa, pb," +
+          s" pa || pb AS merged, n FROM best_$r"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+         |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+         |vocab_1 AS (SELECT '||' || array_to_string(
+         |    list_transform(range(1, length(word) + 1), i -> word[i]),
+         |    '||') || '||' AS sym, freq
+         |  FROM v),
+         |$rounds
+         |$union
+         |ORDER BY merge_round""".stripMargin
+    },
     // full first-principles replay: HUGEINT FNV per word 4-gram,
     // truncated-tail windows, argmin with the rightmost-tie rule as
     // row_number (h ASC, pos DESC), distinct selected positions

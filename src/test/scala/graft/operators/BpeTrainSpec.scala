@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validates [[TextAnalysis.bpeTrain]] against a direct plain-Scala
+  * BPE trainer over token LISTS (textbook Sennrich greedy merge),
+  * independently of the ||-delimited-string representation the
+  * operator uses — if the string `replace` trick ever deviated from
+  * true greedy left-to-right merge application, the two would diverge
+  * here before any oracle run.
+  */
+class BpeTrainSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = graft.TestSpark.session
+
+  private def mergeOnce(toks: Vector[String], a: String, b: String)
+      : Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  test("bpe train: merge table matches a plain-Scala greedy trainer") {
+    import spark.implicits._
+    val got = TextAnalysis.bpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.length == TextAnalysis.BPE_TRAIN_ROUNDS)
+
+    var vocab: Map[Vector[String], Long] =
+      graft.sources.Tables(spark, dir, "documents")
+        .select(explode(split($"text", " ")).as("w"))
+        .filter($"w".rlike("^[a-z]+$"))
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+        .as[(String, Long)].collect()
+        .map { case (w, f) => w.toVector.map(_.toString) -> f }.toMap
+    val expect = (1 to TextAnalysis.BPE_TRAIN_ROUNDS).map { r =>
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (toks, f) =>
+        toks.iterator.sliding(2).withPartial(false)
+          .foreach { p => counts((p(0), p(1))) += f }
+      }
+      assert(counts.nonEmpty, s"round $r exhausted on test data")
+      val ((pa, pb), n) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.groupMapReduce { case (toks, _) =>
+        mergeOnce(toks, pa, pb)
+      }(_._2)(_ + _)
+      (r.toLong, pa, pb, pa + pb, n)
+    }
+    assert(got.toSeq == expect,
+      s"merge tables diverge:\n got=${got.toSeq}\n exp=$expect")
+  }
+}
