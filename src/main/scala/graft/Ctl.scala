@@ -38,8 +38,12 @@ import graft.streaming.{GraftApi, MetadataStore, Scheduler}
   *   send-event <eventDefId> <wfRunId> <json-payload>
   *   stop <wfRunId> [threadId]
   *   resume <wfRunId> [threadId]
-  *   serve [timeoutMs]    (run the scheduler streaming query — the
-  *                         "deployed" engine; blocks)
+  *   serve [timeoutMs] [worker]  (run the scheduler streaming query —
+  *                         the "deployed" engine; blocks. `worker`
+  *                         also starts the loopback task worker over
+  *                         every deployed TaskDef topic, answering
+  *                         TSRs with shared-task behavior — a complete
+  *                         single-process deployment)
   */
 object Ctl {
 
@@ -93,8 +97,12 @@ object Ctl {
         api.postStop(runId, rest.headOption.map(_.toInt).getOrElse(0))
       case "resume" :: runId :: rest if rest.length <= 1 =>
         api.postResume(runId, rest.headOption.map(_.toInt).getOrElse(0))
-      case "serve" :: rest if rest.length <= 1 =>
-        serve(spark, root, store, rest.headOption.map(_.toLong))
+      case "serve" :: rest
+          if rest.filterNot(_ == "worker").length <= 1 &&
+            rest.count(_ == "worker") <= 1 =>
+        serve(spark, root, store,
+          rest.filterNot(_ == "worker").headOption.map(_.toLong),
+          withWorker = rest.contains("worker"))
       case other => throw new IllegalArgumentException(
         s"unknown verb or arity: ${other.mkString(" ")}")
     }
@@ -105,17 +113,47 @@ object Ctl {
     * engine's analogue of the reference's DockerWorkflowDeployer —
     * SURVEY §3.1). Blocks until `timeoutMs` (tests) or forever. */
   private def serve(spark: SparkSession, root: String,
-      store: MetadataStore, timeoutMs: Option[Long]): String = {
+      store: MetadataStore, timeoutMs: Option[Long],
+      withWorker: Boolean = false): String = {
+    stopServe.set(false)
+    val specs = store.deployedSpecs()
     val events = Scheduler.busEventSource(spark, s"$root/bus", "wfEvents__.*")
-    val outputs = Scheduler(events, store.deployedSpecs())
+    val outputs = Scheduler(events, specs)
     val q = Scheduler.busWireSink(outputs, s"$root/bus", s"$root/ckpt")
       .trigger(Trigger.ProcessingTime("200 milliseconds"))
       .start()
+    // `serve ... worker`: also run the loopback task worker over every
+    // deployed TaskDef topic, making serve a COMPLETE single-process
+    // deployment (scheduler + workers), like the reference's docker
+    // deployer starting one worker container per TaskDef
+    @volatile var done = false
+    val worker = if (withWorker) {
+      val topics = specs.values
+        .flatMap(_.threadSpecs.values)
+        .flatMap(_.nodes.values)
+        .flatMap(_.taskDefName).toSeq.distinct
+      Some(graft.streaming.BusTaskWorker.start(
+        s"$root/bus", topics, () => done))
+    } else None
     try timeoutMs match {
-      case Some(ms) => q.awaitTermination(ms); "{\"status\":\"SERVED\"}"
+      case Some(ms) =>
+        // slice the wait so a repl `exit` (stopServe) ends the serve
+        // immediately instead of running out the whole window
+        val deadline = System.currentTimeMillis() + ms
+        while (!stopServe.get() && q.isActive &&
+            System.currentTimeMillis() < deadline)
+          q.awaitTermination(200)
+        "{\"status\":\"SERVED\"}"
       case None => q.awaitTermination(); "{\"status\":\"SERVED\"}"
-    } finally q.stop()
+    } finally {
+      done = true
+      worker.foreach(_.join(2000))
+      q.stop()
+    }
   }
+
+  /** Set by repl `exit` so a timed serve returns early. */
+  private val stopServe = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Split a repl line into verb tokens. Whitespace separates;
     * single-quoted segments group (JSON payloads carry spaces and
@@ -164,6 +202,7 @@ object Ctl {
         case Nil => None
         case List("exit") =>
           done = true
+          stopServe.set(true)
           serveThread.foreach(_.join())
           Some("{\"status\": \"BYE\"}")
         case "serve" :: rest =>

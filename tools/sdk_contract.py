@@ -1,0 +1,255 @@
+#!/usr/bin/env python3
+"""Python-SDK end-to-end contract check.
+
+Closes the reference's §5 harness pattern on the LAST user-visible
+residual: a Python user COMPILES decorated workflow functions with
+``sdk/graft_sdk.py`` (the thread_spec_builder-shaped compile slice),
+deploys the compiled WFSpec/TaskDef/ExternalEventDef documents through
+the process boundary, runs them end-to-end against the live engine
+(``Ctl serve`` + loopback task worker), and asserts the FOLDED WFRun —
+statuses, per-branch task sequences, and variable arithmetic — exactly
+like the reference's lh_test_harness checks
+(tests/basic.py, conditionals_basic.py, threads_basic.py,
+external_event_basic.py).
+
+Usage: sdk_contract.py <java-classpath> <work-root> <fixture-dir>
+Exit code 0 = contract held.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sdk"))
+
+from ctl_contract import Ctl, check            # noqa: E402
+from graft_sdk import Workflow                 # noqa: E402
+
+
+# ---- task functions (signatures match Simulator.sharedTasks, which
+# resolves the LAST dash segment of {module}-{function}) ----
+
+def echo_task(thing: str) -> str:
+    raise NotImplementedError("executed by the engine worker, not here")
+
+
+def increment(foo: int) -> int:
+    raise NotImplementedError("executed by the engine worker, not here")
+
+
+def hello_there(name: str) -> str:
+    raise NotImplementedError("executed by the engine worker, not here")
+
+
+# ---- workflows: the reference test corpus's shapes ----
+
+HELLO = "Hello, there!"
+ENTRYPOINT = "This is entrypoint task"
+UNDER_TEN = "Its under 10!"
+TEN_OR_MORE = "Its 10 or more!"
+FEELING_LUCKY = "You feeling lucky, punk?"
+MERGER = "This task should execute on all WFRun's."
+COLT = "This is colt's grad year!"
+PAYLOAD = "GENERAL KENOBI"
+
+
+def basic(thread):
+    """reference tests/basic.py: one task call."""
+    thread.execute(echo_task, HELLO)
+
+
+def conditionals_basic(thread):
+    """reference tests/conditionals_basic.py: nested if, if/else,
+    membership test, trailing guarded task."""
+    my_int = thread.add_variable("my_int", int)
+    thread.execute(echo_task, ENTRYPOINT)
+    greater_than_zero = my_int.greater_than(0)
+    with greater_than_zero.is_true():
+        under_ten = my_int.less_than(10)
+        with under_ten.is_true():
+            thread.execute(echo_task, UNDER_TEN)
+        with under_ten.is_false():
+            thread.execute(echo_task, TEN_OR_MORE)
+        is_lucky = my_int.is_in([42, 137])
+        with is_lucky.is_true():
+            thread.execute(echo_task, FEELING_LUCKY)
+    thread.execute(echo_task, MERGER)
+    is_colts_number = my_int.equals(20)
+    with is_colts_number.is_true():
+        thread.execute(echo_task, COLT)
+
+
+def subthread(st):
+    """reference tests/threads_basic.py subthread: += increment(12)."""
+    parent_var = st.get_parent_var("parent_var")
+    parent_var.add(st.execute(increment, 12))
+
+
+def bigger_subthread(st):
+    st.execute(increment, 123456)
+    parent_var = st.get_parent_var("parent_var")
+    parent_var.subtract(st.execute(increment, 4))
+
+
+def threads_basic(thread):
+    """reference tests/threads_basic.py: 3 spawns, 3 waits, then a
+    divide — final parent_var == (22 + input) // 3."""
+    input_var = thread.add_variable("input_var", int)
+    parent_var = thread.add_variable("parent_var", int)
+    parent_var.assign(thread.execute(increment, input_var))
+    child1 = thread.spawn_thread(subthread)
+    child2 = thread.spawn_thread(subthread)
+    child3 = thread.spawn_thread(bigger_subthread)
+    thread.wait_for_thread(child1)
+    thread.wait_for_thread(child2)
+    thread.wait_for_thread(child3)
+    parent_var.divide(thread.execute(increment, 2))
+
+
+def external_event_basic(thread):
+    """reference tests/external_event_basic.py happy path (generous
+    timeout keeps the contract deterministic)."""
+    my_name = thread.add_variable("my_name", str)
+    event = thread.wait_for_event("my-name").with_timeout(300)
+    my_name.assign(event)
+    thread.execute(hello_there, my_name)
+
+
+# ---- driver ----
+
+def compile_and_deploy(ctl, fixdir, wf_fn):
+    wf = Workflow(wf_fn)
+    deployed = []
+    for kind, docs in [
+            ("TaskDef", wf.task_defs()),
+            ("ExternalEventDef", wf.external_event_defs()),
+            ("WFSpec", [wf.spec])]:
+        for doc in docs:
+            path = os.path.join(
+                fixdir, "%s_%s.json" % (kind, doc["name"].replace("-", "_")))
+            with open(path, "w") as f:
+                json.dump(doc, f, indent=1)
+            r = ctl.call("deploy %s %s" % (kind, path))
+            check(r.get("status") == "OK",
+                  "deploy %s %s" % (kind, doc["name"]), r)
+            deployed.append((kind, doc["name"]))
+    return wf
+
+
+def poll_wfrun(ctl, run_id, want_status, deadline_s=30):
+    deadline = time.time() + deadline_s
+    doc = None
+    while time.time() < deadline:
+        r = ctl.call("get WFRun " + run_id)
+        if r.get("status") == "OK":
+            doc = r["result"]
+            if doc.get("status") == want_status:
+                return doc
+        time.sleep(0.25)
+    raise AssertionError(
+        "WFRun %s never reached %s; last: %r" % (run_id, want_status, doc))
+
+
+def non_nop_stdouts(doc):
+    thr = doc["threadRuns"][0]
+    return [t["stdout"] for t in thr["taskRuns"]
+            if t["nodeType"] not in ("NOP",)]
+
+
+def run_wf(ctl, name, **vars_):
+    parts = ["run", name] + ["%s=%s" % (k, json.dumps(v))
+                             for k, v in vars_.items()]
+    r = ctl.call(" ".join(parts))
+    check(r.get("status") == "OK", "run " + name, r)
+    return r["objectId"]
+
+
+def check_basic(ctl):
+    run_id = run_wf(ctl, "basic")
+    doc = poll_wfrun(ctl, run_id, "COMPLETED")
+    check(len(doc["threadRuns"]) == 1, "basic thread count", doc)
+    outs = non_nop_stdouts(doc)
+    check(outs == [HELLO], "basic stdout", outs)
+
+
+def check_conditionals(ctl):
+    # same input sweep as the reference launcher
+    inputs = [-10, 0, 2, 10, 15, 42, 20, 137, 1888]
+    runs = [(i, run_wf(ctl, "conditionals_basic", my_int=i))
+            for i in inputs]
+    for my_int, run_id in runs:
+        doc = poll_wfrun(ctl, run_id, "COMPLETED")
+        thr = doc["threadRuns"][0]
+        check(thr["variables"]["my_int"] == my_int, "my_int kept", thr)
+        outs = non_nop_stdouts(doc)
+        if my_int <= 0:
+            want = [ENTRYPOINT, MERGER]
+        elif my_int < 10:
+            want = [ENTRYPOINT, UNDER_TEN, MERGER]
+        elif my_int == 20:
+            want = [ENTRYPOINT, TEN_OR_MORE, MERGER, COLT]
+        elif my_int in (42, 137):
+            want = [ENTRYPOINT, TEN_OR_MORE, FEELING_LUCKY, MERGER]
+        else:
+            want = [ENTRYPOINT, TEN_OR_MORE, MERGER]
+        check(outs == want,
+              "conditionals my_int=%d branch" % my_int, outs)
+
+
+def check_threads(ctl):
+    for input_var in (5, -20, 17):
+        run_id = run_wf(ctl, "threads_basic", input_var=input_var)
+        doc = poll_wfrun(ctl, run_id, "COMPLETED")
+        check(len(doc["threadRuns"]) == 4, "4 threads", doc["threadRuns"])
+        for thr in doc["threadRuns"]:
+            check(thr["status"] == "COMPLETED", "thread completed", thr)
+        parent = doc["threadRuns"][0]["variables"]["parent_var"]
+        answer = int((1 + input_var + 26 - 5) / 3)  # reference check math
+        check(parent == answer,
+              "threads_basic answer for input %d" % input_var,
+              (parent, answer))
+
+
+def check_external_event(ctl):
+    run_id = run_wf(ctl, "external_event_basic")
+    poll_wfrun(ctl, run_id, "RUNNING", deadline_s=20)
+    r = ctl.call("send-event my-name %s '%s'" % (run_id,
+                                                 json.dumps(PAYLOAD)))
+    check(r.get("status") == "OK", "send-event", r)
+    doc = poll_wfrun(ctl, run_id, "COMPLETED")
+    thr = doc["threadRuns"][0]
+    check(thr["variables"]["my_name"] == PAYLOAD, "event var folded", thr)
+    outs = non_nop_stdouts(doc)
+    check(outs[-1] == "Hello there, %s!" % PAYLOAD, "task saw event", outs)
+
+
+def main():
+    if len(sys.argv) != 4:
+        sys.exit(__doc__)
+    classpath, root, fixdir = sys.argv[1], sys.argv[2], sys.argv[3]
+    ctl = Ctl(classpath, root)
+    try:
+        for wf_fn in (basic, conditionals_basic, threads_basic,
+                      external_event_basic):
+            compile_and_deploy(ctl, fixdir, wf_fn)
+
+        r = ctl.call("serve 120000 worker")
+        check(r.get("status") == "SERVING", "serve", r)
+
+        check_basic(ctl)
+        check_conditionals(ctl)
+        check_threads(ctl)
+        check_external_event(ctl)
+
+        r = ctl.call("exit")
+        check(r.get("status") == "BYE", "exit", r)
+    finally:
+        rc = ctl.close()
+    check(rc == 0, "Ctl exit code", rc)
+    print("sdk contract OK")
+
+
+if __name__ == "__main__":
+    main()
