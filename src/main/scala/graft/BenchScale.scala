@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,6 +35,20 @@ import org.apache.spark.sql.functions._
   * without being read by any measured query.
   */
 object BenchScale {
+
+  /** Balanced union: a linear `reduce(_ unionAll _)` builds a
+    * left-deep tree whose depth equals K — fine at the 10/100 decades,
+    * but K=1000 (the third decade) risks analyzer stack overflow on a
+    * depth-1000 plan. A balanced tree is depth log2(K). */
+  private def bunion(
+      xs: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame =
+    if (xs.length == 1) xs.head
+    else {
+      val (a, b) = xs.splitAt(xs.length / 2)
+      bunion(a) unionAll bunion(b)
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, kStr) = args
     val k = kStr.toInt
@@ -58,7 +74,7 @@ object BenchScale {
       val orders = spark.read.parquet(s"$src/orders.parquet")
       (0 until k).map(i => orders
           .withColumn("o_orderkey", $"o_orderkey" + lit(i * 600000000L)))
-        .reduce(_ unionAll _)
+        .pipe(bunion)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
     }
 
@@ -68,7 +84,7 @@ object BenchScale {
       val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
       (0 until k).map(i => lineitem
           .withColumn("l_orderkey", $"l_orderkey" + lit(i * 600000000L)))
-        .reduce(_ unionAll _)
+        .pipe(bunion)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
     }
 
@@ -83,7 +99,7 @@ object BenchScale {
       (0 until k).map(i => events
           .withColumn("event_id", $"event_id" + lit(i * 10000000L))
           .withColumn("user_id", $"user_id" + lit(i * 1000000L)))
-        .reduce(_ unionAll _)
+        .pipe(bunion)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
     }
 
@@ -113,7 +129,7 @@ object BenchScale {
             else text.split(' ').map(w => w + "_" + i).mkString(" ")
           (id + i * 10000000L, tagged, lang, source, tagged.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
-    }.reduce(_ unionAll _)
+    }.pipe(bunion)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     }
 
@@ -130,7 +146,7 @@ object BenchScale {
         ($"vec_id" + lit(i * 10000000L)).as("vec_id"),
         zip_with($"embedding", typedlit(mask.toSeq),
           (x, s) => x * s).as("embedding"))
-    }.reduce(_ unionAll _)
+    }.pipe(bunion)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
     }
 

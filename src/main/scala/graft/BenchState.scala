@@ -1,0 +1,151 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine._
+import graft.engine.SpecBuilders._
+import graft.streaming.{Scheduler, SchedulerOut}
+
+/** State-VOLUME benchmark for the scheduler fold (VERDICT r14 item 6):
+  * RocksDbStateSpec proves the RocksDB provider works; this main
+  * measures it at volume. N workflow runs are folded into PARKED state
+  * (each waits on an external event with a long timeout — live per-run
+  * state, the reference's RocksDB-resident WFRun store shape), then
+  * the query restarts from the checkpoint and a probe run is completed
+  * — so the run measures:
+  *
+  *  - fold throughput: runs/s from first event to N-th snapshot, state
+  *    growing to N live keys;
+  *  - restore wall: query restart → probe snapshot, which pays the
+  *    provider's state-load/replay for every shuffle partition;
+  *  - restore CORRECTNESS at volume: K random parked runs complete
+  *    with the right folded variable after the restart (exit 1 on any
+  *    mismatch — this main is also the volume twin of
+  *    RocksDbStateSpec's assertion).
+  *
+  * Usage: runMain graft.BenchState <nRuns> <rocksdb|hdfs> [batchSize]
+  * Prints one JSON line.
+  */
+object BenchState {
+
+  private val PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+  private val ROCKSDB = "org.apache.spark.sql.execution.streaming." +
+    "state.RocksDBStateStoreProvider"
+
+  private val spec = wfSpec("state_volume_wf", "main",
+    thread("main",
+      Map("got" -> WFRunVariableDef(VarType.STRING)),
+      nodes = Seq(
+        mutate(Node(name = "n0", nodeType = NodeType.EXTERNAL_EVENT,
+          externalEventDefName = Some("the-event"),
+          timeoutSeconds = Some(lit(86400))),
+          "got" -> mut(Mutations.Op.ASSIGN))),
+      edges = Nil))
+
+  def main(args: Array[String]): Unit = {
+    val nRuns = args(0).toInt
+    val provider = args(1)
+    val batchSize = if (args.length > 2) args(2).toInt else 100000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (provider == "rocksdb") spark.conf.set(PROVIDER_CONF, ROCKSDB)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory(s"graft-statebench-$provider").toString
+    val input = MemoryStream[WFEvent]
+    val snapCount = new AtomicLong()
+    val completed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    def startQuery() = {
+      val outputs = Scheduler(input.toDS(), Map(spec.name -> spec))
+      outputs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[SchedulerOut], _: Long) =>
+            batch.collect().foreach { r =>
+              if (r.kind == SchedulerOut.SNAPSHOT) {
+                snapCount.incrementAndGet()
+                if (r.status == Status.COMPLETED)
+                  completed.put(r.wfRunId, r.json)
+              }
+            }
+        }
+        .start()
+    }
+
+    def now() = System.currentTimeMillis()
+    def startEvent(i: Int) =
+      WFEvent(spec.objectId, spec.name, s"sv-$i", now(), 0,
+        WFEventType.WF_RUN_STARTED,
+        EventCodec.encodeRunRequest(WFRunRequest(
+          ListMap.empty, spec.objectId, Some(s"sv-$i"))))
+
+    // ---- phase 1: fold N runs into parked state ----
+    val q1 = startQuery()
+    val t0 = now()
+    var fed = 0
+    while (fed < nRuns) {
+      val n = math.min(batchSize, nRuns - fed)
+      input.addData((fed until fed + n).map(startEvent))
+      fed += n
+    }
+    while (snapCount.get() < nRuns) Thread.sleep(100)
+    val foldSec = (now() - t0) / 1e3
+    q1.stop()
+
+    // ---- phase 2: restart from checkpoint; probe K parked runs ----
+    val probes = (0 until 16).map(i => (i.toLong * 2654435761L % nRuns).toInt)
+    val t1 = now()
+    val q2 = startQuery()
+    probes.foreach { i =>
+      val t = now()
+      input.addData(WFEvent(spec.objectId, spec.name, s"sv-$i", t, -1,
+        WFEventType.EXTERNAL_EVENT,
+        EventCodec.encodeExternalEvent(
+          ExternalEventPayload("the-event", "the-event", s"payload-$i", t))))
+    }
+    val deadline = now() + 600000
+    while (completed.size < probes.length && now() < deadline)
+      Thread.sleep(100)
+    val restoreSec = (now() - t1) / 1e3
+    q2.stop()
+
+    // restore correctness at volume: every probe completed with the
+    // exact folded payload
+    var bad = 0
+    probes.foreach { i =>
+      val json = completed.get(s"sv-$i")
+      if (json == null) { bad += 1 }
+      else {
+        val st = StateCodec.decode(json)
+        if (st.threadRuns(0).variables.get("got") != Some(s"payload-$i"))
+          bad += 1
+      }
+    }
+    println(
+      f"""{"metric":"state_volume","provider":"$provider",""" +
+      f""""n_runs":$nRuns,"fold_sec":$foldSec%.1f,""" +
+      f""""fold_runs_per_sec":${nRuns / foldSec}%.0f,""" +
+      f""""restore_plus_probe_sec":$restoreSec%.1f,""" +
+      f""""probes":${probes.length},"probe_failures":$bad}""")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

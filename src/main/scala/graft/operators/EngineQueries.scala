@@ -235,6 +235,10 @@ object EngineQueries {
 
   /** R1 + E3-E8 + E12: mutation arithmetic, int truncation + IEEE float
     * ops — hash-checked against plain SQL arithmetic. */
+  /** The mutation-chain spec, exposed so [[graft.BenchConcurrent]]
+    * can fold the serving-state table from the same workload. */
+  private[graft] def benchMutationSpec = mutationSpec
+
   def mutationChain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spec = mutationSpec

@@ -78,6 +78,54 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Truncation width for [[matryoshkaOverlap]]. */
+  val MRL_DIM = 16
+
+  /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning") — the dial every
+    * embedding-serving pipeline tunes: how much top-K quality survives
+    * keeping only the first [[MRL_DIM]] of 64 dimensions (4× smaller
+    * index, 4× cheaper dot products)? Per query: overlap@K between the
+    * full-dimension exact top-K and the truncated-prefix top-K, plus
+    * both top-1 ids. Two bounded top-K passes (broadcast 10-query set
+    * against the streaming corpus, [[rankTopK]]'s map-side-combined
+    * aggregator — no corpus-wide window), then joins on ≤ K·queries
+    * rows; scan-bound at any corpus size, like the rest of the ANN
+    * exactness family. Truncated cosines are sequential folds over the
+    * SAME prefix both engines slice, so the oracle replays bit-exactly
+    * (list_cosine_similarity over `v[1:16]`). */
+  def matryoshkaOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    def topOf(prep: DataFrame): DataFrame = {
+      val e = withNorm(prep)
+      val queries = e.filter($"vec_id" < N_QUERIES)
+      rankTopK(broadcast(queries).as("a")
+        .join(e.as("b"), $"a.vec_id" =!= $"b.vec_id")
+        .select($"a.vec_id".as("query_id"),
+          $"b.vec_id".as("neighbor_id"), cosine.as("cos")))
+    }
+    val full = topOf(emb)
+    val trunc = topOf(emb.select($"vec_id",
+      slice($"v", 1, MRL_DIM).as("v")))
+    val overlap = full.as("f").join(trunc.as("t"),
+        $"f.query_id" === $"t.query_id" &&
+          $"f.neighbor_id" === $"t.neighbor_id")
+      .groupBy($"f.query_id".as("query_id"))
+      .agg(count(lit(1)).as("n"))
+    full.filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id".as("top1_full"))
+      .join(trunc.filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id".as("top1_trunc")),
+        Seq("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select($"query_id",
+        coalesce($"n", lit(0L)).as("overlap_at_5"),
+        $"top1_full", $"top1_trunc")
+      .orderBy($"query_id")
+  }
+
   /** Seed-set size for [[reciprocalTopK]]. */
   val RECIP_N = 100
 
@@ -1139,6 +1187,7 @@ object Similarity {
     "emb_covariance_q" -> (covarianceQ _),
     "ann_filtered_topk" -> (filteredTopK _),
     "ann_brute_force_topk" -> (bruteForceTopK _),
+    "ann_matryoshka_overlap" -> (matryoshkaOverlap _),
     "ann_reciprocal_topk" -> (reciprocalTopK _),
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
@@ -1698,6 +1747,36 @@ object Similarity {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 10) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // full and [1:16]-truncated exact rankings, overlap + top-1 per
+    // query; COALESCE guards the (theoretical) zero-overlap query
+    "ann_matryoshka_overlap" ->
+      s"""WITH f AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    cast(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                             CAST(b.embedding AS DOUBLE[])) DESC,
+         |      b.vec_id) AS BIGINT) AS rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 10) t WHERE rank <= 5),
+         |tr AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    cast(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_cosine_similarity(
+         |        CAST(a.embedding AS DOUBLE[])[1:$MRL_DIM],
+         |        CAST(b.embedding AS DOUBLE[])[1:$MRL_DIM]) DESC,
+         |      b.vec_id) AS BIGINT) AS rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 10) t WHERE rank <= 5),
+         |o AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM f JOIN tr ON f.query_id = tr.query_id
+         |    AND f.neighbor_id = tr.neighbor_id GROUP BY 1)
+         |SELECT f1.query_id,
+         |  CAST(COALESCE(o.n, 0) AS BIGINT) AS overlap_at_5,
+         |  f1.neighbor_id AS top1_full, t1.neighbor_id AS top1_trunc
+         |FROM (SELECT * FROM f WHERE rank = 1) f1
+         |JOIN (SELECT * FROM tr WHERE rank = 1) t1 USING (query_id)
+         |LEFT JOIN o USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     "ann_filtered_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

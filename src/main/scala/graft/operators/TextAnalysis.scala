@@ -555,6 +555,54 @@ object TextAnalysis {
       .orderBy($"merge_round")
   }
 
+  /** BPE tokenizer ENCODING — apply the merge table [[bpeTrain]]
+    * learns to tokenize every document (the train→encode pair is the
+    * canonical LLM-pipeline tokenizer loop): per doc, the `^[a-z]+$`
+    * words are exploded to characters and the K merges replay IN
+    * TRAINING ORDER, greedy left-to-right — the standard fast-BPE
+    * approximation of rank-order merging, exact here because training
+    * picked each merge against the same corpus state this replay
+    * reaches. Output per doc: symbol count before, token count after,
+    * and the compression per-mille — what a tokenizer card reports as
+    * fertility/compression.
+    *
+    * Wire form: each word is the `||`-delimited symbol string
+    * [[bpeTrain]] uses, words joined by `#` — a hard boundary no
+    * `"|a||b|"` merge pattern can cross, so per-word merge semantics
+    * hold in ONE flat per-doc string and the whole encode is K nested
+    * codegen'd `replace` calls over one scan (no explode, no shuffle;
+    * scan-bound at any scale). The merge literals come from the same
+    * driver-side training loop (bounded: vocab-sized aggregates, K
+    * 1-row collects); the oracle replays training AND encoding
+    * unrolled. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // train: same loop as bpeTrain (driver holds the K merge literals)
+    val merges = bpeTrain(s, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = filter(split($"text", " "), w => w.rlike("^[a-z]+$"))
+    val sym0 = array_join(
+      transform(words, w =>
+        concat(lit("||"), array_join(split(w, ""), "||"), lit("||"))),
+      "#")
+    val encoded = merges.foldLeft(sym0) { case (acc, (pa, pb)) =>
+      replace(acc, lit(s"|$pa||$pb|"), lit(s"|$pa$pb|"))
+    }
+    val tokensOf = (c: org.apache.spark.sql.Column) =>
+      size(filter(split(c, "[|]"), t => t =!= "" && t =!= "#"))
+        .cast("long")
+    Tables(s, dir, "documents")
+      .select($"doc_id", sym0.as("s0"), encoded.as("s1"))
+      .select($"doc_id",
+        tokensOf($"s0").as("n_symbols"),
+        tokensOf($"s1").as("n_tokens"))
+      .select($"doc_id", $"n_symbols", $"n_tokens",
+        when($"n_symbols" > 0,
+          expr("n_tokens * 1000 div n_symbols")).otherwise(1000L)
+          .as("compression_pm"))
+      .orderBy($"doc_id")
+  }
+
   /** Keyword set for [[codeDetect]] — code-specific tokens chosen to
     * avoid common English collisions. */
   val CODE_KEYWORDS = Seq("def", "class", "return", "import", "function",
@@ -670,6 +718,7 @@ object TextAnalysis {
     "text_code_detect" -> (codeDetect _),
     "text_bpe_pair_stats" -> (bpePairStats _),
     "text_bpe_train" -> (bpeTrain _),
+    "text_bpe_encode" -> (bpeEncode _),
     "text_winnowing" -> (winnowing _),
     "text_perplexity_bigram" -> (perplexityBigram _),
     "text_perplexity_unigram" -> (perplexityUnigram _),
@@ -683,6 +732,37 @@ object TextAnalysis {
     "text_pii_scrub" -> (piiScrub _),
     "text_repetition_stats" -> (repetitionStats _),
   )
+
+  /** Shared WITH-body for the BPE oracles: vocabulary collapse +
+    * [[BPE_TRAIN_ROUNDS]] unrolled merge rounds (pairs_r / best_r /
+    * vocab_{r+1}), generated by the same loop the engine runs. */
+  private lazy val bpeTrainCtes: String = {
+    val rounds = (1 to BPE_TRAIN_ROUNDS).map { r =>
+      s"""pairs_$r AS (SELECT p.pa AS pa, p.pb AS pb, freq FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(arr)),
+         |    i -> struct_pack(pa := arr[i], pb := arr[i + 1]))) AS p
+         |  FROM (SELECT list_filter(string_split(sym, '||'),
+         |      t -> t <> '') AS arr, freq
+         |    FROM vocab_$r))),
+         |best_$r AS (SELECT pa, pb, n FROM (
+         |  SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM pairs_$r GROUP BY 1, 2)
+         |  ORDER BY n DESC, pa, pb LIMIT 1),
+         |vocab_${r + 1} AS (SELECT CASE WHEN b.pa IS NULL THEN sym
+         |    ELSE replace(sym, '|' || b.pa || '||' || b.pb || '|',
+         |      '|' || b.pa || b.pb || '|') END AS sym, freq
+         |  FROM vocab_$r LEFT JOIN best_$r b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+       |vocab_1 AS (SELECT '||' || array_to_string(
+       |    list_transform(range(1, length(word) + 1), i -> word[i]),
+       |    '||') || '||' AS sym, freq
+       |  FROM v),
+       |$rounds""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // the (count DESC, prefix ASC) argmin is expressed as the
@@ -772,37 +852,43 @@ object TextAnalysis {
     // left-to-right literal replace (LEFT JOIN ON TRUE so an exhausted
     // round degrades to identity instead of truncating the vocab)
     "text_bpe_train" -> {
-      val rounds = (1 to BPE_TRAIN_ROUNDS).map { r =>
-        s"""pairs_$r AS (SELECT p.pa AS pa, p.pb AS pb, freq FROM (
-           |  SELECT freq, unnest(list_transform(range(1, len(arr)),
-           |    i -> struct_pack(pa := arr[i], pb := arr[i + 1]))) AS p
-           |  FROM (SELECT list_filter(string_split(sym, '||'),
-           |      t -> t <> '') AS arr, freq
-           |    FROM vocab_$r))),
-           |best_$r AS (SELECT pa, pb, n FROM (
-           |  SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS n
-           |  FROM pairs_$r GROUP BY 1, 2)
-           |  ORDER BY n DESC, pa, pb LIMIT 1),
-           |vocab_${r + 1} AS (SELECT CASE WHEN b.pa IS NULL THEN sym
-           |    ELSE replace(sym, '|' || b.pa || '||' || b.pb || '|',
-           |      '|' || b.pa || b.pb || '|') END AS sym, freq
-           |  FROM vocab_$r LEFT JOIN best_$r b ON TRUE)""".stripMargin
-      }.mkString(",\n")
       val union = (1 to BPE_TRAIN_ROUNDS).map { r =>
         s"SELECT CAST($r AS BIGINT) AS merge_round, pa, pb," +
           s" pa || pb AS merged, n FROM best_$r"
       }.mkString("\nUNION ALL\n")
-      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
-         |  FROM documents),
-         |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
-         |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
-         |vocab_1 AS (SELECT '||' || array_to_string(
-         |    list_transform(range(1, length(word) + 1), i -> word[i]),
-         |    '||') || '||' AS sym, freq
-         |  FROM v),
-         |$rounds
+      s"""WITH $bpeTrainCtes
          |$union
          |ORDER BY merge_round""".stripMargin
+    },
+    // training replay (shared CTE chain) + per-doc encode: every doc's
+    // az-words in the same ||-wire-form joined by the '#' hard
+    // boundary, the 12 merges applied as nested replaces with scalar
+    // subqueries on the best_r CTEs — byte-for-byte the engine's plan
+    "text_bpe_encode" -> {
+      val encoded = (1 to BPE_TRAIN_ROUNDS).foldLeft("s0") { (acc, r) =>
+        s"""replace($acc,
+           |  '|' || (SELECT pa FROM best_$r) || '||' ||
+           |    (SELECT pb FROM best_$r) || '|',
+           |  '|' || (SELECT pa FROM best_$r) ||
+           |    (SELECT pb FROM best_$r) || '|')""".stripMargin
+      }
+      val count = (c: String) =>
+        s"CAST(len(list_filter(string_split($c, '|')," +
+          s" t -> t <> '' AND t <> '#')) AS BIGINT)"
+      s"""WITH $bpeTrainCtes,
+         |docs AS (SELECT doc_id, array_to_string(list_transform(
+         |    list_filter(string_split(text, ' '),
+         |      w -> regexp_matches(w, '^[a-z]+$$')),
+         |    w -> '||' || array_to_string(list_transform(
+         |      range(1, length(w) + 1), i -> w[i]), '||') || '||'),
+         |  '#') AS s0 FROM documents),
+         |enc AS (SELECT doc_id, ${count("s0")} AS n_symbols,
+         |    ${count(encoded)} AS n_tokens
+         |  FROM docs)
+         |SELECT doc_id, n_symbols, n_tokens,
+         |  CASE WHEN n_symbols > 0 THEN n_tokens * 1000 // n_symbols
+         |    ELSE 1000 END AS compression_pm
+         |FROM enc ORDER BY doc_id""".stripMargin
     },
     // full first-principles replay: HUGEINT FNV per word 4-gram,
     // truncated-tail windows, argmin with the rightmost-tie rule as

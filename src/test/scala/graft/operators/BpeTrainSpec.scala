@@ -60,4 +60,33 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got.toSeq == expect,
       s"merge tables diverge:\n got=${got.toSeq}\n exp=$expect")
   }
+
+  test("bpe encode: token counts match a plain-Scala tokenizer replay") {
+    import spark.implicits._
+    val merges = TextAnalysis.bpeTrain(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val got = TextAnalysis.bpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val words = text.split(' ').filter(_.matches("^[a-z]+$"))
+      val before = words.map(_.length.toLong).sum
+      // greedy replay per word, merges in training order
+      val after = words.map { w =>
+        merges.foldLeft(w.toVector.map(_.toString)) {
+          case (toks, (a, b)) => mergeOnce(toks, a, b)
+        }.length.toLong
+      }.sum
+      val pm = if (before > 0) after * 1000 / before else 1000L
+      assert(got(id) == ((before, after, pm)),
+        s"doc $id: got ${got(id)}, expected ($before, $after, $pm)")
+    }
+    // sanity: training actually compresses this corpus
+    val (b, a) = (docs.map(d => got(d._1)._1).sum,
+      docs.map(d => got(d._1)._2).sum)
+    assert(a < b, "12 merges should shrink the token count")
+  }
 }
