@@ -396,11 +396,14 @@ object Dedup {
     * projection. DedupSpec plants ids at Long.MaxValue scale to pin
     * this. */
   private[graft] def labelPropagate(
-      s: SparkSession, edges: DataFrame, labels0: DataFrame): DataFrame = {
+      s: SparkSession, edges: DataFrame, labels0: DataFrame,
+      maxRounds: Int = Int.MaxValue): DataFrame = {
     import s.implicits._
     var labels = labels0
     var converged = false
-    while (!converged) {
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
       val nbr = edges.join(labels, $"b" === $"doc_id")
         .groupBy($"a").agg(min($"cluster_id").as("nl"))
       val next = labels.join(nbr, $"doc_id" === $"a", "left")

@@ -444,7 +444,46 @@ object Graph {
       .orderBy($"s_suppkey")
   }
 
+  /** Fixed round count for [[connectedComponents]]: the purchase graph
+    * is dense bipartite-ish (short paths through popular suppliers),
+    * so min-label flooding converges in a handful of rounds;
+    * GraphSpec WITNESSES the fixpoint at this R (one more round
+    * changes nothing) so the fixed-R oracle parity is also true CC. */
+  val CC_ROUNDS = 6
+
+  /** Connected components over the undirected customer—supplier
+    * purchase graph, component id = min node id — first-class CC (the
+    * near-dup clustering in [[Dedup.nearDupClusters]] is the same
+    * min-label propagation over LSH pairs; here the edge set is
+    * relational and the oracle replays [[CC_ROUNDS]] unrolled rounds).
+    * Fixed R on BOTH engines keeps parity independent of the true
+    * diameter; the to-fixpoint production variant is
+    * [[Dedup.labelPropagate]]'s default mode with its exact
+    * changed-label probe. Per round: one join + one map-side-combined
+    * min — no corpus-sized state, O(R) shuffles at any scale. */
+  def connectedComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + SUPPLIER_OFFSET).as("dst"))
+      .distinct()
+    val half = e0.localCheckpoint()
+    val edges = half.select($"src".as("a"), $"dst".as("b"))
+      .union(half.select($"dst".as("a"), $"src".as("b")))
+    val labels0 = half.select($"src".as("n"))
+      .union(half.select($"dst".as("n")))
+      .distinct()
+      .select($"n".as("doc_id"), $"n".as("cluster_id"))
+    Dedup.labelPropagate(s, edges, labels0, maxRounds = CC_ROUNDS)
+      .select($"doc_id".as("node_id"), $"cluster_id".as("component_id"),
+        when($"doc_id" >= SUPPLIER_OFFSET, "supplier")
+          .otherwise("customer").as("kind"))
+      .orderBy($"node_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_connected_components" -> (connectedComponents _),
     "graph_hits_bipartite" -> (hitsBipartite _),
     "graph_jaccard_cocustomer" -> (jaccardCocustomer _),
     "graph_kcore_peel" -> (kcorePeel _),
@@ -482,6 +521,31 @@ object Graph {
        |        UNION ALL SELECT node, $h AS dist FROM $fN)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // CC_ROUNDS unrolled min-label rounds over the same undirected
+    // edge set (GraphSpec witnesses the fixpoint at this R)
+    "graph_connected_components" -> {
+      def round(i: Int): String =
+        s"""l$i AS (SELECT n.node,
+           |  least(n.lab, coalesce(m.nl, n.lab)) AS lab
+           |  FROM l${i - 1} n LEFT JOIN (
+           |    SELECT e.a AS a, min(l.lab) AS nl
+           |    FROM e JOIN l${i - 1} l ON e.b = l.node GROUP BY 1) m
+           |  ON n.node = m.a)""".stripMargin
+      val rounds = (1 to CC_ROUNDS).map(round).mkString(",\n")
+      s"""WITH h AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         |    CAST(l_suppkey + $SUPPLIER_OFFSET AS BIGINT) AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src AS a, dst AS b FROM h
+         |  UNION ALL SELECT dst, src FROM h),
+         |l0 AS (SELECT node, node AS lab FROM (
+         |  SELECT DISTINCT src AS node FROM h
+         |  UNION SELECT DISTINCT dst FROM h)),
+         |$rounds
+         |SELECT node AS node_id, lab AS component_id,
+         |  CASE WHEN node >= $SUPPLIER_OFFSET THEN 'supplier'
+         |    ELSE 'customer' END AS kind
+         |FROM l$CC_ROUNDS ORDER BY node_id""".stripMargin
+    },
     // both half-steps of every round unrolled, with the same
     // max-div renormalization in exact integer arithmetic
     "graph_hits_bipartite" -> {

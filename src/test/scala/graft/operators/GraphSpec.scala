@@ -46,6 +46,31 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toMap.apply(20L) > got.toMap.apply(10L))
   }
 
+  test("connected components: CC_ROUNDS reaches the true fixpoint") {
+    import spark.implicits._
+    val out = Graph.connectedComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.nonEmpty)
+    // fixpoint witness: one MORE propagation round over the same
+    // edges changes no label — so the fixed-R oracle parity is also
+    // genuine connected components, not a truncated flood
+    val e0 = graft.sources.Tables(spark, sf, "orders")
+      .join(graft.sources.Tables(spark, sf, "lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"),
+        ($"l_suppkey" + Graph.SUPPLIER_OFFSET).as("b"))
+      .distinct()
+    val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+    val labels = out.toSeq.toDF("doc_id", "cluster_id")
+    val again = Dedup.labelPropagate(spark, edges, labels, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(again == out, "CC_ROUNDS did not reach the fixpoint")
+    // component ids are members of their own component (root property)
+    out.values.toSet.foreach { (cid: Long) =>
+      assert(out(cid) == cid, s"component id $cid is not its own root")
+    }
+  }
+
   test("reachability: planted chain gets exact BFS layers; islands stay out") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bfs").toString
