@@ -200,24 +200,48 @@ object Dedup {
     val docs = shingleSets(s, dir).toDF("doc_id", "shingle_set")
     val buckets = minhashBandBuckets(docs)
 
+    // localCheckpoint: the pair relation feeds THREE consumers below
+    // (two candIds branches + the verify join); without materializing
+    // it, each consumer re-runs the banded self-join (measured: 74 s
+    // of the 300× wall was recompute). The materialized size is
+    // O(near-dup pairs) — the small end of this plan.
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
       .distinct()
+      .localCheckpoint()
 
     // exact verification of candidates only: re-attach the (sorted)
-    // shingle arrays. No broadcast hint on the candidate side — its
-    // cardinality is O(near-duplicate pairs), which a duplicate-heavy
-    // corpus makes corpus-sized; AQE broadcasts when the measured size
-    // is actually small and shuffle-joins when it isn't. Either way the
-    // shingle arrays stay distributed.
+    // shingle arrays. No broadcast hint anywhere — a duplicate-heavy
+    // corpus makes candidates corpus-sized; AQE broadcasts when the
+    // measured size is actually small and shuffle-joins when it isn't.
+    //
+    // r15 scale fix (300× decade triage): once the pair relation
+    // outgrows the broadcast threshold the verify join goes
+    // sort-merge and shuffles the WIDE shingle-array relation twice.
+    // Semi-reducing the wide relation by the candidate ID set first
+    // (ids ≤ docs-with-a-dup, dedup'd — broadcastable far beyond
+    // where the pair relation is not) keeps the arrays un-shuffled
+    // while near-dups are sparse — the 100 TB shape — and the
+    // reduced relation is itself small enough for AQE to broadcast
+    // into both verify joins. A pathological all-dup corpus degrades
+    // to the same SMJ as before; nothing is forced. (Triage note:
+    // the REMAINING 300× wall is the banded self-join's shuffle —
+    // flipping IT to broadcast via a 256 MB threshold measured
+    // 174 → 106-126 s on this box, but a bucket relation grows
+    // linearly with the corpus, so that flip is a single-box-only
+    // win and is deliberately NOT taken.)
     val sets = docs.select($"doc_id", $"shingle_set",
       size($"shingle_set").as("n"))
+    val candIds = candidates.select($"da".as("doc_id"))
+      .union(candidates.select($"db".as("doc_id")))
+      .distinct()
+    val candSets = sets.join(candIds, Seq("doc_id"), "left_semi")
     candidates
-      .join(sets.as("za"), $"da" === $"za.doc_id")
-      .join(sets.as("zb"), $"db" === $"zb.doc_id")
+      .join(candSets.as("za"), $"da" === $"za.doc_id")
+      .join(candSets.as("zb"), $"db" === $"zb.doc_id")
       .withColumn("inter",
         size(array_intersect($"za.shingle_set", $"zb.shingle_set")))
       .filter($"inter" / ($"za.n" + $"zb.n" - $"inter") >= JACCARD_THRESHOLD)
