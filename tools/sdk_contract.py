@@ -117,6 +117,57 @@ def external_event_basic(thread):
     thread.execute(hello_there, my_name)
 
 
+def big_blob_task() -> dict:
+    raise NotImplementedError("executed by the engine worker, not here")
+
+
+BLOB = {"some_blob": {"some_int": 1, "some_float": 2.5,
+                      "some_bool": False},
+        "some_list": [1, 2, 3, 4],
+        "some_str": "Hello, there!"}
+STR_RESULT = "this is some str"
+
+
+def var_assign_jsonpath_happy(thread):
+    """reference tests/var_assign_jsonpath_happy.py: jsonpath reads of
+    a task's object output into typed variables, variable-jsonpath
+    reads, and a literal assign; with_retries compiles on the node."""
+    my_int = thread.add_variable("my_int", int)
+    my_bool = thread.add_variable("my_bool", bool)
+    my_list = thread.add_variable("my_list", list)
+    my_str = thread.add_variable("my_str", str)
+    my_float = thread.add_variable("my_float", float)
+    my_obj = thread.add_variable("my_obj", dict)
+    my_second_obj = thread.add_variable("my_second_obj", dict)
+
+    big_blob = thread.execute(big_blob_task).with_retries(2)
+    my_list.assign(big_blob.jsonpath("$.some_list"))
+    my_int.assign(big_blob.jsonpath("$.some_blob.some_int"))
+    my_bool.assign(big_blob.jsonpath("$.some_blob.some_bool"))
+    my_obj.assign(big_blob)
+    my_second_obj.assign(big_blob.jsonpath("$.some_blob"))
+    my_str.assign(STR_RESULT)
+
+    thread.execute(echo_task, "hello there!")
+    my_float.assign(my_second_obj.jsonpath("$.some_float"))
+
+
+INTERRUPT_GREETING = "from the interrupt thread"
+
+
+def interrupt_handler_thread(thread):
+    thread.execute(hello_there, INTERRUPT_GREETING)
+
+
+def interrupts(thread):
+    """reference tests/interrupts.py: handler registration + a sleep
+    window the interrupt can land in."""
+    thread.handle_interrupt("some-event", interrupt_handler_thread)
+    thread.execute(hello_there, "General Kenobi")
+    thread.sleep_for(3)
+    thread.execute(hello_there, "R2-D2")
+
+
 # ---- driver ----
 
 def compile_and_deploy(ctl, fixdir, wf_fn):
@@ -212,6 +263,52 @@ def check_threads(ctl):
               (parent, answer))
 
 
+def check_jsonpath(ctl):
+    run_id = run_wf(ctl, "var_assign_jsonpath_happy")
+    doc = poll_wfrun(ctl, run_id, "COMPLETED")
+    thr = doc["threadRuns"][0]
+    tasks = [t for t in thr["taskRuns"] if t["nodeType"] == "TASK"]
+    check(len(tasks) == 2 and
+          all(t["status"] == "COMPLETED" for t in tasks),
+          "jsonpath task runs", tasks)
+    v = thr["variables"]
+    want = {"my_int": 1, "my_bool": False, "my_list": [1, 2, 3, 4],
+            "my_str": STR_RESULT, "my_float": 2.5, "my_obj": BLOB,
+            "my_second_obj": BLOB["some_blob"]}
+    for k, expect in want.items():
+        check(v.get(k) == expect,
+              "jsonpath var %s" % k, (v.get(k), expect))
+
+
+def check_interrupts(ctl):
+    # happy path: no event, the sleep just elapses
+    run_id = run_wf(ctl, "interrupts")
+    doc = poll_wfrun(ctl, run_id, "COMPLETED")
+    thr = doc["threadRuns"][0]
+    tasks = [t for t in thr["taskRuns"] if t["nodeType"] == "TASK"]
+    check([t["stdout"] for t in tasks] ==
+          ["Hello there, General Kenobi!", "Hello there, R2-D2!"],
+          "interrupts happy path", tasks)
+
+    # interrupted: the event lands in the sleep window; the handler
+    # thread runs and the main thread still completes
+    run_id = run_wf(ctl, "interrupts")
+    poll_wfrun(ctl, run_id, "RUNNING", deadline_s=20)
+    r = ctl.call("send-event some-event %s '%s'"
+                 % (run_id, json.dumps("YOU ARE A BOLD ONE!")))
+    check(r.get("status") == "OK", "send interrupt", r)
+    doc = poll_wfrun(ctl, run_id, "COMPLETED", deadline_s=45)
+    check(len(doc["threadRuns"]) == 2, "interrupt spawned a thread",
+          [t["threadSpecName"] for t in doc["threadRuns"]])
+    handler = doc["threadRuns"][1]
+    check(handler["threadSpecName"] == "interrupt_handler_thread" and
+          handler["status"] == "COMPLETED",
+          "handler thread completed", handler)
+    check(handler["taskRuns"][0]["stdout"] ==
+          "Hello there, %s!" % INTERRUPT_GREETING,
+          "handler task ran", handler["taskRuns"])
+
+
 def check_external_event(ctl):
     run_id = run_wf(ctl, "external_event_basic")
     poll_wfrun(ctl, run_id, "RUNNING", deadline_s=20)
@@ -232,15 +329,18 @@ def main():
     ctl = Ctl(classpath, root)
     try:
         for wf_fn in (basic, conditionals_basic, threads_basic,
-                      external_event_basic):
+                      external_event_basic, var_assign_jsonpath_happy,
+                      interrupts):
             compile_and_deploy(ctl, fixdir, wf_fn)
 
-        r = ctl.call("serve 120000 worker")
+        r = ctl.call("serve 180000 worker")
         check(r.get("status") == "SERVING", "serve", r)
 
         check_basic(ctl)
         check_conditionals(ctl)
         check_threads(ctl)
+        check_jsonpath(ctl)
+        check_interrupts(ctl)
         check_external_event(ctl)
 
         r = ctl.call("exit")
