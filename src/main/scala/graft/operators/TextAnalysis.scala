@@ -738,26 +738,26 @@ object TextAnalysis {
     * vocab_{r+1}), generated by the same loop the engine runs. */
   private lazy val bpeTrainCtes: String = {
     val rounds = (1 to BPE_TRAIN_ROUNDS).map { r =>
-      s"""pairs_$r AS (SELECT p.pa AS pa, p.pb AS pb, freq FROM (
+      s"""pairs_$r AS MATERIALIZED (SELECT p.pa AS pa, p.pb AS pb, freq FROM (
          |  SELECT freq, unnest(list_transform(range(1, len(arr)),
          |    i -> struct_pack(pa := arr[i], pb := arr[i + 1]))) AS p
          |  FROM (SELECT list_filter(string_split(sym, '||'),
          |      t -> t <> '') AS arr, freq
          |    FROM vocab_$r))),
-         |best_$r AS (SELECT pa, pb, n FROM (
+         |best_$r AS MATERIALIZED (SELECT pa, pb, n FROM (
          |  SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS n
          |  FROM pairs_$r GROUP BY 1, 2)
          |  ORDER BY n DESC, pa, pb LIMIT 1),
-         |vocab_${r + 1} AS (SELECT CASE WHEN b.pa IS NULL THEN sym
+         |vocab_${r + 1} AS MATERIALIZED (SELECT CASE WHEN b.pa IS NULL THEN sym
          |    ELSE replace(sym, '|' || b.pa || '||' || b.pb || '|',
          |      '|' || b.pa || b.pb || '|') END AS sym, freq
          |  FROM vocab_$r LEFT JOIN best_$r b ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""w AS (SELECT unnest(string_split(text, ' ')) AS word
+    s"""w AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS word
        |  FROM documents),
-       |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
-       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
-       |vocab_1 AS (SELECT '||' || array_to_string(
+       |v AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM w WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+       |vocab_1 AS MATERIALIZED (SELECT '||' || array_to_string(
        |    list_transform(range(1, length(word) + 1), i -> word[i]),
        |    '||') || '||' AS sym, freq
        |  FROM v),
@@ -876,7 +876,7 @@ object TextAnalysis {
         s"CAST(len(list_filter(string_split($c, '|')," +
           s" t -> t <> '' AND t <> '#')) AS BIGINT)"
       s"""WITH $bpeTrainCtes,
-         |docs AS (SELECT doc_id, array_to_string(list_transform(
+         |docs AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(
          |    list_filter(string_split(text, ' '),
          |      w -> regexp_matches(w, '^[a-z]+$$')),
          |    w -> '||' || array_to_string(list_transform(
