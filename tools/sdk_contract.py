@@ -152,6 +152,46 @@ def var_assign_jsonpath_happy(thread):
     my_float.assign(my_second_obj.jsonpath("$.some_float"))
 
 
+def echo_int(foo: int) -> int:
+    raise NotImplementedError("executed by the engine worker, not here")
+
+
+def echo_float(foo: float) -> float:
+    raise NotImplementedError("executed by the engine worker, not here")
+
+
+DUMMY = "dummy"
+
+
+def var_mutations(thread):
+    """reference tests/var_mutations.py VERBATIM — exercises the full
+    mutation verb sweep including the two Java-semantics quirks the
+    engine pins (Mutations.scala REMOVE_INDEX = remove-by-equality,
+    silent no-op when absent; REMOVE_KEY with a numeric key = silent
+    no-op against string JSON keys)."""
+    my_int = thread.add_variable("my_int", int)
+    my_bool = thread.add_variable("my_bool", bool)
+    my_list = thread.add_variable("my_list", list)
+    my_str = thread.add_variable("my_str", str)
+    my_float = thread.add_variable("my_float", float)
+    my_obj = thread.add_variable("my_obj", dict)
+
+    dummy_str = thread.execute(echo_task, DUMMY)
+    my_int.assign(my_obj.jsonpath("$.my_int"))
+    my_str.add(dummy_str)
+
+    return_3_output = thread.execute(echo_int, 3)
+    my_int.subtract(return_3_output)
+    my_list.add(my_obj.jsonpath("$.some_thing"))
+
+    float_mut_output = thread.execute(echo_float, -2.5)
+    my_float.add(float_mut_output)
+    my_list.remove_idx(2)
+    my_bool.assign(my_obj.jsonpath("$.my_bool"))
+    my_obj.remove_key(1234)
+    my_list.remove_if_present("asdf")
+
+
 INTERRUPT_GREETING = "from the interrupt thread"
 
 
@@ -210,8 +250,12 @@ def non_nop_stdouts(doc):
 
 
 def run_wf(ctl, name, **vars_):
-    parts = ["run", name] + ["%s=%s" % (k, json.dumps(v))
-                             for k, v in vars_.items()]
+    # single-quote each pair: repl tokenize groups quoted segments, so
+    # JSON values may carry spaces (compact separators keep objects
+    # themselves tight)
+    parts = ["run", name] + [
+        "'%s=%s'" % (k, json.dumps(v, separators=(",", ":")))
+        for k, v in vars_.items()]
     r = ctl.call(" ".join(parts))
     check(r.get("status") == "OK", "run " + name, r)
     return r["objectId"]
@@ -309,6 +353,46 @@ def check_interrupts(ctl):
           "handler task ran", handler["taskRuns"])
 
 
+def check_var_mutations(ctl):
+    # case 1 (happy path): the reference's expected variable state,
+    # including both pinned quirks
+    run_id = run_wf(
+        ctl, "var_mutations",
+        my_obj={"some_thing": [1, 2, 3], "my_bool": True,
+                "my_int": 50, "1234": "not in the thing"},
+        my_list=[], my_float=3.2)
+    doc = poll_wfrun(ctl, run_id, "COMPLETED")
+    v = doc["threadRuns"][0]["variables"]
+    check(v["my_int"] == 47, "my_int", v)
+    check(v["my_bool"] is True, "my_bool", v)
+    check(v["my_list"] == [[1, 2, 3]], "my_list (remove_idx no-op)", v)
+    check(v["my_str"] == DUMMY, "my_str (null + ADD)", v)
+    check(v["my_float"] == 3.2 + -2.5, "my_float", v)
+    check("1234" in v["my_obj"],
+          "numeric remove_key is a no-op on string JSON keys", v)
+
+    # case 2: jsonpath miss -> HALTED with VARIABLE_LOOKUP_ERROR
+    run_id = run_wf(
+        ctl, "var_mutations",
+        my_obj={"some_thing": [1, 2, 3], "my_bool": True,
+                "1234": "x"},
+        my_list=[], my_float=3.2)
+    doc = poll_wfrun(ctl, run_id, "HALTED")
+    tr = doc["threadRuns"][0]["taskRuns"][0]
+    check(tr["failureReason"] == "VARIABLE_LOOKUP_ERROR",
+          "jsonpath miss reason", tr)
+
+    # case 3: wrong type -> HALTED with VARIABLE_LOOKUP_ERROR
+    run_id = run_wf(
+        ctl, "var_mutations",
+        my_obj={"my_int": "not a real int"},
+        my_list=[], my_float=3.2)
+    doc = poll_wfrun(ctl, run_id, "HALTED")
+    tr = doc["threadRuns"][0]["taskRuns"][0]
+    check(tr["failureReason"] == "VARIABLE_LOOKUP_ERROR",
+          "type coercion reason", tr)
+
+
 def check_external_event(ctl):
     run_id = run_wf(ctl, "external_event_basic")
     poll_wfrun(ctl, run_id, "RUNNING", deadline_s=20)
@@ -330,7 +414,7 @@ def main():
     try:
         for wf_fn in (basic, conditionals_basic, threads_basic,
                       external_event_basic, var_assign_jsonpath_happy,
-                      interrupts):
+                      interrupts, var_mutations):
             compile_and_deploy(ctl, fixdir, wf_fn)
 
         r = ctl.call("serve 180000 worker")
@@ -340,6 +424,7 @@ def main():
         check_conditionals(ctl)
         check_threads(ctl)
         check_jsonpath(ctl)
+        check_var_mutations(ctl)
         check_interrupts(ctl)
         check_external_event(ctl)
 
