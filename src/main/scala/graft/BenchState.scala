@@ -111,7 +111,12 @@ object BenchState {
     q1.stop()
 
     // ---- phase 2: restart from checkpoint; probe K parked runs ----
+    // distinct: the Knuth-hash stride can collide for small nRuns, and
+    // a duplicated probe index would make completed.size permanently
+    // short of the target — stalling the wait loop for the full 600 s
+    // deadline and inflating restore_plus_probe_sec
     val probes = (0 until 16).map(i => (i.toLong * 2654435761L % nRuns).toInt)
+      .distinct
     val t1 = now()
     val q2 = startQuery()
     probes.foreach { i =>

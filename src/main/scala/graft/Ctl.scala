@@ -115,7 +115,10 @@ object Ctl {
   private def serve(spark: SparkSession, root: String,
       store: MetadataStore, timeoutMs: Option[Long],
       withWorker: Boolean = false): String = {
-    stopServe.set(false)
+    // stopServe is reset by the CALLER (repl, before spawning this
+    // thread) — resetting here raced with repl `exit`: an exit issued
+    // before serve() entered would have its stop flag clobbered back
+    // to false, blocking the join for the full timeout window
     val specs = store.deployedSpecs()
     val events = Scheduler.busEventSource(spark, s"$root/bus", "wfEvents__.*")
     val outputs = Scheduler(events, specs)
@@ -206,6 +209,7 @@ object Ctl {
           serveThread.foreach(_.join())
           Some("{\"status\": \"BYE\"}")
         case "serve" :: rest =>
+          stopServe.set(false) // reset BEFORE spawning — see serve()
           val t = new Thread(
             () => exec(spark, root, "serve" :: rest), "ctl-repl-serve")
           t.start()

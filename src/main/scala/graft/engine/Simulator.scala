@@ -25,8 +25,17 @@ object Simulator {
   case object NoResponse extends TaskBehavior
 
   /** Standard task functions (reference:
-    * lhctl/lh_test_harness/tests/shared_tasks.py:1-48). */
-  def sharedTasks(name: String, stdin: ListMap[String, Any]): TaskBehavior =
+    * lhctl/lh_test_harness/tests/shared_tasks.py:1-48). `invocation`
+    * counts prior calls of the SAME task within the run — it
+    * deterministically replaces the two nondeterministic reference
+    * tasks: `unreliable_task` (reference: `assert random.random() >
+    * 0.5` — here: fail the first attempt, succeed the retry, so the
+    * retry corpus folds the same HALTED→COMPLETED task-run sequence
+    * every run) and `slow_task` (reference: `time.sleep(5)` past the
+    * 1 s timeout — here: the worker never answers, which is
+    * indistinguishable from too-slow to a timeout-armed engine). */
+  def sharedTasks(name: String, stdin: ListMap[String, Any],
+      invocation: Int = 0): TaskBehavior =
     name match {
       case "echo_task" => Ok(stdin.getOrElse("thing", null))
       case "hello_there" => Ok(s"Hello there, ${stdin.getOrElse("name", null)}!")
@@ -38,6 +47,12 @@ object Simulator {
           "some_int" -> 1, "some_float" -> 2.5, "some_bool" -> false),
         "some_list" -> Vector(1, 2, 3, 4),
         "some_str" -> "Hello, there!"))
+      case "unreliable_task" =>
+        if (invocation == 0)
+          Fail("AssertionError: deterministic stand-in for " +
+            "random.random() > 0.5 (shared_tasks.py:23-25)")
+        else Ok("We would be honored if you would join us!")
+      case "slow_task" => NoResponse
       case other => Fail(s"unknown task $other")
     }
 
@@ -55,7 +70,7 @@ object Simulator {
       externals: Seq[ExternalInput] = Nil,
       stopResumes: Seq[StopResume] = Nil,
       tasks: (String, ListMap[String, Any], Int) => TaskBehavior =
-        (n, in, _) => sharedTasks(n, in),
+        (n, in, i) => sharedTasks(n, in, i),
       runId: String = "run-1",
       startTime: Long = 1000L): (WFRunState, Vector[TaskScheduleRequest]) = {
 

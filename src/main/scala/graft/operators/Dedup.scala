@@ -421,7 +421,8 @@ object Dedup {
     * this. */
   private[graft] def labelPropagate(
       s: SparkSession, edges: DataFrame, labels0: DataFrame,
-      maxRounds: Int = Int.MaxValue): DataFrame = {
+      maxRounds: Int = Int.MaxValue,
+      onTruncated: Int => Unit = _ => ()): DataFrame = {
     import s.implicits._
     var labels = labels0
     var converged = false
@@ -441,6 +442,9 @@ object Dedup {
       converged = chgRow.isNullAt(0) || chgRow.getLong(0) == 0L
       labels = next.select($"doc_id", $"cluster_id")
     }
+    // a bounded caller (fixed-R CC) gets to know the flood was cut
+    // short — the exact changed-label probe already paid for this
+    if (!converged) onTruncated(round)
     labels
   }
 

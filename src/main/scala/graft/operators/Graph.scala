@@ -475,7 +475,18 @@ object Graph {
       .union(half.select($"dst".as("n")))
       .distinct()
       .select($"n".as("doc_id"), $"n".as("cluster_id"))
-    Dedup.labelPropagate(s, edges, labels0, maxRounds = CC_ROUNDS)
+    // non-convergence detection: at test SF GraphSpec witnesses the
+    // fixpoint inside CC_ROUNDS, but a wider-diameter corpus could
+    // still be changing labels at round R — both engines would
+    // truncate identically and the oracle gate would pass on WRONG
+    // component ids, so surface it loudly instead of silently
+    // emitting a cut-short flood (labelPropagate's changed-label
+    // probe already measures this for free)
+    Dedup.labelPropagate(s, edges, labels0, maxRounds = CC_ROUNDS,
+      onTruncated = r => org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: label flood still changing after $r " +
+          s"rounds (CC_ROUNDS=$CC_ROUNDS) — component ids are " +
+          "UNCONVERGED; raise CC_ROUNDS for this corpus diameter"))
       .select($"doc_id".as("node_id"), $"cluster_id".as("component_id"),
         when($"doc_id" >= SUPPLIER_OFFSET, "supplier")
           .otherwise("customer").as("kind"))

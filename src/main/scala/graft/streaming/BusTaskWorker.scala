@@ -34,56 +34,86 @@ object BusTaskWorker {
     t
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def loop(
       root: String, topics: Seq[String], stop: () => Boolean): Unit = {
     var cursor = Map.empty[(String, Int), Long]
+    // per-(wfRunId, taskDefName) invocation counter — feeds
+    // Simulator.sharedTasks's deterministic retry stand-ins
+    // (unreliable_task fails only its FIRST attempt within a run)
+    val calls = scala.collection.mutable.Map.empty[(String, String), Int]
     while (!stop()) {
       for (topic <- topics; p <- GraftBus.partitions(root, topic)) {
         val from = cursor.getOrElse((topic, p), 0L)
         val until = GraftBus.nextOffset(root, topic, p)
+        // per-record isolation: one malformed TSR or an unknown task
+        // name must not kill the daemon (serve would keep running with
+        // no worker, hanging every client until its poll deadline) —
+        // log, skip the poison record, keep polling. The cursor
+        // advances to `until` below either way, so a poison record is
+        // skipped, not retried forever.
         GraftBus.read(root, topic, p, from, until).foreach { rec =>
-          val tsr = EventCodec.decodeTsr(rec.value)
-          val funcName = tsr.taskDefName.split('-').last
-          val behavior = Simulator.sharedTasks(
-            funcName, ListMap.from(tsr.variableSubstitutions))
-          val result = behavior match {
-            case Simulator.Ok(value, _) =>
-              TaskRunResult(Some(LHJson.render(value)), None,
-                success = true, 0)
-            case Simulator.Fail(stderr, _) =>
-              TaskRunResult(None, Some(stderr), success = false, 1)
-            case Simulator.NoResponse =>
-              null // leave the task pending (timeout-path behavior)
-          }
-          if (result != null) {
-            val now = System.currentTimeMillis()
-            // guid must key the FULL task identity (threadId included:
-            // positions restart per thread, and the scheduler's dedupe
-            // window drops a repeated guid — a child thread's task 0
-            // would silently alias the entrypoint's task 0)
-            val guid = s"w-${tsr.wfRunId}-${tsr.threadId}-" +
-              s"${tsr.taskRunPosition}"
-            val pair = Seq(
-              WFEvent(tsr.wfSpecId, tsr.wfSpecName, tsr.wfRunId, now,
-                tsr.threadId, WFEventType.TASK_EVENT,
-                EventCodec.encodeTaskRunEvent(TaskRunEvent(
-                  tsr.threadId, tsr.taskRunPosition, now, 0,
-                  Some(TaskRunStartedPayload("serve-worker", None)), None)),
-                guid = s"$guid-started"),
-              WFEvent(tsr.wfSpecId, tsr.wfSpecName, tsr.wfRunId, now + 1,
-                tsr.threadId, WFEventType.TASK_EVENT,
-                EventCodec.encodeTaskRunEvent(TaskRunEvent(
-                  tsr.threadId, tsr.taskRunPosition, now + 1, 0, None,
-                  Some(TaskRunEndedPayload(result)))),
-                guid = s"$guid-ended"))
-            pair.foreach(ev => GraftBus.send(root,
-              s"wfEvents__${tsr.wfSpecName}", ev.wfRunId,
-              EventCodec.encodeWFEvent(ev)))
+          try answer(root, rec.value, calls)
+          catch { case e: Exception =>
+            log.warn(s"task worker: skipping poison record on " +
+              s"$topic/$p (offset range $from..$until): $e")
           }
         }
         cursor += (topic, p) -> until
       }
       Thread.sleep(50)
+    }
+  }
+
+  /** Decode one TaskScheduleRequest, run its simulated behavior, and
+    * produce the started+ended TASK_EVENT pair back onto the run's
+    * event topic. */
+  private def answer(root: String, value: String,
+      calls: scala.collection.mutable.Map[(String, String), Int]): Unit = {
+    val tsr = EventCodec.decodeTsr(value)
+    val funcName = tsr.taskDefName.split('-').last
+    // bound the counter map: a long-lived daemon must not leak one
+    // entry per finished run (only retry-shaped behaviors read it,
+    // and a run's retries arrive within its own lifetime)
+    if (calls.size > 65536) calls.clear()
+    val invocation = calls.getOrElse((tsr.wfRunId, funcName), 0)
+    calls((tsr.wfRunId, funcName)) = invocation + 1
+    val behavior = Simulator.sharedTasks(
+      funcName, ListMap.from(tsr.variableSubstitutions), invocation)
+    val result = behavior match {
+      case Simulator.Ok(value, _) =>
+        TaskRunResult(Some(LHJson.render(value)), None,
+          success = true, 0)
+      case Simulator.Fail(stderr, _) =>
+        TaskRunResult(None, Some(stderr), success = false, 1)
+      case Simulator.NoResponse =>
+        null // leave the task pending (timeout-path behavior)
+    }
+    if (result != null) {
+      val now = System.currentTimeMillis()
+      // guid must key the FULL task identity (threadId included:
+      // positions restart per thread, and the scheduler's dedupe
+      // window drops a repeated guid — a child thread's task 0
+      // would silently alias the entrypoint's task 0)
+      val guid = s"w-${tsr.wfRunId}-${tsr.threadId}-" +
+        s"${tsr.taskRunPosition}"
+      val pair = Seq(
+        WFEvent(tsr.wfSpecId, tsr.wfSpecName, tsr.wfRunId, now,
+          tsr.threadId, WFEventType.TASK_EVENT,
+          EventCodec.encodeTaskRunEvent(TaskRunEvent(
+            tsr.threadId, tsr.taskRunPosition, now, 0,
+            Some(TaskRunStartedPayload("serve-worker", None)), None)),
+          guid = s"$guid-started"),
+        WFEvent(tsr.wfSpecId, tsr.wfSpecName, tsr.wfRunId, now + 1,
+          tsr.threadId, WFEventType.TASK_EVENT,
+          EventCodec.encodeTaskRunEvent(TaskRunEvent(
+            tsr.threadId, tsr.taskRunPosition, now + 1, 0, None,
+            Some(TaskRunEndedPayload(result)))),
+          guid = s"$guid-ended"))
+      pair.foreach(ev => GraftBus.send(root,
+        s"wfEvents__${tsr.wfSpecName}", ev.wfRunId,
+        EventCodec.encodeWFEvent(ev)))
     }
   }
 }

@@ -43,6 +43,19 @@ def hello_there(name: str) -> str:
     raise NotImplementedError("executed by the engine worker, not here")
 
 
+def unreliable_task() -> str:
+    """Reference shared_tasks.py:23-25 (assert random.random() > 0.5);
+    engine worker runs the deterministic stand-in: first attempt per
+    run fails with an AssertionError, the retry succeeds."""
+    raise NotImplementedError("executed by the engine worker, not here")
+
+
+def slow_task() -> str:
+    """Reference shared_tasks.py:18-20 (sleeps past the timeout);
+    engine worker never answers, so the armed task timeout fires."""
+    raise NotImplementedError("executed by the engine worker, not here")
+
+
 # ---- workflows: the reference test corpus's shapes ----
 
 HELLO = "Hello, there!"
@@ -206,6 +219,49 @@ def interrupts(thread):
     thread.execute(hello_there, "General Kenobi")
     thread.sleep_for(3)
     thread.execute(hello_there, "R2-D2")
+
+
+OBI_GREETING = "Hello, there!"
+VADER_GREETING = "We would be honored if you would join us!"
+GRIEVOUS_GREETING = "GENERAL KENOBI!"
+
+
+def retries_task(thread):
+    """reference tests/retries_task.py: a failing task with retries
+    between two reliable ones."""
+    thread.execute(echo_task, OBI_GREETING)
+    thread.execute(unreliable_task).with_retries(2)
+    thread.execute(echo_task, GRIEVOUS_GREETING)
+
+
+def retries_task_timeout(thread):
+    """reference tests/retries_task_timeout.py: a too-slow task with a
+    1 s timeout and one retry — both attempts must TIMEOUT."""
+    thread.execute(slow_task).with_timeout(1).with_retries(1)
+
+
+def external_event_timeout(thread):
+    """reference tests/external_event_basic.py case 0: nobody sends the
+    event, the 2 s wait times out and the run halts."""
+    my_name = thread.add_variable("my_name", str)
+    event = thread.wait_for_event("my-name").with_timeout(2)
+    my_name.assign(event)
+    thread.execute(hello_there, my_name)
+
+
+TEN_OR_MORE_EDGE = "Its 10 or more!"
+MERGER_EDGE = "This task should execute on all WFRun's."
+
+
+def conditionals_edge_1(thread):
+    """reference tests/conditionals_edge_1.py: a single is_true guard
+    whose FIRST executable node is the condition NOP — also the
+    vehicle for edge_2's bad-typed-input check."""
+    my_int = thread.add_variable("my_int", int)
+    greater_than_ten = my_int.greater_than(10)
+    with greater_than_ten.is_true():
+        thread.execute(echo_task, TEN_OR_MORE_EDGE)
+    thread.execute(echo_task, MERGER_EDGE)
 
 
 # ---- driver ----
@@ -406,6 +462,86 @@ def check_external_event(ctl):
     check(outs[-1] == "Hello there, %s!" % PAYLOAD, "task saw event", outs)
 
 
+def check_retries(ctl):
+    """reference check_retries_task, deterministic branch: attempt 0
+    HALTED with an AssertionError on stderr, attempt 1 COMPLETED."""
+    run_id = run_wf(ctl, "retries_task")
+    doc = poll_wfrun(ctl, run_id, "COMPLETED")
+    thr = doc["threadRuns"][0]
+    check(thr["status"] == "COMPLETED", "retries thread status", thr)
+    tasks = [t for t in thr["taskRuns"] if t["nodeType"] == "TASK"]
+    check(len(tasks) == 4, "retries task-run count", tasks)
+    check(tasks[0]["stdout"] == OBI_GREETING, "retries first echo", tasks)
+    first, retry = tasks[1], tasks[2]
+    check(first["number"] == retry["number"],
+          "retry reruns the SAME node number", (first, retry))
+    check(first["status"] == "HALTED" and
+          first["attemptNumber"] == 0 and
+          "AssertionError" in str(first["stderr"]),
+          "first attempt halted with error reporting", first)
+    check(retry["status"] == "COMPLETED" and
+          retry["attemptNumber"] == 1 and
+          retry["stdout"] == VADER_GREETING,
+          "retry attempt completed", retry)
+    check(tasks[3]["stdout"] == GRIEVOUS_GREETING, "retries last echo",
+          tasks)
+
+
+def check_retries_timeout(ctl):
+    """reference check_retries_task_timeout: both attempts TIMEOUT,
+    the run halts."""
+    run_id = run_wf(ctl, "retries_task_timeout")
+    doc = poll_wfrun(ctl, run_id, "HALTED", deadline_s=45)
+    thr = doc["threadRuns"][0]
+    tasks = [t for t in thr["taskRuns"] if t["nodeType"] == "TASK"]
+    check(len(tasks) == 2, "timeout should have retried once", tasks)
+    for i, t in enumerate(tasks):
+        check(t["status"] == "HALTED" and
+              t["failureReason"] == "TIMEOUT" and
+              t["attemptNumber"] == i,
+              "timeout attempt %d" % i, t)
+
+
+def check_conditionals_edge(ctl):
+    # edge_1 launcher: the 9/11 sweep around the >10 boundary
+    for my_int in (9, 11):
+        run_id = run_wf(ctl, "conditionals_edge_1", my_int=my_int)
+        doc = poll_wfrun(ctl, run_id, "COMPLETED")
+        thr = doc["threadRuns"][0]
+        check(thr["variables"]["my_int"] == my_int, "edge my_int", thr)
+        outs = non_nop_stdouts(doc)
+        want = ([TEN_OR_MORE_EDGE, MERGER_EDGE] if my_int > 10
+                else [MERGER_EDGE])
+        check(outs == want, "edge_1 branch my_int=%d" % my_int, outs)
+
+    # edge_2 launcher: bad typed input — the condition NOP fails with
+    # VARIABLE_LOOKUP_ERROR and the run halts before ANY task runs
+    run_id = run_wf(ctl, "conditionals_edge_1", my_int="not an int")
+    doc = poll_wfrun(ctl, run_id, "HALTED")
+    thr = doc["threadRuns"][0]
+    tasks = [t for t in thr["taskRuns"] if t["nodeType"] == "TASK"]
+    check(tasks == [], "no TASK may run on bad input", thr["taskRuns"])
+    failed = thr["taskRuns"][-1]
+    check(failed["nodeType"] == "NOP" and
+          failed["status"] == "HALTED" and
+          failed["failureReason"] == "VARIABLE_LOOKUP_ERROR",
+          "bad input fails the NOP with VARIABLE_LOOKUP_ERROR", failed)
+
+
+def check_external_event_timeout(ctl):
+    """reference check_external_event_basic_0: no event sent, the
+    EXTERNAL_EVENT node times out and the run halts."""
+    run_id = run_wf(ctl, "external_event_timeout")
+    doc = poll_wfrun(ctl, run_id, "HALTED", deadline_s=45)
+    thr = doc["threadRuns"][0]
+    waits = [t for t in thr["taskRuns"]
+             if t["nodeType"] == "EXTERNAL_EVENT"]
+    check(len(waits) == 1 and
+          waits[0]["status"] == "HALTED" and
+          waits[0]["failureReason"] == "TIMEOUT",
+          "external event wait timed out", thr["taskRuns"])
+
+
 def main():
     if len(sys.argv) != 4:
         sys.exit(__doc__)
@@ -414,10 +550,12 @@ def main():
     try:
         for wf_fn in (basic, conditionals_basic, threads_basic,
                       external_event_basic, var_assign_jsonpath_happy,
-                      interrupts, var_mutations):
+                      interrupts, var_mutations, retries_task,
+                      retries_task_timeout, conditionals_edge_1,
+                      external_event_timeout):
             compile_and_deploy(ctl, fixdir, wf_fn)
 
-        r = ctl.call("serve 180000 worker")
+        r = ctl.call("serve 240000 worker")
         check(r.get("status") == "SERVING", "serve", r)
 
         check_basic(ctl)
@@ -425,6 +563,10 @@ def main():
         check_threads(ctl)
         check_jsonpath(ctl)
         check_var_mutations(ctl)
+        check_retries(ctl)
+        check_retries_timeout(ctl)
+        check_conditionals_edge(ctl)
+        check_external_event_timeout(ctl)
         check_interrupts(ctl)
         check_external_event(ctl)
 
