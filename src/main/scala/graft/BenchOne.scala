@@ -33,6 +33,11 @@ object BenchOne {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to repeats).foreach { r =>
+        // isolated-floor honesty: the BPE merge memo exists to share
+        // training across the gate run's train->encode pair; a
+        // REPEAT here must re-pay training or min-of-N measures a
+        // memo hit, not the operator
+        graft.operators.TextAnalysis.clearBpeMemo()
         val t0 = System.nanoTime()
         val n = BenchExec.materialize(fn(spark, sfDir))
         val sec = (System.nanoTime() - t0) / 1e9

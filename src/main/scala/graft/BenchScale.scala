@@ -59,6 +59,20 @@ object BenchScale {
           val s = list.split(',').map(_.trim).filter(_.nonEmpty).toSet
           s.contains
       }
+    // SPARK_GRAFT_KEY_SHIFT=nodes: ALSO shift the entity-key spaces
+    // (custkey/suppkey/partkey, facts AND dims) by a disjoint 10 M
+    // block per replica. The default replication shifts ORDER keys
+    // only, so any graph built on cust/supp/part nodes saturates at
+    // the 1× node universe and a "decade" measures edge DENSITY, not
+    // graph scale (the r15 giveaway: connected_components ran 100×
+    // FASTER than 10×). With node blocks the replicas are disjoint
+    // subgraphs — node and edge counts both grow K×, the honest graph
+    // decade. Caveat recorded in SCALING.md: operators that tag node
+    // KIND by the fixed SUPPLIER_OFFSET=1e6 boundary mislabel
+    // replica ≥ 1 ids (cosmetic for perf rows; the oracle gate never
+    // runs on replica dirs).
+    val nodeShift = sys.env.get("SPARK_GRAFT_KEY_SHIFT").contains("nodes")
+    def ns(i: Int): Long = if (nodeShift) i * 10000000L else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -73,7 +87,8 @@ object BenchScale {
     if (only("orders")) {
       val orders = spark.read.parquet(s"$src/orders.parquet")
       (0 until k).map(i => orders
-          .withColumn("o_orderkey", $"o_orderkey" + lit(i * 600000000L)))
+          .withColumn("o_orderkey", $"o_orderkey" + lit(i * 600000000L))
+          .withColumn("o_custkey", $"o_custkey" + lit(ns(i))))
         .pipe(bunion)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
     }
@@ -83,7 +98,9 @@ object BenchScale {
     if (only("lineitem")) {
       val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
       (0 until k).map(i => lineitem
-          .withColumn("l_orderkey", $"l_orderkey" + lit(i * 600000000L)))
+          .withColumn("l_orderkey", $"l_orderkey" + lit(i * 600000000L))
+          .withColumn("l_suppkey", $"l_suppkey" + lit(ns(i)))
+          .withColumn("l_partkey", $"l_partkey" + lit(ns(i))))
         .pipe(bunion)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
     }
@@ -103,11 +120,22 @@ object BenchScale {
         .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
     }
 
-    // dimensions unchanged: fact fan-in grows K×, like a real bigger day
+    // dimensions unchanged by default: fact fan-in grows K×, like a
+    // real bigger day. Under KEY_SHIFT=nodes the keyed dims replicate
+    // with the SAME per-replica block as the facts, so dim joins still
+    // resolve and the entity universes genuinely grow K×.
+    val dimKey = Map("customer" -> "c_custkey", "part" -> "p_partkey",
+      "supplier" -> "s_suppkey")
     for (dim <- Seq("customer", "part", "supplier", "nation", "region")
-         if only(dim))
-      spark.read.parquet(s"$src/$dim.parquet")
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/$dim.parquet")
+         if only(dim)) {
+      val d = spark.read.parquet(s"$src/$dim.parquet")
+      val outDf =
+        if (nodeShift && dimKey.contains(dim))
+          (0 until k).map(i => d.withColumn(dimKey(dim),
+            col(dimKey(dim)) + lit(ns(i)))).pipe(bunion)
+        else d
+      outDf.write.mode(SaveMode.Overwrite).parquet(s"$out/$dim.parquet")
+    }
 
     // SPARK_GRAFT_DOC_SUFFIX=none: replicate documents VERBATIM (ids
     // still shifted). The default per-replica word suffix exists so

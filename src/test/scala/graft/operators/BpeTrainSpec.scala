@@ -61,6 +61,59 @@ class BpeTrainSpec extends AnyFunSuite {
       s"merge tables diverge:\n got=${got.toSeq}\n exp=$expect")
   }
 
+  /** Plain-Scala greedy trainer (full recount every round) — the
+    * independent reference the incremental-delta loop must match. */
+  private def plainTrain(rounds: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    import spark.implicits._
+    var vocab: Map[Vector[String], Long] =
+      graft.sources.Tables(spark, dir, "documents")
+        .select(explode(split($"text", " ")).as("w"))
+        .filter($"w".rlike("^[a-z]+$"))
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+        .as[(String, Long)].collect()
+        .map { case (w, f) => w.toVector.map(_.toString) -> f }.toMap
+    (1 to rounds).flatMap { r =>
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (toks, f) =>
+        toks.iterator.sliding(2).withPartial(false)
+          .foreach { p => counts((p(0), p(1))) += f }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((pa, pb), n) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.groupMapReduce { case (toks, _) =>
+          mergeOnce(toks, pa, pb)
+        }(_._2)(_ + _)
+        Some((r.toLong, pa, pb, pa + pb, n))
+      }
+    }
+  }
+
+  test("bpe train at K=128: incremental delta loop == full-recount " +
+      "trainer (real-vocab path)") {
+    val rounds = 128
+    val got = TextAnalysis.bpeMerges(spark, dir, rounds)
+    val expect = plainTrain(rounds)
+    assert(got.length == expect.length,
+      s"round counts diverge: got ${got.length}, expect ${expect.length}")
+    // compare round-by-round so a divergence names its round
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g == e, s"merge tables diverge at round ${e._1}:" +
+        s"\n got=$g\n exp=$e")
+    }
+  }
+
+  test("bpe encode consumes the trained table (no retrain): " +
+      "bpeEncodeTable == bpeEncode") {
+    val viaTable = TextAnalysis.bpeEncodeTable(
+      spark, dir, TextAnalysis.bpeTrain(spark, dir)).collect().toSeq
+    val direct = TextAnalysis.bpeEncode(spark, dir).collect().toSeq
+    assert(viaTable == direct)
+  }
+
   test("bpe encode: token counts match a plain-Scala tokenizer replay") {
     import spark.implicits._
     val merges = TextAnalysis.bpeTrain(spark, dir).collect()
