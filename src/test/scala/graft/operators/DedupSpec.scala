@@ -39,4 +39,26 @@ class DedupSpec extends AnyFunSuite {
       .collect().toMap
     assert(again == out, "claimed fixpoint is not a fixpoint")
   }
+
+  test("labelPropagate: onTruncated fires when maxRounds cuts the " +
+      "flood short (the CC non-convergence probe, r15 advice)") {
+    import spark.implicits._
+    // the same diameter-4 chain: 1 round cannot flood it
+    val ids = Seq(1L, 3L, 5L, 7L, 9L)
+    val chain = ids.sliding(2).map { case Seq(x, y) => (x, y) }.toSeq
+    val edges = chain.toDF("a", "b")
+      .union(chain.map(_.swap).toDF("a", "b"))
+    val labels0 = ids.map(i => (i, i)).toDF("doc_id", "cluster_id")
+    var truncatedAt = -1
+    Dedup.labelPropagate(spark, edges, labels0, maxRounds = 1,
+      onTruncated = truncatedAt = _).collect()
+    assert(truncatedAt == 1, "1-round cap on a diameter-4 chain must " +
+      s"report truncation (got $truncatedAt)")
+    // and a cap ABOVE the diameter must stay silent
+    truncatedAt = -1
+    Dedup.labelPropagate(spark, edges, labels0, maxRounds = 10,
+      onTruncated = truncatedAt = _).collect()
+    assert(truncatedAt == -1, "converged flood must not report " +
+      "truncation")
+  }
 }
