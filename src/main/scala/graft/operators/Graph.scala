@@ -493,8 +493,69 @@ object Graph {
       .orderBy($"node_id")
   }
 
+  /** Synchronous vote rounds for [[labelCommunities]]. Deliberately
+    * SMALL: LPA communities are the label of the strongest nearby hub,
+    * and each extra synchronous round floods labels one hop further
+    * toward the giant-component collapse every LPA paper warns about —
+    * fixed R is both the parity contract with the unrolled oracle and
+    * the semantic dial. */
+  val LPA_ROUNDS = 3
+
+  /** Label-propagation communities over the undirected customer—
+    * supplier purchase graph — the cheap community detector (Raghavan
+    * et al. 2007) that needs no modularity objective: each round every
+    * node adopts the most frequent label among its neighbors AND
+    * itself (the self-vote damps the bipartite two-coloring
+    * oscillation synchronous LPA is known for), ties broken toward the
+    * smallest label so the update is a total order both engines
+    * replay. Distinct from [[connectedComponents]]'s min-label flood:
+    * the vote is a FREQUENCY argmax, so dense local neighborhoods keep
+    * their hub's label instead of collapsing to the component minimum.
+    * Per round: one edge⋈label join + one map-side-combined count +
+    * one map-side-combined struct-max (the argmax rides a
+    * `max(struct(count, -label))` — partial aggregation ships one
+    * candidate per (node, label) per map task, never a window over the
+    * vote relation); labels materialize once per round via
+    * localCheckpoint. O(R) shuffles, no corpus-sized state — the
+    * [[connectedComponents]] scale shape with a heavier but still
+    * combinable per-round aggregate. */
+  def labelCommunities(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val half = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + SUPPLIER_OFFSET).as("dst"))
+      .distinct()
+      .localCheckpoint() // read 2·LPA_ROUNDS+2 times (edges + nodes)
+    val edges = half.select($"src".as("a"), $"dst".as("b"))
+      .union(half.select($"dst".as("a"), $"src".as("b")))
+    var labels = half.select($"src".as("node"))
+      .union(half.select($"dst".as("node")))
+      .distinct()
+      .select($"node", $"node".as("lbl"))
+    (1 to LPA_ROUNDS).foreach { _ =>
+      val votes = edges
+        .join(labels.select($"node".as("b"), $"lbl"), "b")
+        .select($"a".as("node"), $"lbl")
+        .union(labels) // self-vote
+        .groupBy($"node", $"lbl").agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy($"node")
+        .agg(max(struct($"c", (-$"lbl").as("nl"))).as("m"))
+        .select($"node", (-$"m.nl").as("lbl"))
+        .localCheckpoint() // read twice next round (join + self-vote)
+    }
+    labels
+      .select($"node".cast("long").as("node_id"),
+        $"lbl".cast("long").as("community_id"),
+        when($"node" >= SUPPLIER_OFFSET, "supplier")
+          .otherwise("customer").as("kind"))
+      .orderBy($"node_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_connected_components" -> (connectedComponents _),
+    "graph_label_communities" -> (labelCommunities _),
     "graph_hits_bipartite" -> (hitsBipartite _),
     "graph_jaccard_cocustomer" -> (jaccardCocustomer _),
     "graph_kcore_peel" -> (kcorePeel _),
@@ -556,6 +617,36 @@ object Graph {
          |  CASE WHEN node >= $SUPPLIER_OFFSET THEN 'supplier'
          |    ELSE 'customer' END AS kind
          |FROM l$CC_ROUNDS ORDER BY node_id""".stripMargin
+    },
+    // LPA_ROUNDS unrolled frequency-vote rounds: the argmax replayed
+    // as row_number() under the identical (count DESC, label ASC)
+    // total order, self-vote included via UNION ALL
+    "graph_label_communities" -> {
+      def round(i: Int): String =
+        s"""v$i AS (SELECT node, lbl, count(*) AS c FROM (
+           |    SELECT e.a AS node, l.lbl FROM e
+           |    JOIN l${i - 1} l ON e.b = l.node
+           |    UNION ALL SELECT node, lbl FROM l${i - 1})
+           |  GROUP BY 1, 2),
+           |l$i AS (SELECT node, lbl FROM (
+           |  SELECT node, lbl,
+           |    row_number() OVER (PARTITION BY node
+           |      ORDER BY c DESC, lbl) AS rn
+           |  FROM v$i) WHERE rn = 1)""".stripMargin
+      val rounds = (1 to LPA_ROUNDS).map(round).mkString(",\n")
+      s"""WITH h AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         |    CAST(l_suppkey + $SUPPLIER_OFFSET AS BIGINT) AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src AS a, dst AS b FROM h
+         |  UNION ALL SELECT dst, src FROM h),
+         |l0 AS (SELECT node, node AS lbl FROM (
+         |  SELECT DISTINCT src AS node FROM h
+         |  UNION SELECT DISTINCT dst FROM h)),
+         |$rounds
+         |SELECT node AS node_id, lbl AS community_id,
+         |  CASE WHEN node >= $SUPPLIER_OFFSET THEN 'supplier'
+         |    ELSE 'customer' END AS kind
+         |FROM l$LPA_ROUNDS ORDER BY node_id""".stripMargin
     },
     // both half-steps of every round unrolled, with the same
     // max-div renormalization in exact integer arithmetic

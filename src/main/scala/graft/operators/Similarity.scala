@@ -697,6 +697,37 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** Hard-negative mining for contrastive embedding training: for
+    * each query vector, the top-K most-similar corpus vectors whose
+    * document carries a DIFFERENT language label — the
+    * "looks-like-a-positive, is-not" set that contrastive losses
+    * (InfoNCE and friends) need to sharpen a retrieval model. The
+    * inverse of [[filteredTopK]]'s allow-list: the filter is a
+    * per-query EXCLUSION keyed on the query's own attribute, so it
+    * cannot be pre-applied to the corpus — it rides the broadcast
+    * join condition instead. Same scale shape as [[bruteForceTopK]]:
+    * tiny query set broadcast, corpus streams through once (the label
+    * join on the corpus side is doc_id-keyed and pruned to two
+    * columns), ranking via the bounded TopK aggregator — shuffle
+    * volume O(K·queries·mapTasks), never O(corpus). The production
+    * variant at real K·queries composes the same exclusion predicate
+    * into [[ivfTopK]]'s per-cell candidates. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lang = Tables(s, dir, "documents").select($"doc_id", $"lang")
+    val emb = withNorm(Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")))
+      .join(lang, $"vec_id" === $"doc_id")
+      .select($"vec_id", $"v", $"norm", $"lang")
+    val queries = emb.filter($"vec_id" < N_QUERIES)
+    val scored = broadcast(queries).as("a")
+      .join(emb.as("b"),
+        $"a.vec_id" =!= $"b.vec_id" && $"a.lang" =!= $"b.lang")
+      .select($"a.vec_id".as("query_id"), $"b.vec_id".as("neighbor_id"),
+        cosine.as("cos"))
+    rankTopK(scored)
+  }
+
   /** Fixed-point scale for [[covarianceQ]]: 1e6 ⇒ per-entry
     * quantization error ≤ n·5e-7 — documented, deterministic. */
   val MOMENT_SCALE = 1000000.0
@@ -1186,6 +1217,7 @@ object Similarity {
     "ann_pq_topk" -> (pqTopK _),
     "emb_covariance_q" -> (covarianceQ _),
     "ann_filtered_topk" -> (filteredTopK _),
+    "ann_hard_negatives" -> (hardNegatives _),
     "ann_brute_force_topk" -> (bruteForceTopK _),
     "ann_matryoshka_overlap" -> (matryoshkaOverlap _),
     "ann_reciprocal_topk" -> (reciprocalTopK _),
@@ -1777,6 +1809,21 @@ object Similarity {
          |JOIN (SELECT * FROM tr WHERE rank = 1) t1 USING (query_id)
          |LEFT JOIN o USING (query_id)
          |ORDER BY query_id""".stripMargin,
+    // same exact ranking, with the allow-list inverted into the
+    // per-query different-language exclusion
+    "ann_hard_negatives" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    cast(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) DESC,
+        |      b.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings a
+        |  JOIN documents da ON da.doc_id = a.vec_id
+        |  JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  JOIN documents db ON db.doc_id = b.vec_id
+        |  WHERE a.vec_id < 10 AND db.lang <> da.lang) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_filtered_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

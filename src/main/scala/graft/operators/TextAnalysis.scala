@@ -325,6 +325,42 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Character-level entropy per document — the cheap gibberish /
+    * binary-junk / repeated-char detector every pretraining filter
+    * stack runs BEFORE the expensive model-based quality scores (a
+    * base64 blob and `aaaa…` padding both betray themselves in the
+    * character distribution alone). The [[perplexityUnigram]]
+    * integer-exact discipline at character granularity with a
+    * PER-DOCUMENT model: per char type, surprisal =
+    * floor(log₂(n_chars div c)) computed as a bit length
+    * (`length(bin(x)) - 1`) — no floating log anywhere, so the
+    * per-doc sums are exact on both engines. Σ c·surprisal is the
+    * floor-quantized Shannon entropy in whole bits; a doc repeating
+    * one character scores 0, uniform text scores ≈ n·log₂(alphabet).
+    * Scale shape: one scan, explode to (doc, char) — a bounded ~
+    * alphabet-size per-doc blow-up the partial aggregate collapses
+    * BEFORE the shuffle (docs are contiguous within input splits, so
+    * map-side combine reduces to ≤ |alphabet| rows per doc); the
+    * per-doc total then joins back doc_id-keyed onto the same
+    * co-partitioned relation (one exchange, reused). No corpus-wide
+    * state of any kind — embarrassingly parallel by document. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ch = Tables(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .filter(length($"ch") > 0) // split("") edge artifacts
+    val cnt = ch.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy($"doc_id").agg(sum($"c").as("n"))
+    val surprisal = (length(bin(expr("n div c"))) - 1).cast("long")
+    cnt.join(totals, "doc_id")
+      .select($"doc_id", $"c", $"n", surprisal.as("s"))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("n_chars"), // constant per doc
+        count(lit(1)).as("distinct_chars"),
+        sum($"c" * $"s").as("surprisal_bits"))
+      .orderBy($"doc_id")
+  }
+
   /** Bigram-LM surprisal — [[perplexityUnigram]] upgraded to a
     * conditional model: token i ≥ 2 is charged
     * `⌊log2(c(w_{i−1}) ÷ c(w_{i−1}w_i))⌋` (the MLE `−log2 p(w_i|w_{i−1})`
@@ -847,6 +883,7 @@ object TextAnalysis {
     "text_winnowing" -> (winnowing _),
     "text_perplexity_bigram" -> (perplexityBigram _),
     "text_perplexity_unigram" -> (perplexityUnigram _),
+    "text_char_entropy" -> (charEntropy _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_token_count" -> (tokenCount _),
@@ -1091,6 +1128,22 @@ object TextAnalysis {
         |    AS max_surprisal
         |FROM tok t JOIN cnt ON t.w = cnt.w CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    // the same bit-length log₂ at character granularity; the per-doc
+    // model means no corpus-wide CTE at all
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c
+        |  FROM ch WHERE ch <> '' GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1)
+        |SELECT cnt.doc_id,
+        |  CAST(max(tot.n) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS distinct_chars,
+        |  CAST(sum(cnt.c * (length(bin(tot.n // cnt.c)) - 1))
+        |    AS BIGINT) AS surprisal_bits
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // lexicon ranks replayed with the same (count DESC, token ASC)
     // total order; the quantized inverse-rank credit is identical IEEE
     // division + floor, summed in exact integer arithmetic

@@ -345,6 +345,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(3000))
   }
 
+  test("ann_hard_negatives: pruned label scan; exclusion in the broadcast join; no window") {
+    val plan = planOf(Similarity.hardNegatives(spark, dir))
+    // the documents side reads only (doc_id, lang) — never text
+    val docSchema = plan.linesIterator
+      .filter(_.contains("ReadSchema:")).find(_.contains("lang"))
+      .getOrElse("")
+    assert(docSchema.contains("doc_id") && !docSchema.contains("text"),
+      docSchema)
+    // per-query exclusion is a non-equi predicate on the broadcast
+    // tiny-query side (it cannot pre-filter the corpus); ranking stays
+    // in the bounded partial-combining aggregator
+    assert(plan.contains("partial_topkagg"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("text_char_entropy: pruned scan, partial-combined counts, no window") {
+    val plan = planOf(TextAnalysis.charEntropy(spark, dir))
+    // only (doc_id, text) leave the parquet scan
+    val docSchema = plan.linesIterator
+      .filter(_.contains("ReadSchema:")).find(_.contains("text"))
+      .getOrElse("")
+    assert(docSchema.contains("doc_id") && !docSchema.contains("lang"),
+      docSchema)
+    // the char explode collapses to ≤|alphabet| rows per doc BEFORE
+    // the shuffle; no window, no corpus-wide state
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("every ANN ranker partial-combines; no window sort of candidates") {
     for (q <- Seq(Similarity.bruteForceTopK _, Similarity.lshTopK _,
                   Similarity.ivfTopK _)) {
