@@ -1812,18 +1812,18 @@ object Similarity {
     // same exact ranking, with the allow-list inverted into the
     // per-query different-language exclusion
     "ann_hard_negatives" ->
-      """SELECT query_id, rank, neighbor_id FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    cast(row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) DESC,
-        |      b.vec_id) AS BIGINT) AS rank
-        |  FROM embeddings a
-        |  JOIN documents da ON da.doc_id = a.vec_id
-        |  JOIN embeddings b ON a.vec_id <> b.vec_id
-        |  JOIN documents db ON db.doc_id = b.vec_id
-        |  WHERE a.vec_id < 10 AND db.lang <> da.lang) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      s"""SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    cast(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                             CAST(b.embedding AS DOUBLE[])) DESC,
+         |      b.vec_id) AS BIGINT) AS rank
+         |  FROM embeddings a
+         |  JOIN documents da ON da.doc_id = a.vec_id
+         |  JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  JOIN documents db ON db.doc_id = b.vec_id
+         |  WHERE a.vec_id < $N_QUERIES AND db.lang <> da.lang) t
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "ann_filtered_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -343,7 +343,17 @@ object TextAnalysis {
     * map-side combine reduces to ≤ |alphabet| rows per doc); the
     * per-doc total then joins back doc_id-keyed onto the same
     * co-partitioned relation (one exchange, reused). No corpus-wide
-    * state of any kind — embarrassingly parallel by document. */
+    * state of any kind — embarrassingly parallel by document.
+    *
+    * Unicode contract: the unit of counting is the CODE POINT. Spark's
+    * split("") delegates to Java regex, whose zero-width matches fall
+    * between code points (surrogate pairs stay whole; combining marks
+    * count as their own code points, i.e. no grapheme clustering) —
+    * pinned by BatchR16Spec's astral/combining-mark fixture against a
+    * `String.codePoints` replay. Cross-engine note: DuckDB's
+    * string_split(text, '') is also per code point, but that equality
+    * is empirical, not contractual; driver-oracle parity is validated
+    * on the synthetic corpora (BMP text). */
   def charEntropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ch = Tables(s, dir, "documents")

@@ -94,18 +94,26 @@ class BatchR16Spec extends AnyFunSuite {
       assert(rows.map(_._2).sorted.toSeq == (1L to 5L), s"query $q ranks")
     }
     // the defining property: no mined negative shares the query's label
+    def langOf(id: Long): String = lang.getOrElse(id,
+      fail(s"vec_id $id has no documents row — corpus fixture broken"))
     out.foreach { case (q, _, n) =>
-      assert(lang(q) != lang(n), s"negative $n shares lang with query $q")
+      assert(langOf(q) != langOf(n),
+        s"negative $n shares lang with query $q")
     }
     // and they are HARD: each rank-1 negative is at least as similar as
     // every cross-lang candidate (spot-check via the exact brute-force
     // ranking restricted to cross-lang rows)
     val brute = Similarity.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val bruteBest = brute.filter { case (q, _, n) => lang(q) != lang(n) }
+    val bruteBest = brute.filter { case (q, _, n) => langOf(q) != langOf(n) }
       .groupBy(_._1).map { case (q, rows) =>
         q -> rows.minBy(_._2)._3 // best-ranked cross-lang neighbor
       }
+    // the spot-check must not pass vacuously: at least one query's
+    // overall top-5 must already contain a cross-lang row
+    assert(bruteBest.nonEmpty,
+      "no query's brute-force top-5 crosses the language boundary — " +
+        "the hardness spot-check would be vacuous")
     val hardBest = out.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
     // wherever the overall top-5 already contains a cross-lang row,
     // the miner's rank-1 must agree with it
@@ -122,10 +130,13 @@ class BatchR16Spec extends AnyFunSuite {
     def floorLog2(x: Long): Long =
       63L - java.lang.Long.numberOfLeadingZeros(x)
     val expected = docs.filter(_._2.nonEmpty).map { case (id, text) =>
-      val counts = text.groupBy(identity).map { case (_, v) =>
+      // per CODE POINT, matching the operator's split("") (Java regex
+      // keeps surrogate pairs whole) — not per UTF-16 code unit
+      val cps = text.codePoints.toArray
+      val counts = cps.groupBy(identity).map { case (_, v) =>
         v.length.toLong
       }
-      val n = text.length.toLong
+      val n = cps.length.toLong
       val bits = counts.map(c => c * floorLog2(n / c)).sum
       (id, n, counts.size.toLong, bits)
     }.sortBy(_._1).toSeq
@@ -155,5 +166,41 @@ class BatchR16Spec extends AnyFunSuite {
     assert(got(2L) == 8L)
     // eight distinct: 8 * floor(log2(8)) = 24
     assert(got(3L) == 24L)
+  }
+
+  test("char entropy: astral + combining-mark text counts CODE POINTS") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni").toString
+    // 1: four astral chars (each one surrogate PAIR in UTF-16) — per
+    //    code point n=4, per code unit it would be 8
+    // 2: 'e' + COMBINING ACUTE twice — 4 code points, 2 distinct (no
+    //    grapheme clustering: the mark is its own code point)
+    // 3: mixed BMP/astral control doc
+    val astral = new String(Character.toChars(0x1F600)) // 😀
+    val rocket = new String(Character.toChars(0x1F680)) // 🚀
+    val combining = "éé"
+    val docs = Seq(
+      (1L, astral + rocket + astral + rocket),
+      (2L, combining),
+      (3L, "a" + astral + "a" + astral))
+    docs.toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.charEntropy(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // independent code-point replay (same rule as the sf-corpus test)
+    def floorLog2(x: Long): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = docs.map { case (id, text) =>
+      val cps = text.codePoints.toArray
+      val counts = cps.groupBy(identity).map(_._2.length.toLong)
+      val n = cps.length.toLong
+      id -> (n, counts.size.toLong, counts.map(c => c * floorLog2(n / c)).sum)
+    }.toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    // and the load-bearing facts spelled out: surrogate pairs are ONE
+    // unit (n=4, not 8), combining marks are their OWN unit (2 distinct)
+    assert(got(1L)._1 == 4L && got(1L)._2 == 2L)
+    assert(got(2L)._1 == 4L && got(2L)._2 == 2L)
   }
 }
