@@ -128,6 +128,18 @@ object Bench {
       .withDefaultValue(Nil)
     val repErrs = scala.collection.mutable.Map[String, String]()
     def runRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      // Gate-run measurement honesty (round-17): the BPE merge memo
+      // exists so encode consumes the table train produces
+      // (train-once-encode-everywhere) — but alphabetical order runs
+      // text_bpe_encode FIRST, so without this clear the train row's
+      // timed reps measure a memo HIT (~0.06 s against a ~1.8 s
+      // frozen floor). Clear it for the TRAIN row only, exactly as
+      // BenchOne does for isolated floors: train re-pays training
+      // every rep (and repopulates the memo, so the next pass's
+      // encode still measures the production
+      // encode-from-persisted-table path).
+      if (name == "text_bpe_train")
+        graft.operators.TextAnalysis.clearBpeMemo()
       val t0 = System.nanoTime()
       try {
         BenchExec.materialize(fn(spark, sfDir))

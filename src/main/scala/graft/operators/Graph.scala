@@ -34,6 +34,27 @@ object Graph {
   val ITERATIONS = 3
   val SUPPLIER_OFFSET = 1000000L
 
+  /** Encoded supplier node ids derived from DIM MEMBERSHIP — the
+    * trustworthy way to recover a node's kind at output assembly.
+    * `node >= SUPPLIER_OFFSET` is only a valid kind test when every
+    * customer key sits below the offset; the node-shifted scale
+    * replicas (BenchScale, SPARK_GRAFT_KEY_SHIFT=nodes) place replica
+    * customers at k·10M ≥ the offset, so a fixed-boundary test
+    * misclassifies them as suppliers (and inflated the r16 pagerank
+    * decade's output accounting, VERDICT r16 "what's wrong" #2). A
+    * membership join against the supplier dim is exact at ANY key
+    * universe: TPC-H referential integrity guarantees every l_suppkey
+    * exists in supplier, and the replicas shift facts and dims
+    * together. The dim is broadcastable at every SF
+    * ([[Tables.broadcastable]]), so each use is one broadcast-hash
+    * join — no extra shuffle. */
+  private def supplierNodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    broadcast(Tables(s, dir, "supplier")
+      .select(($"s_suppkey" + SUPPLIER_OFFSET).cast("long").as("snode"))
+      .distinct())
+  }
+
   def pagerankQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e0 = Tables(s, dir, "orders")
@@ -69,7 +90,9 @@ object Graph {
         .select($"node",
           (lit(150000L) + coalesce($"in_r", lit(0L))).as("r"))
     }
-    ranks.filter($"node" >= SUPPLIER_OFFSET)
+    // supplier rows selected by DIM MEMBERSHIP (broadcast semi-join),
+    // not the fixed offset boundary — see [[supplierNodes]]
+    ranks.join(supplierNodes(s, dir), $"node" === $"snode", "left_semi")
       .select(($"node" - SUPPLIER_OFFSET).as("s_suppkey"),
         $"r".as("rank_ppm"))
       .orderBy($"s_suppkey")
@@ -123,10 +146,11 @@ object Graph {
       layers :+= frontier
     }
     layers.reduce(_ union _)
+      .join(supplierNodes(s, dir), $"node" === $"snode", "left")
       .select(
-        when($"node" >= SUPPLIER_OFFSET, "supplier").otherwise("part")
+        when($"snode".isNotNull, "supplier").otherwise("part")
           .as("kind"),
-        when($"node" >= SUPPLIER_OFFSET, $"node" - SUPPLIER_OFFSET)
+        when($"snode".isNotNull, $"node" - SUPPLIER_OFFSET)
           .otherwise($"node").as("id"),
         $"dist")
       .orderBy($"kind", $"id")
@@ -341,10 +365,11 @@ object Graph {
         .localCheckpoint()
     }
     edges.groupBy($"src").agg(count(lit(1)).as("residual_deg"))
+      .join(supplierNodes(s, dir), $"src" === $"snode", "left")
       .select(
-        when($"src" >= SUPPLIER_OFFSET, "supplier").otherwise("customer")
+        when($"snode".isNotNull, "supplier").otherwise("customer")
           .as("kind"),
-        when($"src" >= SUPPLIER_OFFSET, $"src" - SUPPLIER_OFFSET)
+        when($"snode".isNotNull, $"src" - SUPPLIER_OFFSET)
           .otherwise($"src").as("id"),
         $"residual_deg")
       .orderBy($"kind", $"id")
@@ -487,8 +512,9 @@ object Graph {
         s"connectedComponents: label flood still changing after $r " +
           s"rounds (CC_ROUNDS=$CC_ROUNDS) — component ids are " +
           "UNCONVERGED; raise CC_ROUNDS for this corpus diameter"))
+      .join(supplierNodes(s, dir), $"doc_id" === $"snode", "left")
       .select($"doc_id".as("node_id"), $"cluster_id".as("component_id"),
-        when($"doc_id" >= SUPPLIER_OFFSET, "supplier")
+        when($"snode".isNotNull, "supplier")
           .otherwise("customer").as("kind"))
       .orderBy($"node_id")
   }
@@ -546,9 +572,10 @@ object Graph {
         .localCheckpoint() // read twice next round (join + self-vote)
     }
     labels
+      .join(supplierNodes(s, dir), $"node" === $"snode", "left")
       .select($"node".cast("long").as("node_id"),
         $"lbl".cast("long").as("community_id"),
-        when($"node" >= SUPPLIER_OFFSET, "supplier")
+        when($"snode".isNotNull, "supplier")
           .otherwise("customer").as("kind"))
       .orderBy($"node_id")
   }

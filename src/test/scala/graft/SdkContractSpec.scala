@@ -9,11 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * thread_spec_builder-shaped compile slice), deploys the documents
   * across the process boundary, runs them against the live engine
   * (`Ctl serve worker`), and asserts the folded WFRuns — the
-  * reference's lh_test_harness pattern (tests/basic.py,
-  * conditionals_basic.py, threads_basic.py, external_event_basic.py)
-  * executed verbatim-shaped against this engine. This closes the last
-  * user-visible residual: a Python user can now author, compile,
-  * deploy, and run workflows without touching Scala. */
+  * reference's lh_test_harness pattern executed verbatim-shaped
+  * against this engine for ALL 14 reference test modules (as of
+  * round 17: basic through var_adds, interrupts_multiple,
+  * interrupts_with_payload). This closes the last user-visible
+  * residual: a Python user can author, compile, deploy, and run
+  * every reference-harness workflow shape without touching Scala. */
 class SdkContractSpec extends AnyFunSuite {
 
   test("python SDK compiles and runs the reference harness shapes") {

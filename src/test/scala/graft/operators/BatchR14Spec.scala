@@ -61,6 +61,9 @@ class BatchR14Spec extends AnyFunSuite {
       .coalesce(1).write.parquet(s"$dir/orders.parquet")
     lines.toDF("l_orderkey", "l_suppkey")
       .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    // supplier dim for the kind-membership join (replica-safe labeling)
+    Seq(1L, 2L, 3L).toDF("s_suppkey")
+      .coalesce(1).write.parquet(s"$dir/supplier.parquet")
     val out = Graph.kcorePeel(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val expected = ((1L to 3L).map(c => ("customer", c) -> 3L) ++

@@ -49,6 +49,9 @@ class BatchR16Spec extends AnyFunSuite {
     buys.zipWithIndex.map { case ((_, p), i) => (100L + i, p) }
       .toDF("l_orderkey", "l_suppkey")
       .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    // supplier dim for the kind-membership join (replica-safe labeling)
+    Seq(10L, 20L).toDF("s_suppkey")
+      .coalesce(1).write.parquet(s"$dir/supplier.parquet")
 
     val off = Graph.SUPPLIER_OFFSET
     val half = buys.map { case (c, p) => (c, p + off) }.toSet

@@ -20,6 +20,10 @@ class GraphSpec extends AnyFunSuite {
     Seq((100L, 10L), (101L, 20L), (102L, 20L))
       .toDF("l_orderkey", "l_suppkey")
       .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    // supplier dim: kind/output membership is a dim join, not an
+    // offset-boundary test (replica-safe at scale)
+    Seq(10L, 20L).toDF("s_suppkey")
+      .coalesce(1).write.parquet(s"$dir/supplier.parquet")
 
     // plain-Scala replay of the quantized iteration
     val off = Graph.SUPPLIER_OFFSET
@@ -78,6 +82,8 @@ class GraphSpec extends AnyFunSuite {
     Seq((101L, 1L), (101L, 2L), (102L, 2L), (102L, 3L), (103L, 4L))
       .toDF("l_partkey", "l_suppkey")
       .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L, 3L, 4L).toDF("s_suppkey")
+      .coalesce(1).write.parquet(s"$dir/supplier.parquet")
     val got = Graph.reachabilityQ(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(got == Map(

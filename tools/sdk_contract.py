@@ -8,9 +8,13 @@ deploys the compiled WFSpec/TaskDef/ExternalEventDef documents through
 the process boundary, runs them end-to-end against the live engine
 (``Ctl serve`` + loopback task worker), and asserts the FOLDED WFRun —
 statuses, per-branch task sequences, and variable arithmetic — exactly
-like the reference's lh_test_harness checks
-(tests/basic.py, conditionals_basic.py, threads_basic.py,
-external_event_basic.py).
+like the reference's lh_test_harness checks. All 14 reference test
+modules (lhctl/lh_test_harness/tests/) have a twin here: basic,
+conditionals_basic, conditionals_edge_1, external_event_basic (both
+cases), threads_basic, var_assign_jsonpath_happy, var_mutations,
+var_adds, retries_task, retries_task_timeout, interrupts,
+interrupts_multiple, interrupts_with_payload (shared_tasks is the
+task corpus, mirrored in Simulator.sharedTasks).
 
 Usage: sdk_contract.py <java-classpath> <work-root> <fixture-dir>
 Exit code 0 = contract held.
@@ -247,6 +251,67 @@ def external_event_timeout(thread):
     event = thread.wait_for_event("my-name").with_timeout(2)
     my_name.assign(event)
     thread.execute(hello_there, my_name)
+
+
+def var_adds(thread):
+    """reference tests/var_adds.py: defaulted variables, EXTEND from a
+    node-output jsonpath, ADD from an INDEXED jsonpath, and the
+    all-occurrences REMOVE_IF_PRESENT — the add-verb arithmetic corpus."""
+    counter = thread.add_variable("counter", int, default_val=-1)
+    arr = thread.add_variable("arr", list, default_val=[])
+
+    big_blob = thread.execute(big_blob_task)
+    arr.extend(big_blob.jsonpath("$.some_list"))
+    counter.add(big_blob.jsonpath("$.some_list[1]"))
+
+    thread.execute(echo_task, OBI_GREETING)
+    counter.add(1)
+    arr.remove_if_present(4)
+
+
+OBI = "General Kenobi"
+R2 = "R2-D2"
+AHSOKA = "Padawan"
+INTERRUPT_PAYLOAD = {"Jedi": "Obi-Wan", "Sith": "Vader"}
+
+
+def some_event_handler(thread):
+    """reference tests/interrupts_multiple.py handler #1."""
+    thread.execute(hello_there, OBI)
+
+
+def another_event_handler(thread):
+    """reference tests/interrupts_multiple.py handler #2."""
+    thread.execute(hello_there, AHSOKA)
+
+
+def interrupts_multiple(thread):
+    """reference tests/interrupts_multiple.py: TWO interrupt handlers
+    registered on one thread; whichever event arrives picks its own
+    handler (the reference's stacked-interrupt case 2 is commented out
+    there — 'we can't stack interrupts yet' — so here too)."""
+    thread.handle_interrupt("some-event", some_event_handler)
+    thread.handle_interrupt("another-event", another_event_handler)
+    thread.execute(hello_there, R2)
+    thread.sleep_for(3)
+
+
+def payload_handler_thread(thread):
+    """reference tests/interrupts_with_payload.py interrupt_handler_thread:
+    the event payload unsplats into the handler thread's declared
+    variables, and a task reads one of them."""
+    thread.add_variable("Sith", str)
+    jedi = thread.add_variable("Jedi", str)
+    thread.execute(hello_there, jedi)
+
+
+def interrupts_with_payload(thread):
+    """reference tests/interrupts_with_payload.py: handler vars fed by
+    the interrupt event's JSON-object payload."""
+    thread.handle_interrupt("some-event", payload_handler_thread)
+    thread.execute(hello_there, OBI)
+    thread.sleep_for(3)
+    thread.execute(hello_there, R2)
 
 
 TEN_OR_MORE_EDGE = "Its 10 or more!"
@@ -542,6 +607,117 @@ def check_external_event_timeout(ctl):
           "external event wait timed out", thr["taskRuns"])
 
 
+def check_var_adds(ctl):
+    """reference check_var_adds_1/2: default-seeded and input-seeded
+    add-chain arithmetic, EXTEND from jsonpath, indexed-jsonpath ADD,
+    all-occurrences REMOVE_IF_PRESENT."""
+    # case 1: defaults (counter=-1, arr=[])
+    run_id = run_wf(ctl, "var_adds")
+    doc = poll_wfrun(ctl, run_id, "COMPLETED")
+    check(len(doc["threadRuns"]) == 1, "var_adds one thread", doc)
+    v = doc["threadRuns"][0]["variables"]
+    check(v["arr"] == [1, 2, 3], "var_adds case1 arr", v)
+    check(v["counter"] == 2, "var_adds case1 counter", v)
+
+    # case 2: launcher inputs arr=[5, 4, 3, 2], counter=0 — BOTH 4s
+    # must go (REMOVE_IF_PRESENT removes every equal element)
+    run_id = run_wf(ctl, "var_adds", arr=[5, 4, 3, 2], counter=0)
+    doc = poll_wfrun(ctl, run_id, "COMPLETED")
+    v = doc["threadRuns"][0]["variables"]
+    check(v["arr"] == [5, 3, 2, 1, 2, 3], "var_adds case2 arr", v)
+    check(v["counter"] == 3, "var_adds case2 counter", v)
+
+
+def _check_one_interrupt(ctl, event_name, handler_name, handler_stdout):
+    """Shared body for the interrupts_multiple cases: launch, land
+    `event_name` in the sleep window, then assert the reference's
+    check_interrupts_multiple_{0,1} shape — main thread's task ran
+    before the sleep, exactly one handler thread ran, and it is the
+    one registered for THAT event."""
+    run_id = run_wf(ctl, "interrupts_multiple")
+    poll_wfrun(ctl, run_id, "RUNNING", deadline_s=20)
+    r = ctl.call("send-event %s %s '%s'"
+                 % (event_name, run_id, json.dumps("hola")))
+    check(r.get("status") == "OK", "send " + event_name, r)
+    doc = poll_wfrun(ctl, run_id, "COMPLETED", deadline_s=45)
+    check(len(doc["threadRuns"]) == 2,
+          "interrupts_multiple thread count",
+          [t["threadSpecName"] for t in doc["threadRuns"]])
+
+    thr = doc["threadRuns"][0]
+    tasks = [t for t in thr["taskRuns"] if t["nodeType"] == "TASK"]
+    check([t["stdout"] for t in tasks] == ["Hello there, %s!" % R2],
+          "interrupts_multiple main task", tasks)
+    for t in thr["taskRuns"]:
+        check(t["status"] == "COMPLETED",
+              "interrupts_multiple main node status", t)
+
+    handler = doc["threadRuns"][1]
+    check(handler["threadSpecName"] == handler_name and
+          handler["status"] == "COMPLETED",
+          "handler %s completed" % handler_name, handler)
+    check(len(handler["taskRuns"]) == 1 and
+          handler["taskRuns"][0]["status"] == "COMPLETED" and
+          handler["taskRuns"][0]["stdout"] == handler_stdout,
+          "handler %s task" % handler_name, handler["taskRuns"])
+
+
+def check_interrupts_multiple(ctl):
+    """reference check_interrupts_multiple_0/1: each registered event
+    routes to ITS handler."""
+    _check_one_interrupt(ctl, "some-event", "some_event_handler",
+                         "Hello there, %s!" % OBI)
+    _check_one_interrupt(ctl, "another-event", "another_event_handler",
+                         "Hello there, %s!" % AHSOKA)
+
+
+def check_interrupts_with_payload(ctl):
+    # case 0 (reference check_interrupts_with_payload_0): no event,
+    # the run just completes — 1 thread, both hellos in order
+    run_id = run_wf(ctl, "interrupts_with_payload")
+    doc = poll_wfrun(ctl, run_id, "COMPLETED", deadline_s=45)
+    check(len(doc["threadRuns"]) == 1, "payload case0 threads", doc)
+    thr = doc["threadRuns"][0]
+    tasks = [t for t in thr["taskRuns"] if t["nodeType"] == "TASK"]
+    check([t["stdout"] for t in tasks] ==
+          ["Hello there, %s!" % OBI, "Hello there, %s!" % R2],
+          "payload case0 stdouts", tasks)
+    for t in thr["taskRuns"]:
+        check(t["status"] == "COMPLETED", "payload case0 status", t)
+
+    # case 1: the JSON-object payload lands in the sleep window and
+    # unsplats into the handler thread's variables
+    run_id = run_wf(ctl, "interrupts_with_payload")
+    poll_wfrun(ctl, run_id, "RUNNING", deadline_s=20)
+    r = ctl.call("send-event some-event %s '%s'"
+                 % (run_id, json.dumps(INTERRUPT_PAYLOAD,
+                                       separators=(",", ":"))))
+    check(r.get("status") == "OK", "send payload", r)
+    doc = poll_wfrun(ctl, run_id, "COMPLETED", deadline_s=45)
+    check(len(doc["threadRuns"]) == 2, "payload case1 threads",
+          [t["threadSpecName"] for t in doc["threadRuns"]])
+
+    thr = doc["threadRuns"][0]
+    tasks = [t for t in thr["taskRuns"] if t["nodeType"] == "TASK"]
+    check([t["stdout"] for t in tasks] ==
+          ["Hello there, %s!" % OBI, "Hello there, %s!" % R2],
+          "payload case1 main stdouts", tasks)
+    for t in thr["taskRuns"]:
+        check(t["status"] == "COMPLETED", "payload case1 main status", t)
+
+    handler = doc["threadRuns"][1]
+    check(handler["threadSpecName"] == "payload_handler_thread" and
+          handler["status"] == "COMPLETED",
+          "payload handler completed", handler)
+    check(len(handler["taskRuns"]) == 1 and
+          handler["taskRuns"][0]["status"] == "COMPLETED" and
+          handler["taskRuns"][0]["stdout"] ==
+          "Hello there, %s!" % INTERRUPT_PAYLOAD["Jedi"],
+          "payload handler greets the Jedi", handler["taskRuns"])
+    check(handler["variables"] == INTERRUPT_PAYLOAD,
+          "payload unsplat into handler vars", handler["variables"])
+
+
 def main():
     if len(sys.argv) != 4:
         sys.exit(__doc__)
@@ -552,7 +728,8 @@ def main():
                       external_event_basic, var_assign_jsonpath_happy,
                       interrupts, var_mutations, retries_task,
                       retries_task_timeout, conditionals_edge_1,
-                      external_event_timeout):
+                      external_event_timeout, var_adds,
+                      interrupts_multiple, interrupts_with_payload):
             compile_and_deploy(ctl, fixdir, wf_fn)
 
         r = ctl.call("serve 240000 worker")
@@ -563,11 +740,14 @@ def main():
         check_threads(ctl)
         check_jsonpath(ctl)
         check_var_mutations(ctl)
+        check_var_adds(ctl)
         check_retries(ctl)
         check_retries_timeout(ctl)
         check_conditionals_edge(ctl)
         check_external_event_timeout(ctl)
         check_interrupts(ctl)
+        check_interrupts_multiple(ctl)
+        check_interrupts_with_payload(ctl)
         check_external_event(ctl)
 
         r = ctl.call("exit")
