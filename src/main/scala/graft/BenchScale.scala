@@ -145,16 +145,40 @@ object BenchScale {
     // stopword scores), so a suffixed decade would measure a corpus
     // whose frequency mass DOESN'T grow with K. For those, exact
     // duplication is the honest decade (vocab constant, freq ×K).
+    //
+    // SPARK_GRAFT_DOC_SUFFIX=vocab:<S>: vocabulary ENRICHMENT for
+    // high-K tokenizer decades (r16 verdict #5 — the base corpus has
+    // only 31 distinct words, so the BPE trainer exhausts at 89
+    // merges and a "K=128 decade" measures 89 rounds). Each word
+    // occurrence gets one of S two-LETTER suffixes chosen by a
+    // deterministic hash of (original doc_id, word position) — still
+    // matching the ^[a-z]+$ pre-tokenizer — multiplying the
+    // vocabulary up to 31·S words. The suffix depends on the ORIGINAL
+    // row, never the replica index, so every replica carries the
+    // identical text: vocab stays CONSTANT across decades (freq ×K),
+    // exactly the vocabulary-shaped decade DOC_SUFFIX=none measures,
+    // with enough merge capacity that K=128 truly executes 128 rounds.
     if (only("documents")) {
-    val plain = sys.env.get("SPARK_GRAFT_DOC_SUFFIX").contains("none")
+    val sufMode = sys.env.get("SPARK_GRAFT_DOC_SUFFIX")
+    val plain = sufMode.contains("none")
+    val vocabX: Option[Int] = sufMode
+      .filter(_.startsWith("vocab:")).map(_.stripPrefix("vocab:").toInt)
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
     (0 until k).map { i =>
       docs.as[(Long, String, String, String, Long)].map {
         case (id, text, lang, source, n) =>
-          val tagged =
-            if (i == 0 || plain) text
-            else text.split(' ').map(w => w + "_" + i).mkString(" ")
+          val tagged = vocabX match {
+            case Some(sN) =>
+              text.split(' ').zipWithIndex.map { case (w, p) =>
+                val j = math.floorMod(graft.functions.TextHashes
+                  .mix64(id * 1000003L + p), sN.toLong).toInt
+                w + ('a' + j / 26).toChar + ('a' + j % 26).toChar
+              }.mkString(" ")
+            case None =>
+              if (i == 0 || plain) text
+              else text.split(' ').map(w => w + "_" + i).mkString(" ")
+          }
           (id + i * 10000000L, tagged, lang, source, tagged.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
     }.pipe(bunion)

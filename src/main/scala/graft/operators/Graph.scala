@@ -527,6 +527,15 @@ object Graph {
     * the semantic dial. */
   val LPA_ROUNDS = 3
 
+  /** Measurement knob mirroring [[TextAnalysis.bpeRounds]]: lets
+    * BenchOne sweep the modularity-vs-round-count curve (the evidence
+    * that [[LPA_ROUNDS]] is an operating point, not a convention —
+    * BASELINE.md round-17) without touching gate semantics. Never set
+    * by the driver; the oracle always unrolls [[LPA_ROUNDS]]. */
+  private[graft] def lpaRounds: Int =
+    sys.env.get("SPARK_GRAFT_LPA_ROUNDS").map(_.toInt)
+      .getOrElse(LPA_ROUNDS)
+
   /** Label-propagation communities over the undirected customer—
     * supplier purchase graph — the cheap community detector (Raghavan
     * et al. 2007) that needs no modularity objective: each round every
@@ -547,6 +556,25 @@ object Graph {
     * combinable per-round aggregate. */
   def labelCommunities(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val (_, labels) = lpaCore(s, dir)
+    labels
+      .join(supplierNodes(s, dir), $"node" === $"snode", "left")
+      .select($"node".cast("long").as("node_id"),
+        $"lbl".cast("long").as("community_id"),
+        when($"snode".isNotNull, "supplier")
+          .otherwise("customer").as("kind"))
+      .orderBy($"node_id")
+  }
+
+  /** Shared LPA core — the half-edge relation and the converged (well,
+    * round-[[LPA_ROUNDS]]) label relation that both
+    * [[labelCommunities]] (per-node output) and [[lpaModularity]]
+    * (partition-quality rollup) consume. Same plan shape as before the
+    * round-17 extraction: per round one edge⋈label join + two
+    * map-side-combined aggregates, labels checkpointed per round. */
+  private def lpaCore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
     val half = Tables(s, dir, "orders")
       .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("src"),
@@ -559,7 +587,7 @@ object Graph {
       .union(half.select($"dst".as("node")))
       .distinct()
       .select($"node", $"node".as("lbl"))
-    (1 to LPA_ROUNDS).foreach { _ =>
+    (1 to lpaRounds).foreach { _ =>
       val votes = edges
         .join(labels.select($"node".as("b"), $"lbl"), "b")
         .select($"a".as("node"), $"lbl")
@@ -571,18 +599,62 @@ object Graph {
         .select($"node", (-$"m.nl").as("lbl"))
         .localCheckpoint() // read twice next round (join + self-vote)
     }
-    labels
-      .join(supplierNodes(s, dir), $"node" === $"snode", "left")
-      .select($"node".cast("long").as("node_id"),
-        $"lbl".cast("long").as("community_id"),
-        when($"snode".isNotNull, "supplier")
-          .otherwise("customer").as("kind"))
-      .orderBy($"node_id")
+    (half, labels)
+  }
+
+  /** Integer-quantized Newman modularity of the [[labelCommunities]]
+    * partition — the measured quality number that makes
+    * [[LPA_ROUNDS]] an evidenced operating point instead of a
+    * convention (r16 verdict #6): Q = Σ_c [ m_c/m − (d_c/2m)² ] over
+    * communities c, with the degree fractions d_c/2m quantized to
+    * PERMILLE before squaring (`q_c = 1000·d_c div 2m`, so every
+    * intermediate fits a BIGINT at ANY corpus scale — the unquantized
+    * Σd_c²·10⁶ would overflow 64 bits near ~50 M edges) and the edge
+    * fraction to PPM. Output is one row: community count, node count,
+    * edge count, intra-community edge count, and Q in ppm (exact
+    * integer arithmetic, identical in DuckDB — the oracle replays the
+    * LPA rounds unrolled and then this same quantized rollup).
+    *
+    * Scale shape: rides [[lpaCore]]'s O(R) shuffles, then ONE extra
+    * pass over the checkpointed half-edge relation (a two-sided label
+    * join aggregated to a single row — map-side combined) plus a
+    * label⋈degree aggregate whose output is bounded by the community
+    * count. No corpus-sized state, no window, no driver collect beyond
+    * 1-row scalars. A single-community partition scores exactly 0
+    * (1e6 − 1000²); the planted multi-hub fixture in BatchR17Spec pins
+    * the analytic value. */
+  def lpaModularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (half, labels) = lpaCore(s, dir)
+    val lab = labels.localCheckpoint() // read 3× below
+    val stats = half
+      .join(lab.select($"node".as("src"), $"lbl".as("sl")), "src")
+      .join(lab.select($"node".as("dst"), $"lbl".as("dl")), "dst")
+      .agg(count(lit(1)).as("m_edges"),
+        sum(when($"sl" === $"dl", 1L).otherwise(0L)).as("intra_edges"))
+    val deg = half.select($"src".as("node"))
+      .union(half.select($"dst".as("node"))) // UNION ALL: per-edge rows
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val dc = lab.join(deg, "node")
+      .groupBy($"lbl").agg(sum($"deg").as("dc"))
+    val comm = dc.crossJoin(stats.select($"m_edges".as("m2")))
+      .select(expr("(1000 * dc) div (2 * greatest(m2, 1))").as("qc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum($"qc" * $"qc").as("sq"))
+    val nodes = lab.agg(count(lit(1)).as("n_nodes"))
+    stats.crossJoin(comm).crossJoin(nodes)
+      .select($"n_communities".cast("long").as("n_communities"),
+        $"n_nodes".cast("long").as("n_nodes"),
+        $"m_edges".cast("long").as("m_edges"),
+        $"intra_edges".cast("long").as("intra_edges"),
+        (expr("(intra_edges * 1000000) div greatest(m_edges, 1)") -
+          $"sq").cast("long").as("modularity_ppm"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_connected_components" -> (connectedComponents _),
     "graph_label_communities" -> (labelCommunities _),
+    "graph_lpa_modularity" -> (lpaModularity _),
     "graph_hits_bipartite" -> (hitsBipartite _),
     "graph_jaccard_cocustomer" -> (jaccardCocustomer _),
     "graph_kcore_peel" -> (kcorePeel _),
@@ -619,6 +691,34 @@ object Graph {
        |$aN AS (SELECT node, dist FROM $aPrev
        |        UNION ALL SELECT node, $h AS dist FROM $fN)""".stripMargin
 
+  /** Shared WITH-prefix for the two LPA oracles: the undirected edge
+    * set, identity labels, and [[LPA_ROUNDS]] unrolled frequency-vote
+    * rounds (argmax as row_number under the (count DESC, label ASC)
+    * total order, self-vote via UNION ALL) — ends at `l$LPA_ROUNDS`. */
+  private def lpaRoundsWith: String = {
+    def round(i: Int): String =
+      s"""v$i AS (SELECT node, lbl, count(*) AS c FROM (
+         |    SELECT e.a AS node, l.lbl FROM e
+         |    JOIN l${i - 1} l ON e.b = l.node
+         |    UNION ALL SELECT node, lbl FROM l${i - 1})
+         |  GROUP BY 1, 2),
+         |l$i AS (SELECT node, lbl FROM (
+         |  SELECT node, lbl,
+         |    row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lbl) AS rn
+         |  FROM v$i) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to LPA_ROUNDS).map(round).mkString(",\n")
+    s"""WITH h AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |    CAST(l_suppkey + $SUPPLIER_OFFSET AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src AS a, dst AS b FROM h
+       |  UNION ALL SELECT dst, src FROM h),
+       |l0 AS (SELECT node, node AS lbl FROM (
+       |  SELECT DISTINCT src AS node FROM h
+       |  UNION SELECT DISTINCT dst FROM h)),
+       |$rounds""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // CC_ROUNDS unrolled min-label rounds over the same undirected
     // edge set (GraphSpec witnesses the fixpoint at this R)
@@ -648,33 +748,41 @@ object Graph {
     // LPA_ROUNDS unrolled frequency-vote rounds: the argmax replayed
     // as row_number() under the identical (count DESC, label ASC)
     // total order, self-vote included via UNION ALL
-    "graph_label_communities" -> {
-      def round(i: Int): String =
-        s"""v$i AS (SELECT node, lbl, count(*) AS c FROM (
-           |    SELECT e.a AS node, l.lbl FROM e
-           |    JOIN l${i - 1} l ON e.b = l.node
-           |    UNION ALL SELECT node, lbl FROM l${i - 1})
-           |  GROUP BY 1, 2),
-           |l$i AS (SELECT node, lbl FROM (
-           |  SELECT node, lbl,
-           |    row_number() OVER (PARTITION BY node
-           |      ORDER BY c DESC, lbl) AS rn
-           |  FROM v$i) WHERE rn = 1)""".stripMargin
-      val rounds = (1 to LPA_ROUNDS).map(round).mkString(",\n")
-      s"""WITH h AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
-         |    CAST(l_suppkey + $SUPPLIER_OFFSET AS BIGINT) AS dst
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |e AS (SELECT src AS a, dst AS b FROM h
-         |  UNION ALL SELECT dst, src FROM h),
-         |l0 AS (SELECT node, node AS lbl FROM (
-         |  SELECT DISTINCT src AS node FROM h
-         |  UNION SELECT DISTINCT dst FROM h)),
-         |$rounds
+    "graph_label_communities" ->
+      s"""$lpaRoundsWith
          |SELECT node AS node_id, lbl AS community_id,
          |  CASE WHEN node >= $SUPPLIER_OFFSET THEN 'supplier'
          |    ELSE 'customer' END AS kind
-         |FROM l$LPA_ROUNDS ORDER BY node_id""".stripMargin
-    },
+         |FROM l$LPA_ROUNDS ORDER BY node_id""".stripMargin,
+    // same unrolled LPA rounds, then the identical permille-quantized
+    // modularity rollup in exact integer arithmetic (degree fractions
+    // q_c = 1000*d_c // 2m squared and summed; edge fraction in ppm)
+    "graph_lpa_modularity" ->
+      s"""$lpaRoundsWith,
+         |lab AS (SELECT node, lbl FROM l$LPA_ROUNDS),
+         |st AS (SELECT count(*) AS m_edges,
+         |    sum(CASE WHEN ls.lbl = ld.lbl THEN 1 ELSE 0 END)
+         |      AS intra_edges
+         |  FROM h JOIN lab ls ON h.src = ls.node
+         |         JOIN lab ld ON h.dst = ld.node),
+         |deg AS (SELECT node, count(*) AS deg FROM (
+         |    SELECT src AS node FROM h
+         |    UNION ALL SELECT dst FROM h) GROUP BY 1),
+         |dc AS (SELECT l.lbl, sum(d.deg) AS dc
+         |  FROM lab l JOIN deg d USING (node) GROUP BY 1),
+         |q AS (SELECT (1000 * dc)
+         |    // (2 * greatest((SELECT m_edges FROM st), 1)) AS qc
+         |  FROM dc),
+         |cm AS (SELECT count(*) AS n_communities,
+         |  sum(qc * qc) AS sq FROM q),
+         |nn AS (SELECT count(*) AS n_nodes FROM lab)
+         |SELECT CAST(n_communities AS BIGINT) AS n_communities,
+         |  CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(m_edges AS BIGINT) AS m_edges,
+         |  CAST(intra_edges AS BIGINT) AS intra_edges,
+         |  CAST((intra_edges * 1000000) // greatest(m_edges, 1) - sq
+         |    AS BIGINT) AS modularity_ppm
+         |FROM st, cm, nn""".stripMargin,
     // both half-steps of every round unrolled, with the same
     // max-div renormalization in exact integer arithmetic
     "graph_hits_bipartite" -> {

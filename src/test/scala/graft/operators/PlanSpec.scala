@@ -374,6 +374,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(3000))
   }
 
+  test("graph_lpa_modularity rollup: map-side combined, no window, no cartesian blowup") {
+    val plan = planOf(Graph.lpaModularity(spark, dir))
+    // the quality rollup after the LPA rounds is two label joins
+    // aggregated to single rows plus a community-bounded degree
+    // aggregate — map-side combined, never a window; the only cross
+    // joins are 1-row scalar assemblies (BroadcastNestedLoop on a
+    // single-row side), never a corpus-sized cartesian
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("every ANN ranker partial-combines; no window sort of candidates") {
     for (q <- Seq(Similarity.bruteForceTopK _, Similarity.lshTopK _,
                   Similarity.ivfTopK _)) {
