@@ -524,7 +524,11 @@ object Graph {
     * and each extra synchronous round floods labels one hop further
     * toward the giant-component collapse every LPA paper warns about —
     * fixed R is both the parity contract with the unrolled oracle and
-    * the semantic dial. */
+    * the semantic dial. MEASURED (BASELINE.md round-17 sweep): both
+    * test corpora collapse to ONE community by R=4, and the modularity
+    * peak moves with graph density (R=3 on sf0.01, R=2 on sf0.1) — R
+    * is corpus-dependent, and [[lpaModularity]] is the instrument for
+    * picking it. */
   val LPA_ROUNDS = 3
 
   /** Measurement knob mirroring [[TextAnalysis.bpeRounds]]: lets
