@@ -10,6 +10,17 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Measurement-knob guard: these env vars change GATED query
+    // semantics (round counts) for BenchOne/Verify sweep experiments;
+    // a full Bench with one still exported would time the altered
+    // plans against frozen floors measured at the gate anchors and
+    // report a bogus regression with nothing in the artifact saying
+    // why. Fail fast instead — sweeps belong in BenchOne.
+    val knobs = Seq("SPARK_GRAFT_BPE_ROUNDS", "SPARK_GRAFT_LPA_ROUNDS")
+      .filter(sys.env.contains)
+    require(knobs.isEmpty,
+      s"refusing full Bench with measurement knob(s) set: " +
+        s"${knobs.mkString(", ")} — unset them (sweeps use BenchOne)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Partitions scale with DATA, cores with the box (see BenchOne /

@@ -67,10 +67,9 @@ object BenchScale {
     // graph scale (the r15 giveaway: connected_components ran 100×
     // FASTER than 10×). With node blocks the replicas are disjoint
     // subgraphs — node and edge counts both grow K×, the honest graph
-    // decade. Caveat recorded in SCALING.md: operators that tag node
-    // KIND by the fixed SUPPLIER_OFFSET=1e6 boundary mislabel
-    // replica ≥ 1 ids (cosmetic for perf rows; the oracle gate never
-    // runs on replica dirs).
+    // decade. (The r16 caveat about boundary-based KIND mislabeling
+    // is closed: graph outputs now derive kind from supplier-dim
+    // membership, audited at 10× in SCALING.md round-17.)
     val nodeShift = sys.env.get("SPARK_GRAFT_KEY_SHIFT").contains("nodes")
     def ns(i: Int): Long = if (nodeShift) i * 10000000L else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -162,7 +161,16 @@ object BenchScale {
     val sufMode = sys.env.get("SPARK_GRAFT_DOC_SUFFIX")
     val plain = sufMode.contains("none")
     val vocabX: Option[Int] = sufMode
-      .filter(_.startsWith("vocab:")).map(_.stripPrefix("vocab:").toInt)
+      .filter(_.startsWith("vocab:")).map { m =>
+        val s = m.stripPrefix("vocab:").toInt
+        // two lowercase letters encode the suffix, so S must fit 26²
+        // (and be positive) or the enriched words silently fail the
+        // ^[a-z]+$ pre-tokenizer — the exact silent mismeasurement
+        // this mode exists to prevent
+        require(s >= 1 && s <= 676,
+          s"SPARK_GRAFT_DOC_SUFFIX=vocab:S needs 1 <= S <= 676, got $s")
+        s
+      }
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
     (0 until k).map { i =>

@@ -42,12 +42,21 @@ object Graph {
     * customers at k·10M ≥ the offset, so a fixed-boundary test
     * misclassifies them as suppliers (and inflated the r16 pagerank
     * decade's output accounting, VERDICT r16 "what's wrong" #2). A
-    * membership join against the supplier dim is exact at ANY key
-    * universe: TPC-H referential integrity guarantees every l_suppkey
-    * exists in supplier, and the replicas shift facts and dims
-    * together. The dim is broadcastable at every SF
-    * ([[Tables.broadcastable]]), so each use is one broadcast-hash
-    * join — no extra shuffle. */
+    * membership join against the supplier dim applies the same rule
+    * at any key universe: TPC-H referential integrity guarantees
+    * every l_suppkey exists in supplier, and the replicas shift
+    * facts and dims together. The DuckDB oracles label kind by the
+    * IDENTICAL membership subquery (`node IN (SELECT s_suppkey +
+    * offset FROM supplier)`), so the engines agree wherever the
+    * encoding itself is sound. The residual limit is the NODE-ID
+    * ENCODING, not the labeling: `suppkey + SUPPLIER_OFFSET` assumes
+    * the customer (or part) key space stays disjoint from the
+    * shifted supplier space — at TPC-H SF ≳ 7 a custkey can equal
+    * suppkey + 1e6 and the two entities would share one node id on
+    * BOTH engines. A deployment at that scale raises the offset (one
+    * constant; oracles interpolate it). The dim is broadcastable at
+    * every SF ([[Tables.broadcastable]]), so each use is one
+    * broadcast-hash join — no extra shuffle. */
   private def supplierNodes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     broadcast(Tables(s, dir, "supplier")
@@ -745,7 +754,8 @@ object Graph {
          |  UNION SELECT DISTINCT dst FROM h)),
          |$rounds
          |SELECT node AS node_id, lab AS component_id,
-         |  CASE WHEN node >= $SUPPLIER_OFFSET THEN 'supplier'
+         |  CASE WHEN node IN (SELECT s_suppkey + $SUPPLIER_OFFSET
+         |      FROM supplier) THEN 'supplier'
          |    ELSE 'customer' END AS kind
          |FROM l$CC_ROUNDS ORDER BY node_id""".stripMargin
     },
@@ -755,7 +765,8 @@ object Graph {
     "graph_label_communities" ->
       s"""$lpaRoundsWith
          |SELECT node AS node_id, lbl AS community_id,
-         |  CASE WHEN node >= $SUPPLIER_OFFSET THEN 'supplier'
+         |  CASE WHEN node IN (SELECT s_suppkey + $SUPPLIER_OFFSET
+         |      FROM supplier) THEN 'supplier'
          |    ELSE 'customer' END AS kind
          |FROM l$LPA_ROUNDS ORDER BY node_id""".stripMargin,
     // same unrolled LPA rounds, then the identical permille-quantized
@@ -852,9 +863,11 @@ object Graph {
          |e0 AS (SELECT src, dst FROM half
          |       UNION ALL SELECT dst, src FROM half),
          |${(1 to KCORE_ROUNDS).map(round).mkString(",\n")}
-         |SELECT CASE WHEN src >= $SUPPLIER_OFFSET THEN 'supplier'
+         |SELECT CASE WHEN src IN (SELECT s_suppkey + $SUPPLIER_OFFSET
+         |      FROM supplier) THEN 'supplier'
          |    ELSE 'customer' END AS kind,
-         |  CAST(CASE WHEN src >= $SUPPLIER_OFFSET
+         |  CAST(CASE WHEN src IN (SELECT s_suppkey + $SUPPLIER_OFFSET
+         |      FROM supplier)
          |    THEN src - $SUPPLIER_OFFSET ELSE src END AS BIGINT) AS id,
          |  CAST(count(*) AS BIGINT) AS residual_deg
          |FROM e$KCORE_ROUNDS GROUP BY 1, 2 ORDER BY kind, id""".stripMargin
@@ -947,9 +960,11 @@ object Graph {
          |${(1 to BFS_HOPS).map(h =>
             bfsLayerSql(s"f${h - 1}", s"a${h - 1}", s"f$h", s"a$h", h))
           .mkString(",\n")}
-         |SELECT CASE WHEN node >= $SUPPLIER_OFFSET
+         |SELECT CASE WHEN node IN (SELECT s_suppkey + $SUPPLIER_OFFSET
+         |      FROM supplier)
          |    THEN 'supplier' ELSE 'part' END AS kind,
-         |  CAST(CASE WHEN node >= $SUPPLIER_OFFSET
+         |  CAST(CASE WHEN node IN (SELECT s_suppkey + $SUPPLIER_OFFSET
+         |      FROM supplier)
          |    THEN node - $SUPPLIER_OFFSET ELSE node END AS BIGINT) AS id,
          |  CAST(dist AS INT) AS dist
          |FROM a$BFS_HOPS ORDER BY kind, id""".stripMargin,
@@ -968,7 +983,8 @@ object Graph {
          |${iterSql("r2", "c3", "r3")}
          |SELECT CAST(node - $SUPPLIER_OFFSET AS BIGINT) AS s_suppkey,
          |  r AS rank_ppm
-         |FROM r3 WHERE node >= $SUPPLIER_OFFSET
+         |FROM r3 WHERE node IN (SELECT s_suppkey + $SUPPLIER_OFFSET
+         |  FROM supplier)
          |ORDER BY s_suppkey""".stripMargin,
   )
 }

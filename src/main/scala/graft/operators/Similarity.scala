@@ -27,8 +27,8 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private val K = 5
-  private val N_QUERIES = 10
+  private[operators] val K = 5
+  private[operators] val N_QUERIES = 10
   // 16-bit sketch (65536 buckets) + Hamming ≤ 2 multi-probe: queries
   // probe 1 + 16 + 120 = 137 buckets. vs the old single-probe 8-bit
   // sketch this is ~2× less join volume at scale (137/65536 of the

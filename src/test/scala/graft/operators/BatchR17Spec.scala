@@ -18,10 +18,16 @@ class BatchR17Spec extends AnyFunSuite {
   private def lpaReplay(
       und: Set[(Long, Long)], rounds: Int): Map[Long, Long] = {
     val nodes = und.flatMap(e => Seq(e._1, e._2))
+    // adjacency once, O(edges) — not a full edge-set scan per node
+    // per round (the fixture is small, but the replay shouldn't be
+    // the slow part of the suite)
+    val adj = und.toSeq.groupBy(_._1)
+      .map { case (a, es) => a -> es.map(_._2) }
+      .withDefaultValue(Seq.empty[Long])
     var lbl = nodes.map(n => n -> n).toMap
     (1 to rounds).foreach { _ =>
       lbl = nodes.map { n =>
-        val votes = und.toSeq.collect { case (a, b) if a == n => lbl(b) }
+        val votes = adj(n).map(lbl)
         val tally = (votes :+ lbl(n)).groupBy(identity)
           .map { case (l, v) => (l, v.size.toLong) }
         n -> tally.toSeq.minBy { case (l, c) => (-c, l) }._1
@@ -146,10 +152,12 @@ class BatchR17Spec extends AnyFunSuite {
     assert(got.keySet == expected.keySet)
     expected.foreach { case (q, hits) =>
       assert(got(q)._1 == hits, s"query $q hits")
-      assert(got(q)._2 == hits * 1000000L / 5L, s"query $q ppm")
+      assert(got(q)._2 == hits * 1000000L / Similarity.K, s"query $q ppm")
     }
-    // every query is covered and bounded
-    assert(got.size == 10 && got.values.forall(_._1 <= 5L))
+    // every query is covered and bounded (constants from the operator,
+    // so a retune of K/N_QUERIES can't silently desync this spec)
+    assert(got.size == Similarity.N_QUERIES &&
+      got.values.forall(_._1 <= Similarity.K.toLong))
   }
 
   test("LPA modularity: single-community partition scores exactly zero") {
