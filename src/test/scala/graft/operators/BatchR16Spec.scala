@@ -19,10 +19,15 @@ class BatchR16Spec extends AnyFunSuite {
   private def lpaReplay(
       und: Set[(Long, Long)], rounds: Int): Map[Long, Long] = {
     val nodes = und.flatMap(e => Seq(e._1, e._2))
+    // adjacency once, O(edges) — not a full edge-set scan per node
+    // per round (same shape as the BatchR17Spec replay)
+    val adj = und.toSeq.groupBy(_._1)
+      .map { case (a, es) => a -> es.map(_._2) }
+      .withDefaultValue(Seq.empty[Long])
     var lbl = nodes.map(n => n -> n).toMap
     (1 to rounds).foreach { _ =>
       lbl = nodes.map { n =>
-        val votes = und.toSeq.collect { case (a, b) if a == n => lbl(b) }
+        val votes = adj(n).map(lbl)
         val tally = (votes :+ lbl(n)).groupBy(identity)
           .map { case (l, v) => (l, v.size.toLong) }
         n -> tally.toSeq.minBy { case (l, c) => (-c, l) }._1
