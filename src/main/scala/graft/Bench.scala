@@ -139,18 +139,15 @@ object Bench {
       .withDefaultValue(Nil)
     val repErrs = scala.collection.mutable.Map[String, String]()
     def runRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-      // Gate-run measurement honesty (round-17): the BPE merge memo
-      // exists so encode consumes the table train produces
-      // (train-once-encode-everywhere) — but alphabetical order runs
-      // text_bpe_encode FIRST, so without this clear the train row's
-      // timed reps measure a memo HIT (~0.06 s against a ~1.8 s
-      // frozen floor). Clear it for the TRAIN row only, exactly as
-      // BenchOne does for isolated floors: train re-pays training
-      // every rep (and repopulates the memo, so the next pass's
-      // encode still measures the production
-      // encode-from-persisted-table path).
-      if (name == "text_bpe_train")
-        graft.operators.TextAnalysis.clearBpeMemo()
+      // Gate-run measurement honesty (round-17): a key with a
+      // registered pre-rep reset must re-pay its memoized work every
+      // timed rep (e.g. text_bpe_train's merge memo exists so encode
+      // consumes the trained table — but alphabetical order runs
+      // encode FIRST, so without the reset the train row measures a
+      // ~0.06 s memo HIT against a ~1.8 s frozen floor). Resets live
+      // in SparkEntry.benchPreRep next to the query registrations, so
+      // a renamed key can't silently orphan a name literal here.
+      SparkEntry.benchPreRep.get(name).foreach(_.apply())
       val t0 = System.nanoTime()
       try {
         BenchExec.materialize(fn(spark, sfDir))

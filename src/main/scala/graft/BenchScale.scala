@@ -159,6 +159,14 @@ object BenchScale {
     // with enough merge capacity that K=128 truly executes 128 rounds.
     if (only("documents")) {
     val sufMode = sys.env.get("SPARK_GRAFT_DOC_SUFFIX")
+    // fail fast on typos (vocab=128, Vocab:128, ...): an unrecognized
+    // mode silently falling through to the default _i suffixes would
+    // hand a tokenizer decade the corpus whose words fail the
+    // ^[a-z]+$ pre-tokenizer — the silent mismeasurement class the
+    // vocab mode exists to prevent
+    require(sufMode.forall(m => m == "none" || m.startsWith("vocab:")),
+      s"SPARK_GRAFT_DOC_SUFFIX must be 'none' or 'vocab:S', got " +
+        s"'${sufMode.get}'")
     val plain = sufMode.contains("none")
     val vocabX: Option[Int] = sufMode
       .filter(_.startsWith("vocab:")).map { m =>

@@ -27,6 +27,15 @@ object SparkEntry {
       Maintenance.queries ++ Cdc.queries ++ Incremental.queries ++
       Sketches.queries ++ Graph.queries ++ Retrieval.queries ++ Quality.queries
 
+  /** Per-query pre-rep resets for benchmark honesty: a timed rep of a
+    * key listed here must first drop the named memo so it re-pays the
+    * work the memo exists to share with OTHER keys (train-once →
+    * encode-everywhere). Declared next to the operator that owns the
+    * memo ([[TextAnalysis.benchPreRep]]) so a key rename updates the
+    * reset with it; consumed by [[Bench]] before each timed rep. */
+  def benchPreRep: Map[String, () => Unit] =
+    TextAnalysis.benchPreRep
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -630,7 +630,8 @@ object Graph {
     *
     * Scale shape: rides [[lpaCore]]'s O(R) shuffles, then ONE extra
     * pass over the checkpointed half-edge relation (a two-sided label
-    * join aggregated to a single row — map-side combined) plus a
+    * join aggregated to a single row — map-side combined, the 1-row
+    * result checkpointed so its two consumers share one pass) plus a
     * label⋈degree aggregate whose output is bounded by the community
     * count. No corpus-sized state, no window, no driver collect beyond
     * 1-row scalars. A single-community partition scores exactly 0
@@ -650,7 +651,18 @@ object Graph {
       .groupBy($"node").agg(count(lit(1)).as("deg"))
     val dc = lab.join(deg, "node")
       .groupBy($"lbl").agg(sum($"deg").as("dc"))
-    val comm = dc.crossJoin(stats.select($"m_edges".as("m2")))
+    // the 2m denominator does NOT need the label-joined relation:
+    // labels cover every node (lpaCore's self-vote union keeps the
+    // full node set each round), so the two inner joins in `stats`
+    // are 1:1 on edges and m_edges = count(half). Taking m2 from the
+    // checkpointed half directly keeps `stats` (the expensive
+    // edge⋈label⋈label pass) a SINGLE subtree in the final plan —
+    // referencing stats here would duplicate that pass (pruned
+    // subplans differ, ReuseExchange can't dedupe), and a 1-row
+    // localCheckpoint would serialize a job boundary that measured
+    // ~+1 s against the overlap it removes (BASELINE.md round-17)
+    val m2 = half.agg(count(lit(1)).as("m2"))
+    val comm = dc.crossJoin(m2)
       .select(expr("(1000 * dc) div (2 * greatest(m2, 1))").as("qc"))
       .agg(count(lit(1)).as("n_communities"),
         sum($"qc" * $"qc").as("sq"))

@@ -883,6 +883,16 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Benchmark pre-rep resets (consumed via [[SparkEntry.benchPreRep]]):
+    * `text_bpe_train` must re-pay training on every timed rep — the
+    * merge memo exists so `text_bpe_encode` consumes the table train
+    * produces, not so train's own bench row measures a memo hit.
+    * Declared HERE, next to the queries map, so a key rename updates
+    * the reset with it instead of silently orphaning a name literal
+    * inside the bench harness. */
+  val benchPreRep: Map[String, () => Unit] = Map(
+    "text_bpe_train" -> (() => clearBpeMemo()))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_boilerplate_prefix" -> (boilerplatePrefix _),
     "text_ngram_novelty" -> (ngramNovelty _),

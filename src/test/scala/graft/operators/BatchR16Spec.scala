@@ -12,29 +12,10 @@ class BatchR16Spec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.session
   private val sf = "/root/testdata/sf0.001"
 
-  /** Plain-Scala synchronous LPA replay: per round every node adopts
-    * the most frequent label among neighbors + self, ties toward the
-    * smallest label — the exact update [[Graph.labelCommunities]]
-    * declares relationally. */
+  /** Shared plain-Scala synchronous LPA replay — see [[LpaReplay]]. */
   private def lpaReplay(
-      und: Set[(Long, Long)], rounds: Int): Map[Long, Long] = {
-    val nodes = und.flatMap(e => Seq(e._1, e._2))
-    // adjacency once, O(edges) — not a full edge-set scan per node
-    // per round (same shape as the BatchR17Spec replay)
-    val adj = und.toSeq.groupBy(_._1)
-      .map { case (a, es) => a -> es.map(_._2) }
-      .withDefaultValue(Seq.empty[Long])
-    var lbl = nodes.map(n => n -> n).toMap
-    (1 to rounds).foreach { _ =>
-      lbl = nodes.map { n =>
-        val votes = adj(n).map(lbl)
-        val tally = (votes :+ lbl(n)).groupBy(identity)
-          .map { case (l, v) => (l, v.size.toLong) }
-        n -> tally.toSeq.minBy { case (l, c) => (-c, l) }._1
-      }.toMap
-    }
-    lbl
-  }
+      und: Set[(Long, Long)], rounds: Int): Map[Long, Long] =
+    LpaReplay(und, rounds)
 
   test("label communities: planted two-hub graph keeps its hubs apart") {
     import spark.implicits._

@@ -13,28 +13,10 @@ class BatchR17Spec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.session
   private val sf = "/root/testdata/sf0.001"
 
-  /** Plain-Scala synchronous LPA replay (same rule as BatchR16Spec):
-    * most frequent label among neighbors + self, ties to smallest. */
+  /** Shared plain-Scala synchronous LPA replay — see [[LpaReplay]]. */
   private def lpaReplay(
-      und: Set[(Long, Long)], rounds: Int): Map[Long, Long] = {
-    val nodes = und.flatMap(e => Seq(e._1, e._2))
-    // adjacency once, O(edges) — not a full edge-set scan per node
-    // per round (the fixture is small, but the replay shouldn't be
-    // the slow part of the suite)
-    val adj = und.toSeq.groupBy(_._1)
-      .map { case (a, es) => a -> es.map(_._2) }
-      .withDefaultValue(Seq.empty[Long])
-    var lbl = nodes.map(n => n -> n).toMap
-    (1 to rounds).foreach { _ =>
-      lbl = nodes.map { n =>
-        val votes = adj(n).map(lbl)
-        val tally = (votes :+ lbl(n)).groupBy(identity)
-          .map { case (l, v) => (l, v.size.toLong) }
-        n -> tally.toSeq.minBy { case (l, c) => (-c, l) }._1
-      }.toMap
-    }
-    lbl
-  }
+      und: Set[(Long, Long)], rounds: Int): Map[Long, Long] =
+    LpaReplay(und, rounds)
 
   /** Plain-Scala replay of the operator's quantized modularity rollup:
     * q_c = 1000·d_c / 2m (integer), Q_ppm = 10⁶·intra/m − Σ q_c². */
