@@ -104,6 +104,15 @@ object Dedup {
     // silently losing qualifying pairs from the GROUND-TRUTH output
     val sets = shingleSets(s, dir).toDF("doc_id", "ss")
       .select($"doc_id", $"ss", size($"ss").as("n"))
+      // materialize ONCE: `sets` feeds the self-joined prefix relation
+      // AND both verification re-joins — four consumers whose pruned
+      // subplans differ, so ReuseExchange can't dedupe and the per-doc
+      // shingle map (hash+sort+dedup, the dominant CPU) would run 4×
+      // per invocation (plan-audited round-17; the lpaModularity
+      // duplicated-subtree class). One persisted pass beats four
+      // recomputes at every scale — same call the graph family makes
+      // for its half-edge relation
+      .localCheckpoint()
     // prefix length = n - ceil(t·n) + 1 = n - ((4n+4) div 5) + 1, exact
     val pref = sets.select($"doc_id", $"n",
       explode(expr(
@@ -145,6 +154,10 @@ object Dedup {
     import s.implicits._
     val sets = shingleSets(s, dir).toDF("doc_id", "ss")
       .select($"doc_id", $"ss", size($"ss").as("n"))
+      // materialize ONCE — probe + inverted index + two verify
+      // re-joins would otherwise re-run the shingle map 4× (see the
+      // ngramJaccardPairs note)
+      .localCheckpoint()
     // probe side: t = 4/5 prefix, exact integer length (q.v. the
     // jaccard prefix-math comment — double 0.2·n under-counts)
     val probe = sets.select($"doc_id".as("da"), $"ss".as("ssa"),

@@ -1,0 +1,28 @@
+package graft
+
+/** Scratch plan auditor (not part of the suite): prints per-query
+  * counts of parquet scans and exchanges in the executed plan, to
+  * spot duplicated heavy subtrees (the lpaModularity class). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.001"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val keys = args.toSeq
+    keys.foreach { k =>
+      try {
+        val df = SparkEntry.queries(k)(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
+        def c(s: String) = s.r.findAllIn(plan).length
+        println(f"$k%-28s scans=${c("Scan parquet")}%2d reusedScan=${c("ReusedExchange")}%2d exch=${c("Exchange")}%3d aggs=${c("HashAggregate|SortAggregate|ObjectHashAggregate")}%3d joins=${c("Join")}%3d")
+      } catch { case e: Throwable => println(s"$k ERR ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+}
