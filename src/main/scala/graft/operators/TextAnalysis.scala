@@ -222,6 +222,11 @@ object TextAnalysis {
     val tok = Tables(s, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("term"))
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      // materialize ONCE: tf feeds both the df rollup and the final
+      // join; the pruned subplans differ, so without this the
+      // tokenize+shuffle aggregate over every token runs twice per
+      // invocation (the round-17 duplicated-subtree class)
+      .localCheckpoint()
     // tf rows are distinct (doc, term), so df = row count per term
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id")

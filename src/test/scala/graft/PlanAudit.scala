@@ -20,7 +20,12 @@ object PlanAudit {
         val df = SparkEntry.queries(k)(spark, dir)
         val plan = df.queryExecution.executedPlan.toString
         def c(s: String) = s.r.findAllIn(plan).length
-        println(f"$k%-28s scans=${c("Scan parquet")}%2d reusedScan=${c("ReusedExchange")}%2d exch=${c("Exchange")}%3d aggs=${c("HashAggregate|SortAggregate|ObjectHashAggregate")}%3d joins=${c("Join")}%3d")
+        val tables = "documents|embeddings|orders|lineitem|customer|supplier|part|nation|region|events".r
+        val perTable = "Scan parquet[^\\n]*".r.findAllIn(plan)
+          .flatMap(l => tables.findFirstIn(l)).toSeq
+          .groupBy(identity).map { case (t0, v) => s"$t0:${v.size}" }
+          .toSeq.sorted.mkString(",")
+        println(f"$k%-28s scans=${c("Scan parquet")}%2d reusedScan=${c("ReusedExchange")}%2d exch=${c("Exchange")}%3d aggs=${c("HashAggregate|SortAggregate|ObjectHashAggregate")}%3d joins=${c("Join")}%3d  [$perTable]")
       } catch { case e: Throwable => println(s"$k ERR ${e.getMessage.take(80)}") }
     }
     spark.stop()
