@@ -354,6 +354,15 @@ object Bench {
     outFile.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(json) finally w.close()
+    // Second copy at a COMMITTED path (r17 verdict #5): target/ is
+    // git-ignored and overwritten, and the driver's stdout tail-capture
+    // has self-parsed to null five rounds running — so the gate run's
+    // own JSON must land somewhere the end-of-round auto-commit picks
+    // up. Every full Bench run refreshes it; the last writer before a
+    // round's commit is the driver's gate run itself.
+    val gateCopy = new java.io.File("BENCH_gate_latest.json")
+    val w2 = new java.io.PrintWriter(gateCopy, "UTF-8")
+    try w2.println(json) finally w2.close()
     println(json)
     println(s"BENCH_JSON_FILE=${outFile.getAbsolutePath}")
     spark.stop()

@@ -25,7 +25,12 @@ object PlanAudit {
           .flatMap(l => tables.findFirstIn(l)).toSeq
           .groupBy(identity).map { case (t0, v) => s"$t0:${v.size}" }
           .toSeq.sorted.mkString(",")
-        println(f"$k%-28s scans=${c("Scan parquet")}%2d reusedScan=${c("ReusedExchange")}%2d exch=${c("Exchange")}%3d aggs=${c("HashAggregate|SortAggregate|ObjectHashAggregate")}%3d joins=${c("Join")}%3d  [$perTable]")
+        // exch must not double-count reuse markers: the bare "Exchange"
+        // pattern also matches inside every "ReusedExchange" occurrence,
+        // so subtract — and the reuse column is named for what it counts
+        // (ReusedExchange nodes), not "reused scans" (ADVICE r17)
+        val reusedExch = c("ReusedExchange")
+        println(f"$k%-28s scans=${c("Scan parquet")}%2d reusedExch=$reusedExch%2d exch=${c("Exchange") - reusedExch}%3d aggs=${c("HashAggregate|SortAggregate|ObjectHashAggregate")}%3d joins=${c("Join")}%3d  [$perTable]")
       } catch { case e: Throwable => println(s"$k ERR ${e.getMessage.take(80)}") }
     }
     spark.stop()
