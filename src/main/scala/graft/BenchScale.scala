@@ -137,33 +137,37 @@ object BenchScale {
     }
 
     // SPARK_GRAFT_DOC_SUFFIX=none: replicate documents VERBATIM (ids
-    // still shifted). The default per-replica word suffix exists so
+    // still shifted) — the vocabulary-shaped decade (vocab constant,
+    // freq ×K). The default per-replica "_i" word suffix exists so
     // dedup decades don't degenerate into cross-replica exact-dup
-    // cliques — but it breaks vocabulary-shaped workloads: suffixed
-    // words fail bpeTrain's ^[a-z]+$ pre-tokenization (and zero the
-    // stopword scores), so a suffixed decade would measure a corpus
-    // whose frequency mass DOESN'T grow with K. For those, exact
-    // duplication is the honest decade (vocab constant, freq ×K).
+    // cliques, but it breaks vocabulary-shaped workloads: under the
+    // r18 boundary-complete pre-tokenizer the suffixed words all
+    // TRAIN (no more ^[a-z]+$ drop), so a suffixed decade measures a
+    // corpus whose VOCABULARY grows K× instead of its frequency
+    // mass — a different (and for tokenizer decades, wrong) scaling
+    // axis. DOC_SUFFIX=none remains the honest tokenizer decade.
     //
     // SPARK_GRAFT_DOC_SUFFIX=vocab:<S>: vocabulary ENRICHMENT for
-    // high-K tokenizer decades (r16 verdict #5 — the base corpus has
-    // only 31 distinct words, so the BPE trainer exhausts at 89
-    // merges and a "K=128 decade" measures 89 rounds). Each word
-    // occurrence gets one of S two-LETTER suffixes chosen by a
-    // deterministic hash of (original doc_id, word position) — still
-    // matching the ^[a-z]+$ pre-tokenizer — multiplying the
-    // vocabulary up to 31·S words. The suffix depends on the ORIGINAL
-    // row, never the replica index, so every replica carries the
-    // identical text: vocab stays CONSTANT across decades (freq ×K),
-    // exactly the vocabulary-shaped decade DOC_SUFFIX=none measures,
-    // with enough merge capacity that K=128 truly executes 128 rounds.
+    // high-K tokenizer decades (r16 verdict #5). Historical note: the
+    // OLD ^[a-z]+$ pre-tokenizer exhausted the 31-word base corpus at
+    // 89 merges, so K=128 needed enrichment; the r18 boundary-complete
+    // pre-tokenizer (BOW/EOW markers) lifts the real corpus's capacity
+    // to 144 merges and K=128 decades now run UNENRICHED
+    // (DOC_SUFFIX=none). The mode is kept for larger-vocab sweeps.
+    // Each word occurrence gets one of S two-LETTER suffixes chosen
+    // by a deterministic hash of (original doc_id, word position),
+    // multiplying the vocabulary up to 31·S words. The suffix depends
+    // on the ORIGINAL row, never the replica index, so every replica
+    // carries the identical text: vocab stays CONSTANT across decades
+    // (freq ×K), exactly the vocabulary-shaped decade DOC_SUFFIX=none
+    // measures.
     if (only("documents")) {
     val sufMode = sys.env.get("SPARK_GRAFT_DOC_SUFFIX")
     // fail fast on typos (vocab=128, Vocab:128, ...): an unrecognized
     // mode silently falling through to the default _i suffixes would
-    // hand a tokenizer decade the corpus whose words fail the
-    // ^[a-z]+$ pre-tokenizer — the silent mismeasurement class the
-    // vocab mode exists to prevent
+    // hand a tokenizer decade a corpus whose VOCABULARY grows with K
+    // (replica-index suffixes) instead of its frequency mass — the
+    // silent mismeasurement class the vocab mode exists to prevent
     require(sufMode.forall(m => m == "none" || m.startsWith("vocab:")),
       s"SPARK_GRAFT_DOC_SUFFIX must be 'none' or 'vocab:S', got " +
         s"'${sufMode.get}'")
@@ -172,9 +176,9 @@ object BenchScale {
       .filter(_.startsWith("vocab:")).map { m =>
         val s = m.stripPrefix("vocab:").toInt
         // two lowercase letters encode the suffix, so S must fit 26²
-        // (and be positive) or the enriched words silently fail the
-        // ^[a-z]+$ pre-tokenizer — the exact silent mismeasurement
-        // this mode exists to prevent
+        // (and be positive) for the suffix alphabet to stay injective —
+        // an out-of-range S would alias suffixes and silently shrink
+        // the enriched vocabulary below the advertised 31·S
         require(s >= 1 && s <= 676,
           s"SPARK_GRAFT_DOC_SUFFIX=vocab:S needs 1 <= S <= 676, got $s")
         s

@@ -566,13 +566,85 @@ object TextAnalysis {
     * delimiter — left-to-right `replace` is then EXACTLY greedy BPE
     * merge application, bit-identical between Spark and DuckDB (the
     * oracle replays all K rounds unrolled, generated by the same
-    * Scala loop). Words are restricted to `^[a-z]+$` (standard
-    * pre-tokenization; also keeps the delimiter out of the data). */
+    * Scala loop).
+    *
+    * Pre-tokenization is BOUNDARY-COMPLETE over the FULL corpus
+    * alphabet (r17 verdict #1 — the old `^[a-z]+$` filter silently
+    * dropped every word with a digit, punctuation mark, or non-ASCII
+    * character): words are whitespace-split, every word carries the
+    * [[BPE_EOW]] end-of-word marker (Sennrich 2016's `</w>`), and
+    * every word PRECEDED BY A SPACE carries the [[BPE_BOW]]
+    * space-attachment marker (SentencePiece's `▁`), so merges can
+    * learn word-initial and word-final units like real tokenizers do.
+    * The wire delimiters `|` and `#` are canonicalized to
+    * U+0001/U+0002 first ([[BPE_WIRE_ESC_FROM]]) — a lossless escape
+    * for any corpus that doesn't itself use those two control
+    * characters as data (see the constant's scaladoc for the bound).
+    * Symbols are Unicode CODE POINTS (Spark's split("") and DuckDB's
+    * per-character indexing both operate per code point — the
+    * charEntropy unicode contract, BatchR16Spec), and all tie-breaks
+    * compare UTF-8 BYTES ([[utf8Cmp]]) so the driver-side argmax
+    * matches both engines' binary collation on any alphabet. */
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     bpeMerges(s, dir, bpeRounds)
       .toDF("merge_round", "pa", "pb", "merged", "n")
       .orderBy($"merge_round")
+  }
+
+  /** Wire-delimiter escape for the BPE symbol encoding: `|` and `#`
+    * in corpus text are canonicalized to U+0001/U+0002 before
+    * symbolization (both engines via `translate`), so the `||` token
+    * delimiter and the `#` word joiner can never collide with data.
+    * Bound: a corpus that uses U+0001/U+0002 THEMSELVES as data
+    * (C0 control characters — absent from any printable text) would
+    * collapse those into the same symbol classes as |/#; that is the
+    * entire caveat, and it is the same disclosed-encoding-limit shape
+    * as the graph family's node-id disjointness note. */
+  val BPE_WIRE_ESC_FROM = "|#"
+  /** @see [[BPE_WIRE_ESC_FROM]] */
+  val BPE_WIRE_ESC_TO = "\u0001\u0002"
+  /** Space-attachment marker (SentencePiece `▁` analog): prefixed to
+    * every word PRECEDED by a space, so doc-initial and mid-doc word
+    * occurrences are distinct forms and merges can learn
+    * word-initial units. U+0003 keeps it one code point, out of any
+    * printable corpus, and below all printable bytes in UTF-8 order. */
+  val BPE_BOW = "\u0003"
+  /** End-of-word marker (Sennrich `</w>` analog): suffixed to every
+    * word, so merges can learn word-final units. */
+  val BPE_EOW = "\u0004"
+
+  /** Unsigned UTF-8 byte-order comparison — the collation BOTH
+    * engines use for the merge tie-break: Spark's UTF8String compares
+    * raw UTF-8 bytes and DuckDB's default collation is binary memcmp,
+    * while Java's String.compareTo orders by UTF-16 code unit
+    * (diverging on supplementary characters). The driver-side argmax
+    * must match the engines, not the JVM. */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var c = 0
+    while (i < n && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (c != 0) c else x.length - y.length
+  }
+
+  /** The boundary-complete word-form relation both BPE entry points
+    * symbolize: delimiter-escaped, whitespace-split, empty tokens
+    * dropped, [[BPE_BOW]]-prefixed when space-preceded,
+    * [[BPE_EOW]]-suffixed always. Column `word` is the form string;
+    * one row per word OCCURRENCE (callers aggregate). */
+  private def bpeWordForms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(posexplode(split(
+        translate($"text", BPE_WIRE_ESC_FROM, BPE_WIRE_ESC_TO), " "))
+        .as(Seq("pos", "word")))
+      .filter($"word" =!= "")
+      .select(concat(
+        when($"pos" > 0, lit(BPE_BOW)).otherwise(lit("")),
+        $"word", lit(BPE_EOW)).as("word"))
   }
 
   /** Trained-merge memo for [[bpeMerges]] — keyed by (canonical data
@@ -602,16 +674,19 @@ object TextAnalysis {
     *
     * The pair-count state lives on the DRIVER, and that is a
     * scale-safe choice, not a shortcut: its size is bounded by pair
-    * TYPES, not corpus or vocab size — the `^[a-z]+$` pre-tokenization
-    * starts from a 26-symbol alphabet (≤ 676 initial pair types at ANY
-    * corpus scale), and each merge adds one symbol whose adjacent-pair
-    * types arrive through the round's delta, so after K rounds the map
-    * holds O(676 + K·avg_new_types) entries — tens of thousands at a
-    * real 32 k-merge vocab, kilobytes here. Each round is then exactly
-    * one Spark job (the delta aggregate, collected), the argmax is a
-    * local map scan with the same (-n, pa, pb) tie-break as the frozen
-    * SQL ordering (lowercase-ASCII symbols make Scala and UTF8String
-    * comparisons agree), and the vocab stays a lazy chain of codegen'd
+    * TYPES, not corpus or vocab size — the initial alphabet is the
+    * corpus's distinct CODE POINTS plus the two boundary markers, a
+    * property of the language/script (hundreds for alphabetic text,
+    * low tens of thousands for CJK), NOT of data volume, so initial
+    * pair types are alphabet² at any corpus scale and each merge adds
+    * one symbol whose adjacent-pair types arrive through the round's
+    * delta. After K rounds the map holds O(alphabet² + K·avg_new_types)
+    * entries — tens of thousands at a real 32 k-merge vocab, kilobytes
+    * here. Each round is then exactly one Spark job (the delta
+    * aggregate, collected), the argmax is a local map scan with the
+    * frozen SQL ordering's (-n, pa, pb) tie-break compared in UTF-8
+    * BYTES ([[utf8Cmp]] — the collation UTF8String and DuckDB share
+    * on ANY alphabet), and the vocab stays a lazy chain of codegen'd
     * literal `replace`s re-checkpointed every [[BPE_VOCAB_CKPT_EVERY]]
     * rounds to keep lineage flat at high K. Exactness: maintained
     * counts equal a full recount by signed-multiset algebra, so the
@@ -631,9 +706,7 @@ object TextAnalysis {
   private def trainMerges(s: SparkSession, dir: String, rounds: Int)
       : Vector[(Long, String, String, String, Long)] = {
     import s.implicits._
-    var vocab = Tables(s, dir, "documents")
-      .select(explode(split($"text", " ")).as("word"))
-      .filter($"word".rlike("^[a-z]+$"))
+    var vocab = bpeWordForms(s, dir)
       .groupBy($"word").agg(count(lit(1)).as("freq"))
       .select(
         concat(lit("||"), array_join(split($"word", ""), "||"),
@@ -663,7 +736,19 @@ object TextAnalysis {
       .empty[(Long, String, String, String, Long)]
     var r = 1
     while (r <= rounds && pc.nonEmpty) {
-      val ((pa, pb), n) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+      // argmax with the engines' collation: count DESC, then pa, pb in
+      // UTF-8 BYTE order (utf8Cmp) — Scala tuple/String ordering would
+      // diverge from UTF8String/DuckDB on supplementary characters
+      val ((pa, pb), n) = pc.reduceLeft { (best, cur) =>
+        val c = java.lang.Long.compare(cur._2, best._2)
+        val better =
+          if (c != 0) c > 0
+          else {
+            val ca = utf8Cmp(cur._1._1, best._1._1)
+            if (ca != 0) ca < 0 else utf8Cmp(cur._1._2, best._1._2) < 0
+          }
+        if (better) cur else best
+      }
       merges += ((r.toLong, pa, pb, pa + pb, n))
       val (pat, rep) = (s"|$pa||$pb|", s"|$pa$pb|")
       // signed delta over the affected subset only, in ONE scan: every
@@ -712,9 +797,10 @@ object TextAnalysis {
 
   /** BPE tokenizer ENCODING — apply the merge table [[bpeTrain]]
     * learns to tokenize every document (the train→encode pair is the
-    * canonical LLM-pipeline tokenizer loop): per doc, the `^[a-z]+$`
-    * words are exploded to characters and the K merges replay IN
-    * TRAINING ORDER, greedy left-to-right — the standard fast-BPE
+    * canonical LLM-pipeline tokenizer loop): per doc, the
+    * boundary-complete word forms ([[bpeWordForms]] — full alphabet,
+    * BOW/EOW markers) are exploded to code points and the K merges
+    * replay IN TRAINING ORDER, greedy left-to-right — the standard fast-BPE
     * approximation of rank-order merging, exact here because training
     * picked each merge against the same corpus state this replay
     * reaches. Output per doc: symbol count before, token count after,
@@ -756,9 +842,21 @@ object TextAnalysis {
   private def bpeEncodeWith(s: SparkSession, dir: String,
       merges: Seq[(String, String)]): DataFrame = {
     import s.implicits._
-    val words = filter(split($"text", " "), w => w.rlike("^[a-z]+$"))
+    // the same boundary-complete word forms as training ([[bpeWordForms]]),
+    // built array-side so the whole doc stays one row: escape delimiters,
+    // split, drop empties (null + isNotNull filter), mark space-preceded
+    // words with BPE_BOW (index-aware transform), suffix BPE_EOW
+    val words = split(
+      translate($"text", BPE_WIRE_ESC_FROM, BPE_WIRE_ESC_TO), " ")
+    val forms = filter(
+      transform(words, (w, i) =>
+        when(w === "", lit(null).cast("string"))
+          .otherwise(concat(
+            when(i > 0, lit(BPE_BOW)).otherwise(lit("")),
+            w, lit(BPE_EOW)))),
+      f => f.isNotNull)
     val sym0 = array_join(
-      transform(words, w =>
+      transform(forms, w =>
         concat(lit("||"), array_join(split(w, ""), "||"), lit("||"))),
       "#")
     val encoded = merges.foldLeft(sym0) { case (acc, (pa, pb)) =>
@@ -940,10 +1038,14 @@ object TextAnalysis {
          |      '|' || b.pa || b.pb || '|') END AS sym, freq
          |  FROM vocab_$r LEFT JOIN best_$r b ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""w AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS word
-       |  FROM documents),
-       |v AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
-       |  FROM w WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+    s"""w AS MATERIALIZED (SELECT unnest(arr) AS word,
+       |    unnest(range(1, len(arr) + 1)) AS pos
+       |  FROM (SELECT string_split(translate(text, '|#',
+       |      chr(1) || chr(2)), ' ') AS arr FROM documents)),
+       |v AS MATERIALIZED (SELECT CASE WHEN pos > 1 THEN chr(3) || word
+       |      ELSE word END || chr(4) AS word,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM w WHERE word <> '' GROUP BY 1),
        |vocab_1 AS MATERIALIZED (SELECT '||' || array_to_string(
        |    list_transform(range(1, length(word) + 1), i -> word[i]),
        |    '||') || '||' AS sym, freq
@@ -1048,9 +1150,10 @@ object TextAnalysis {
          |ORDER BY merge_round""".stripMargin
     },
     // training replay (shared CTE chain) + per-doc encode: every doc's
-    // az-words in the same ||-wire-form joined by the '#' hard
-    // boundary, the 12 merges applied as nested replaces with scalar
-    // subqueries on the best_r CTEs — byte-for-byte the engine's plan
+    // boundary-complete word forms (delimiter-escaped, BOW/EOW-marked)
+    // in the same ||-wire-form joined by the '#' hard boundary, the 12
+    // merges applied as nested replaces with scalar subqueries on the
+    // best_r CTEs — byte-for-byte the engine's plan
     "text_bpe_encode" -> {
       val encoded = (1 to BPE_TRAIN_ROUNDS).foldLeft("s0") { (acc, r) =>
         s"""replace($acc,
@@ -1064,11 +1167,16 @@ object TextAnalysis {
           s" t -> t <> '' AND t <> '#')) AS BIGINT)"
       s"""WITH $bpeTrainCtes,
          |docs AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(
-         |    list_filter(string_split(text, ' '),
-         |      w -> regexp_matches(w, '^[a-z]+$$')),
+         |    list_filter(list_transform(range(1, len(arr) + 1),
+         |      i -> CASE WHEN arr[i] = '' THEN NULL
+         |        WHEN i > 1 THEN chr(3) || arr[i] || chr(4)
+         |        ELSE arr[i] || chr(4) END),
+         |      f -> f IS NOT NULL),
          |    w -> '||' || array_to_string(list_transform(
-         |      range(1, length(w) + 1), i -> w[i]), '||') || '||'),
-         |  '#') AS s0 FROM documents),
+         |      range(1, length(w) + 1), j -> w[j]), '||') || '||'),
+         |  '#') AS s0
+         |  FROM (SELECT doc_id, string_split(translate(text, '|#',
+         |      chr(1) || chr(2)), ' ') AS arr FROM documents)),
          |enc AS (SELECT doc_id, ${count("s0")} AS n_symbols,
          |    ${count(encoded)} AS n_tokens
          |  FROM docs)
