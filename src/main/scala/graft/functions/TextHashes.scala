@@ -90,6 +90,12 @@ object TextHashes {
 
   def rollingHashUtf8(s: UTF8String): Long = rollingHash(s.toString)
 
+  /** Codegen entry point for [[hash64]] at seed 0 (UTF8String in,
+    * long out) — the feature-hash primitive of the hashed linear
+    * classifier (and any future string-keyed hashing that needs the
+    * DuckDB-replayable FNV family rather than xxhash64). */
+  def fnv64Utf8(s: UTF8String): Long = hash64(s.toString, 0L)
+
   /** Codegen entry: deterministic permille-style bucket —
     * `remainderUnsigned(mix64(z), m)` — the membership primitive of
     * the sampling/mixing/decontamination filters. Unsigned remainder
@@ -118,6 +124,26 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
+}
+
+/** Native Catalyst expression for [[TextHashes.hash64]] at seed 0
+  * (FNV-1a 64 + splitmix finalizer) — the string-feature hash the
+  * DuckDB oracles replay via [[graft.operators.OracleSql.fnv1a64]]. */
+case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"fnv1a64 needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.fnv64Utf8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.fnv64Utf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "fnv1a64"
 }
 
 /** Native Catalyst expression for [[TextHashes.rollingHash]]. */
@@ -185,6 +211,8 @@ object GraftFunctions {
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(c)))
   def rolling_hash64(c: Column): Column =
     GraftColumnBridge.column(RollingHash64Expr(GraftColumnBridge.expression(c)))
+  def fnv1a64(c: Column): Column =
+    GraftColumnBridge.column(Fnv1a64Expr(GraftColumnBridge.expression(c)))
   def mix64(c: Column): Column =
     GraftColumnBridge.column(Mix64Expr(GraftColumnBridge.expression(c)))
   def mix64_bucket(c: Column, modulus: Long): Column =

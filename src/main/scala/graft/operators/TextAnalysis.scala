@@ -908,6 +908,72 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Weight-table dimension for [[hashClassifier]] — a power of two so
+    * the unsigned-mod feature bucketing is a BITMASK on the engine side
+    * (`hash & (D-1)`) and plain `% D` on the DuckDB side (the hash is
+    * replayed as an unsigned HUGEINT, and 2^64 ≡ 0 mod any power of
+    * two, so signed-masked and unsigned-mod agree). Production
+    * fastText tables run 1-10 M buckets; the dimension is a model
+    * hyperparameter, not a plan shape — the plumbing is identical. */
+  val HASH_CLS_DIM = 1024
+  /** Weight-table seed for [[hashClassifier]]. */
+  val HASH_CLS_SEED = 20240L
+  /** Routing threshold: docs with score below this are routed low. */
+  val HASH_CLS_THRESHOLD = 0L
+
+  /** Integer-quantized weight table, seeded stand-in for a trained
+    * model (mix64-derived, uniform in [-8, 8]) — the sandbox has no
+    * trained fastText weights, and the operator's contract is the
+    * SCORING PLUMBING (feature hashing, table lookup, integer
+    * routing), the same honesty pattern as the multimodal stub
+    * decoder. A user swaps in trained weights via the same array. */
+  private[graft] lazy val hashClsWeights: Array[Long] =
+    Array.tabulate(HASH_CLS_DIM)(j => Math.floorMod(
+      graft.functions.TextHashes.mix64(HASH_CLS_SEED + j), 17L) - 8L)
+
+  /** Hashed linear classifier — the fastText-shape quality-filter
+    * stage of the CCNet/LLaMA curation pipelines: per document,
+    * score = Σ over features of `w[h(feature) mod D]` where features
+    * are word UNIGRAMS and adjacent-word BIGRAMS, `h` is the
+    * DuckDB-replayable FNV-1a-64 family
+    * ([[graft.functions.TextHashes.hash64]] seed 0, replayed by
+    * [[OracleSql.fnv1a64]]), and `w` is the [[HASH_CLS_DIM]]-bucket
+    * integer weight table; documents route on the integer threshold
+    * `score < HASH_CLS_THRESHOLD`.
+    *
+    * Scale shape: ONE narrow scan (doc_id, text) and ZERO shuffles
+    * before the output sort — features never explode into rows; the
+    * per-doc score is an `aggregate` fold over the in-row feature
+    * array, so a 100 TB corpus scores embarrassingly parallel at
+    * scan speed, with the weight table a plan-time literal (a real
+    * 10 M-bucket table would broadcast instead — same plan shape).
+    * All arithmetic is integer (hash, mask, quantized weights), so
+    * the oracle matches exactly, not approximately. */
+  def hashClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = typedlit(hashClsWeights.toSeq)
+    val mask = lit((HASH_CLS_DIM - 1).toLong)
+    val toks = filter(split($"text", " "), t => t =!= "")
+    // adjacent-word bigrams from the SAME in-row array (no explode);
+    // when-guarded: sequence(1, 0) is DESCENDING in Spark (r14 lesson)
+    val bis = when(size($"toks") >= 2, expr(
+      "transform(sequence(1, size(toks) - 1)," +
+        " i -> concat(toks[i-1], ' ', toks[i]))"))
+      .otherwise(array().cast("array<string>"))
+    Tables(s, dir, "documents")
+      .select($"doc_id", toks.as("toks"))
+      .select($"doc_id", concat($"toks", bis).as("feats"))
+      .select($"doc_id",
+        size($"feats").cast("long").as("n_features"),
+        aggregate($"feats", lit(0L), (acc, f) =>
+          acc + element_at(w, (graft.functions.GraftFunctions.fnv1a64(f)
+            .bitwiseAND(mask) + lit(1L)).cast("int")))
+          .as("score"))
+      .select($"doc_id", $"n_features", $"score",
+        ($"score" < lit(HASH_CLS_THRESHOLD)).as("is_low_quality"))
+      .orderBy($"doc_id")
+  }
+
   /** Shingle width for [[ngramNovelty]]. */
   val NOVELTY_NGRAM = 3
 
@@ -1000,6 +1066,7 @@ object TextAnalysis {
     "text_boilerplate_prefix" -> (boilerplatePrefix _),
     "text_ngram_novelty" -> (ngramNovelty _),
     "text_code_detect" -> (codeDetect _),
+    "text_hash_classifier" -> (hashClassifier _),
     "text_bpe_pair_stats" -> (bpePairStats _),
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_encode" -> (bpeEncode _),
@@ -1117,6 +1184,32 @@ object TextAnalysis {
          |  kw_hits,
          |  (n_sym * 1000 // n_chars >= 50 OR kw_hits >= 3) AS is_code
          |FROM f ORDER BY doc_id""".stripMargin
+    },
+    // full first-principles replay: the same FNV-1a-64 feature hash
+    // (HUGEINT emulation), the weight table inlined as a literal list
+    // (it is DATA — a trained model's parameters — not logic), the
+    // same unsigned mod-D bucketing and integer threshold
+    "text_hash_classifier" -> {
+      val w = hashClsWeights.mkString("[", ",", "]")
+      val fnv = OracleSql.fnv1a64("g")
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+         |    w -> w <> '') AS toks FROM documents),
+         |f AS (SELECT doc_id, list_concat(toks,
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(
+         |      range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         |    ELSE [] END) AS feats
+         |  FROM t),
+         |sc AS (SELECT doc_id,
+         |    CAST(len(feats) AS BIGINT) AS n_features,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(feats, g -> CAST(($w)[
+         |          CAST(($fnv) % $HASH_CLS_DIM AS BIGINT) + 1]
+         |          AS BIGINT))),
+         |      (a, b) -> a + b) AS BIGINT) AS score
+         |  FROM f)
+         |SELECT doc_id, n_features, score,
+         |  (score < $HASH_CLS_THRESHOLD) AS is_low_quality
+         |FROM sc ORDER BY doc_id""".stripMargin
     },
     // vocabulary-collapsed replay: same freq-weighted char-pair counts,
     // same (n DESC, pair ASC) rank
