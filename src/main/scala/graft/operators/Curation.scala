@@ -123,6 +123,77 @@ object Curation {
       .orderBy($"source", $"doc_id")
   }
 
+  /** Best-fit-decreasing sequence packing — the BOUNDARY-RESPECTING
+    * alternative to [[packSequences]]' concat-and-chunk (r17 verdict
+    * #4): no document ever straddles an example boundary; instead,
+    * documents bin-pack into [[PACK_BUDGET]]-token examples by
+    * deterministic first-fit-decreasing (n_tok DESC, doc_id ASC; first
+    * open bin that fits, else a new bin — a doc larger than the budget
+    * naturally lands alone in its own oversized bin). The output is
+    * ONE relation carrying both the exact FFD placement (source,
+    * doc_id → bin_id) and the per-source waste/crossing tradeoff
+    * against the concat strategy: FFD pays `ffd_waste_tok` padding
+    * tokens and zero crossings, concat pays `concat_crossings` split
+    * documents and only end-of-stream waste.
+    *
+    * Scale shape: FFD is inherently sequential WITHIN a packing
+    * stream, so the stream is the unit of parallelism — one shuffle
+    * on `source` (groupByKey), then a per-group JVM pass over
+    * (doc_id, n_tok) pairs, 16 bytes/doc: a 10M-doc source shard
+    * holds ~160 MB, and a production run packs per (source, shard)
+    * exactly as [[packSequences]] argues. Both strategies' metrics
+    * come from the SAME group pass, so the comparison adds no second
+    * shuffle (PlanSpec pins the one-shuffle shape). All arithmetic is
+    * integer; the oracle replays the FFD loop exactly as a recursive
+    * CTE with the same (n_tok DESC, doc_id) order and first-fit
+    * index. */
+  def packBestFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"source", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+    docs.groupByKey(_._1).flatMapGroups { (src, it) =>
+      val ds = it.map(t => (t._2, t._3)).toArray
+      // FFD placement: n_tok DESC, doc_id ASC — deterministic
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bin = scala.collection.mutable.LongMap.empty[Long]
+      ds.sortBy { case (id, n) => (-n, id) }.foreach { case (id, n) =>
+        var i = 0
+        var found = -1
+        while (found < 0 && i < fills.length) {
+          if (fills(i) + n <= PACK_BUDGET) found = i
+          i += 1
+        }
+        if (found >= 0) { fills(found) += n; bin(id) = found.toLong }
+        else { fills += n; bin(id) = (fills.length - 1).toLong }
+      }
+      val ffdBins = fills.length.toLong
+      val ffdWaste = fills.iterator.map(f => math.max(0L, PACK_BUDGET - f)).sum
+      val oversize = ds.count(_._2 > PACK_BUDGET).toLong
+      // concat-and-chunk replay in doc_id order (packSequences' cut)
+      val idOrder = ds.sortBy(_._1)
+      val total = ds.iterator.map(_._2).sum
+      val chunks = (total + PACK_BUDGET - 1) / PACK_BUDGET
+      val concatWaste = chunks * PACK_BUDGET - total
+      var running = 0L
+      val spans = idOrder.map { case (id, n) =>
+        val start = running
+        running += n
+        (id, n, start / PACK_BUDGET, (running - 1) / PACK_BUDGET)
+      }
+      val crossings = spans.count(sp => sp._3 != sp._4).toLong
+      spans.iterator.map { case (id, n, first, last) =>
+        (src, id, n, bin(id), first, last,
+          ffdBins, ffdWaste, oversize, chunks, concatWaste, crossings)
+      }
+    }.toDF("source", "doc_id", "n_tok", "bin_id",
+      "concat_first", "concat_last", "ffd_bins", "ffd_waste_tok",
+      "oversize_docs", "concat_chunks", "concat_waste_tok",
+      "concat_crossings")
+      .orderBy($"source", $"doc_id")
+  }
+
   /** Per-source token budget for [[tokenBudgetSample]]. */
   val TOKEN_BUDGET = 500L
 
@@ -448,6 +519,7 @@ object Curation {
     "sample_fixed_k" -> (fixedKSample _),
     "sample_weighted" -> (weightedSample _),
     "pack_sequences" -> (packSequences _),
+    "pack_best_fit" -> (packBestFit _),
     "sample_token_budget" -> (tokenBudgetSample _),
     "sample_temperature_mix" -> (temperatureMix _),
     "sample_split_assign" -> (splitAssign _),
@@ -1020,6 +1092,79 @@ object Curation {
         | CAST(floor((end_tok - n_tok) / 2048.0) AS BIGINT) AS pack_first,
         | CAST(floor((end_tok - 1) / 2048.0) AS BIGINT) AS pack_last
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    // exact FFD replay as a RECURSIVE CTE: state = (source, rank,
+    // fills list); each step places the rank-th doc of the
+    // (n_tok DESC, doc_id) order into the first bin that fits (the
+    // list_filter(range...)[1] argmin — NULL when none fits, which
+    // appends a new bin, covering the oversize-doc case too), then
+    // per-doc concat spans and both strategies' per-source metrics
+    // join back — the same single relation the engine emits
+    "pack_best_fit" -> {
+      val B = PACK_BUDGET
+      s"""WITH RECURSIVE d AS (SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, n_tok, row_number() OVER (
+         |    PARTITION BY source ORDER BY n_tok DESC, doc_id) AS rk
+         |  FROM d),
+         |st AS (
+         |  SELECT source, CAST(0 AS BIGINT) AS rk,
+         |    CAST(NULL AS BIGINT) AS doc_id,
+         |    CAST(NULL AS BIGINT) AS bin_id,
+         |    CAST([] AS BIGINT[]) AS fills
+         |  FROM (SELECT DISTINCT source FROM d)
+         |  UNION ALL
+         |  SELECT source, rk, doc_id,
+         |    CASE WHEN fit IS NULL THEN CAST(len(fills) AS BIGINT)
+         |      ELSE fit - 1 END AS bin_id,
+         |    CASE WHEN fit IS NULL THEN list_append(fills, n_tok)
+         |      ELSE fills[1:CAST(fit AS INTEGER) - 1]
+         |        || [fills[fit] + n_tok]
+         |        || fills[CAST(fit AS INTEGER) + 1:len(fills)]
+         |      END AS fills
+         |  FROM (SELECT r.source, CAST(r.rk AS BIGINT) AS rk, r.doc_id,
+         |      r.n_tok, st.fills,
+         |      (list_filter(range(1, len(st.fills) + 1),
+         |        i -> st.fills[i] + r.n_tok <= $B))[1] AS fit
+         |    FROM st JOIN r ON r.source = st.source
+         |      AND r.rk = st.rk + 1)),
+         |placed AS (SELECT source, doc_id, bin_id FROM st WHERE rk >= 1),
+         |fin AS (SELECT source, fills FROM (SELECT source, fills,
+         |    row_number() OVER (PARTITION BY source ORDER BY rk DESC)
+         |      AS rn FROM st) WHERE rn = 1),
+         |fm AS (SELECT source, CAST(len(fills) AS BIGINT) AS ffd_bins,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(fills,
+         |        f -> CAST(greatest(0, $B - f) AS BIGINT))),
+         |      (a, b) -> a + b) AS BIGINT) AS ffd_waste_tok
+         |  FROM fin),
+         |c AS (SELECT source, doc_id, n_tok, sum(n_tok) OVER (
+         |    PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS end_tok
+         |  FROM d),
+         |cm AS (SELECT source,
+         |    CAST(count(*) FILTER (WHERE n_tok > $B) AS BIGINT)
+         |      AS oversize_docs,
+         |    CAST((sum(n_tok) + $B - 1) // $B AS BIGINT)
+         |      AS concat_chunks,
+         |    CAST(((sum(n_tok) + $B - 1) // $B) * $B - sum(n_tok)
+         |      AS BIGINT) AS concat_waste_tok,
+         |    CAST(count(*) FILTER (WHERE
+         |      (end_tok - n_tok) // $B <> (end_tok - 1) // $B)
+         |      AS BIGINT) AS concat_crossings
+         |  FROM c GROUP BY source)
+         |SELECT c.source, c.doc_id, c.n_tok, p.bin_id,
+         |  CAST((c.end_tok - c.n_tok) // $B AS BIGINT) AS concat_first,
+         |  CAST((c.end_tok - 1) // $B AS BIGINT) AS concat_last,
+         |  fm.ffd_bins, fm.ffd_waste_tok, cm.oversize_docs,
+         |  cm.concat_chunks, cm.concat_waste_tok, cm.concat_crossings
+         |FROM c
+         |JOIN placed p ON p.source = c.source AND p.doc_id = c.doc_id
+         |JOIN fm ON fm.source = c.source
+         |JOIN cm ON cm.source = c.source
+         |ORDER BY c.source, c.doc_id""".stripMargin
+    },
     "sample_temperature_mix" -> {
       val bucket = s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) % 1000"
       s"""WITH c AS (SELECT source, count(*) AS n_source FROM documents
