@@ -862,9 +862,19 @@ object TextAnalysis {
     val encoded = merges.foldLeft(sym0) { case (acc, (pa, pb)) =>
       replace(acc, lit(s"|$pa||$pb|"), lit(s"|$pa$pb|"))
     }
+    // token count by DELIMITER ARITHMETIC instead of split+filter:
+    // each word form with t tokens contributes exactly 2(t+1) bars
+    // and forms join on W-1 hashes, so T = bars/2 − W. Counting
+    // characters via length-after-replace keeps the whole count in
+    // codegen'd string scans — no array materialization per doc
+    // (A/B'd vs the split+filter count: BASELINE.md round-18).
+    // Merged tokens never contain | or # (escaped at symbolization).
     val tokensOf = (c: org.apache.spark.sql.Column) =>
-      size(filter(split(c, "[|]"), t => t =!= "" && t =!= "#"))
-        .cast("long")
+      when(length(c) === 0, lit(0L)).otherwise({
+        val bars = length(c) - length(replace(c, lit("|"), lit("")))
+        val words = length(c) - length(replace(c, lit("#"), lit(""))) + 1
+        ((bars - words * 2) / lit(2)).cast("long")
+      })
     Tables(s, dir, "documents")
       .select($"doc_id", sym0.as("s0"), encoded.as("s1"))
       .select($"doc_id",

@@ -197,6 +197,23 @@ class BpeTrainSpec extends AnyFunSuite {
     }
   }
 
+  test("exhaustion degrades gracefully: K past the corpus's merge " +
+      "capacity emits every real merge and stops") {
+    val got = TextAnalysis.bpeMerges(spark, dir, 500)
+    val expect = plainTrain(dir, 500)
+    assert(got == expect.toVector)
+    // the boundary-complete pre-tokenizer's measured capacity on this
+    // corpus (SCALING.md round-18): all 144 merges real, none synthetic
+    assert(got.length == 144, s"capacity drifted: ${got.length}")
+    assert(got.forall(_._5 > 0L), "a merge with zero corpus mass")
+    // and the exhausted table still encodes (every doc collapses to
+    // whole-word-or-better tokens; counts stay positive)
+    import spark.implicits._
+    val enc = TextAnalysis.bpeEncodeTable(spark, dir,
+      got.toDF("merge_round", "pa", "pb", "merged", "n")).collect()
+    assert(enc.nonEmpty && enc.forall(r => r.getLong(2) > 0L))
+  }
+
   test("bpe encode consumes the trained table (no retrain): " +
       "bpeEncodeTable == bpeEncode") {
     val viaTable = TextAnalysis.bpeEncodeTable(
