@@ -23,9 +23,14 @@ object TextHashes {
 
   /** FNV-1a 64 over UTF-8 bytes, mixed; `seed` derives independent hash
     * families (minhash permutations, LSH hyperplanes). */
-  def hash64(s: String, seed: Long): Long = {
+  def hash64(s: String, seed: Long): Long =
+    hash64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+
+  /** Byte-array entry point: lets UTF8String callers hand over their
+    * UTF-8 bytes directly (no UTF-16 decode + re-encode round trip in
+    * the classifier's per-feature hot loop — review r18). */
+  def hash64(bytes: Array[Byte], seed: Long): Long = {
     var h = 0xcbf29ce484222325L ^ mix64(seed)
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
     while (i < bytes.length) {
       h ^= (bytes(i) & 0xffL)
@@ -93,8 +98,9 @@ object TextHashes {
   /** Codegen entry point for [[hash64]] at seed 0 (UTF8String in,
     * long out) — the feature-hash primitive of the hashed linear
     * classifier (and any future string-keyed hashing that needs the
-    * DuckDB-replayable FNV family rather than xxhash64). */
-  def fnv64Utf8(s: UTF8String): Long = hash64(s.toString, 0L)
+    * DuckDB-replayable FNV family rather than xxhash64). UTF8String
+    * already holds the UTF-8 bytes; hash them directly. */
+  def fnv64Utf8(s: UTF8String): Long = hash64(s.getBytes, 0L)
 
   /** Codegen entry: deterministic permille-style bucket —
     * `remainderUnsigned(mix64(z), m)` — the membership primitive of

@@ -15,9 +15,11 @@ import graft.functions.TextHashes
   * xor/>> work natively on HUGEINT. Verified bit-exact against the JVM
   * implementation on the sf0.01 corpus (all three hash families).
   *
-  * Only valid for pure-ASCII text (DuckDB `ascii(char)` == JVM byte ==
-  * JVM char) — true for the synthetic corpus; the JVM side hashes UTF-8
-  * bytes, so a non-ASCII corpus would need a byte-level split instead.
+  * Alphabet scope: [[fnv1a64]] expands code points to UTF-8 bytes and
+  * is exact on ANY text (r18). [[rollingHash]] folds per UTF-16 CODE
+  * UNIT on the JVM (`charAt`) and per code point here, so it remains
+  * exact only up to the BMP — true for the synthetic corpus, and the
+  * rolling-fingerprint keys disclose that scope.
   */
 object OracleSql {
 
@@ -35,16 +37,35 @@ object OracleSql {
     s"xor($s3, ($s3) >> 31)"
   }
 
-  /** FNV-1a 64 over the chars of string expression `sExpr`, seed 0 —
-    * mirrors [[TextHashes.hash64]] (ASCII: chars == UTF-8 bytes). */
+  /** FNV-1a 64 over the UTF-8 BYTES of string expression `sExpr`,
+    * seed 0 — mirrors [[TextHashes.hash64]] exactly on ANY alphabet
+    * (review r18): each code point (DuckDB `ascii` returns the code
+    * point for multibyte chars) expands to its 1–4 UTF-8 bytes by the
+    * standard arithmetic before the fold, so non-ASCII text hashes
+    * identically to the JVM's `getBytes(UTF_8)` fold — validated
+    * bit-exact against the JVM on ASCII/Latin-1/CJK/astral samples.
+    * The `c <> ''` filter guards the empty string (string_split('', '')
+    * yields [''], which would fold a spurious zero byte). */
   def fnv1a64(sExpr: String): String = {
     // constant start state: 0xcbf29ce484222325 ^ mix64(0)
     val h0 = java.lang.Long.toUnsignedString(
       0xcbf29ce484222325L ^ TextHashes.mix64(0L))
+    val utf8Bytes =
+      s"""flatten(list_transform(
+         |  list_filter(string_split($sExpr, ''), c -> c <> ''), c ->
+         |  CASE WHEN ascii(c) < 128 THEN [ascii(c)]
+         |    WHEN ascii(c) < 2048 THEN
+         |      [192 + ascii(c) // 64, 128 + ascii(c) % 64]
+         |    WHEN ascii(c) < 65536 THEN [224 + ascii(c) // 4096,
+         |      128 + (ascii(c) // 64) % 64, 128 + ascii(c) % 64]
+         |    ELSE [240 + ascii(c) // 262144,
+         |      128 + (ascii(c) // 4096) % 64,
+         |      128 + (ascii(c) // 64) % 64, 128 + ascii(c) % 64]
+         |  END))""".stripMargin
     val folded =
       s"""list_reduce(
          |  list_prepend(CAST($h0 AS HUGEINT),
-         |    list_transform(string_split($sExpr, ''), c -> CAST(ascii(c) AS HUGEINT))),
+         |    list_transform($utf8Bytes, b -> CAST(b AS HUGEINT))),
          |  (acc, c) -> ${mulmod("xor(acc, c)", "1099511628211")})""".stripMargin
     mix64(folded)
   }

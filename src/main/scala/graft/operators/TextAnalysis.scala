@@ -620,15 +620,13 @@ object TextAnalysis {
     * while Java's String.compareTo orders by UTF-16 code unit
     * (diverging on supplementary characters). The driver-side argmax
     * must match the engines, not the JVM. */
-  private[graft] def utf8Cmp(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    var c = 0
-    while (i < n && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
-    if (c != 0) c else x.length - y.length
-  }
+  private[graft] def utf8Cmp(a: String, b: String): Int =
+    // delegate to the engine's own comparator instead of a second
+    // hand-rolled byte loop (review r18): "driver argmax matches the
+    // engine collation" is then true BY CONSTRUCTION. Driver-side
+    // cold path only — the per-round argmax over the pair-type map.
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** The boundary-complete word-form relation both BPE entry points
     * symbolize: delimiter-escaped, whitespace-split, empty tokens
