@@ -330,6 +330,92 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Reference-split modulus for [[perplexityBackoff]]: docs whose
+    * mix64 bucket is 0 train the LM (a deterministic half). */
+  val BACKOFF_REF_BUCKETS = 2L
+  /** Stupid-backoff discount α = 2/5 (Brants et al. 2007's 0.4), kept
+    * as an exact rational so the surprisal stays integer. */
+  val BACKOFF_ALPHA_NUM = 2L
+  val BACKOFF_ALPHA_DEN = 5L
+
+  /** Stupid-backoff bigram-LM scoring — [[perplexityBigram]] made a
+    * REAL quality filter: that key trains on the corpus it scores, so
+    * every scored bigram exists in the model and the backoff path of
+    * a production scorer never executes. Here the model trains on a
+    * deterministic REFERENCE HALF (mix64_bucket(doc_id, 2) = 0 — the
+    * splitmix64 membership the sampling family uses) and scores ALL
+    * documents, so out-of-model bigrams genuinely occur and take the
+    * stupid-backoff route (Brants et al. 2007, the large-LM industry
+    * standard precisely because it needs no discount fitting):
+    * score(w₂|w₁) = c₁₂/c₁ if seen, else α·c(w₂)/N with α = 2/5.
+    * Surprisals stay INTEGER-exact via the same bit-length log₂
+    * floor as the other perplexity keys — the backoff branch is
+    * floor(log₂((5·N) div (2·max(c(w₂), 1)))), with the max(·,1) an
+    * OOV floor for words absent from the reference half entirely.
+    * Output adds `n_backoff` (bigram positions that fell back) — the
+    * out-of-domain signal a filter thresholds alongside the mean
+    * surprisal.
+    *
+    * Scale shape: the model is two vocabulary-sized map-side-combined
+    * aggregates over HALF the corpus; scoring is the usual
+    * model-tables-join-token-stream skeleton with LEFT joins (the
+    * miss IS the signal), all joins against vocabulary-sized
+    * relations AQE broadcasts. One extra bounded 1-row collect for N.
+    * The 100 TB deployment swaps the reference half for a curated
+    * reference corpus (wiki-quality text) — identical plan. */
+  def perplexityBackoff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    val d = Tables(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+    val ref = d.filter(
+      GraftFunctions.mix64_bucket($"doc_id", BACKOFF_REF_BUCKETS) === 0L)
+    val ucnt = ref.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val total = ucnt.agg(sum($"c")).as[Long].collect()(0) // bounded: 1 row
+    val bigramsOf = (rel: DataFrame) => rel.filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS w1,
+          |              element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val bcnt = bigramsOf(ref).groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c12"))
+    val ctx = bcnt.groupBy($"w1").agg(sum($"c12").as("c1"))
+    // first token: unigram surprisal under the reference model, with
+    // the same OOV floor (never a backoff COUNT — n_backoff measures
+    // bigram fallbacks only)
+    val firstS = d
+      .select($"doc_id", element_at($"ws", 1).as("w"))
+      .join(ucnt, Seq("w"), "left")
+      .select($"doc_id",
+        (length(bin(expr(
+          s"${total}L div greatest(coalesce(c, 0L), 1L)"))) - 1)
+          .cast("long").as("s"),
+        lit(false).as("backed"))
+    val biS = bigramsOf(d)
+      .join(bcnt, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(ucnt.select($"w".as("w2"), $"c".as("c2")), Seq("w2"), "left")
+      .select($"doc_id",
+        when($"c12".isNotNull,
+          length(bin(expr("c1 div c12"))) - 1)
+          .otherwise(length(bin(expr(
+            s"($BACKOFF_ALPHA_DEN * ${total}L) div " +
+              s"($BACKOFF_ALPHA_NUM * greatest(coalesce(c2, 0L), 1L))")))
+            - 1)
+          .cast("long").as("s"),
+        $"c12".isNull.as("backed"))
+    firstS.union(biS)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"s").as("sum_surprisal"),
+        max($"s").as("max_surprisal"),
+        sum(when($"backed", 1L).otherwise(0L)).as("n_backoff"))
+      .orderBy($"doc_id")
+  }
+
   /** Character-level entropy per document — the cheap gibberish /
     * binary-junk / repeated-char detector every pretraining filter
     * stack runs BEFORE the expensive model-based quality scores (a
@@ -1080,6 +1166,7 @@ object TextAnalysis {
     "text_bpe_encode" -> (bpeEncode _),
     "text_winnowing" -> (winnowing _),
     "text_perplexity_bigram" -> (perplexityBigram _),
+    "text_perplexity_backoff" -> (perplexityBackoff _),
     "text_perplexity_unigram" -> (perplexityUnigram _),
     "text_char_entropy" -> (charEntropy _),
     "text_vocab_coverage" -> (vocabCoverage _),
@@ -1346,6 +1433,56 @@ object TextAnalysis {
         |  CAST(sum(s) AS BIGINT) AS sum_surprisal,
         |  CAST(max(s) AS BIGINT) AS max_surprisal
         |FROM alls GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // reference-half model (the same splitmix64 bucket membership the
+    // sampling oracles replay), LEFT joins so an out-of-model bigram
+    // takes the α = 2/5 stupid-backoff branch, identical bit-length
+    // log2 floors, and the backoff count aggregated per doc
+    "text_perplexity_backoff" -> {
+      val bucket =
+        s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) " +
+          s"% $BACKOFF_REF_BUCKETS"
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |refd AS (SELECT * FROM d WHERE ($bucket) = 0),
+         |ucnt AS (SELECT w, count(*) AS c FROM (
+         |  SELECT unnest(ws) AS w FROM refd) GROUP BY 1),
+         |tot AS (SELECT sum(c) AS t FROM ucnt),
+         |rbi AS (SELECT b[1] AS w1, b[2] AS w2 FROM (
+         |  SELECT unnest(list_transform(range(1, len(ws)),
+         |    i -> [ws[i], ws[i + 1]])) AS b
+         |  FROM refd WHERE len(ws) >= 2)),
+         |bcnt AS (SELECT w1, w2, count(*) AS c12 FROM rbi GROUP BY 1, 2),
+         |ctx AS (SELECT w1, sum(c12) AS c1 FROM bcnt GROUP BY 1),
+         |fs AS (SELECT f.doc_id,
+         |    length(bin(tot.t // greatest(coalesce(u.c, 0), 1))) - 1
+         |      AS s, FALSE AS backed
+         |  FROM (SELECT doc_id, ws[1] AS w FROM d) f
+         |  LEFT JOIN ucnt u ON f.w = u.w CROSS JOIN tot),
+         |bi2 AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |    i -> [ws[i], ws[i + 1]])) AS b
+         |  FROM d WHERE len(ws) >= 2)),
+         |bs AS (SELECT b.doc_id,
+         |    CASE WHEN bc.c12 IS NOT NULL
+         |      THEN length(bin(ctx.c1 // bc.c12)) - 1
+         |      ELSE length(bin(($BACKOFF_ALPHA_DEN * tot.t)
+         |        // ($BACKOFF_ALPHA_NUM
+         |          * greatest(coalesce(u2.c, 0), 1)))) - 1
+         |    END AS s,
+         |    (bc.c12 IS NULL) AS backed
+         |  FROM bi2 b
+         |  LEFT JOIN bcnt bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+         |  LEFT JOIN ctx ON b.w1 = ctx.w1
+         |  LEFT JOIN ucnt u2 ON b.w2 = u2.w
+         |  CROSS JOIN tot),
+         |alls AS (SELECT * FROM fs UNION ALL SELECT * FROM bs)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(s) AS BIGINT) AS sum_surprisal,
+         |  CAST(max(s) AS BIGINT) AS max_surprisal,
+         |  CAST(sum(CASE WHEN backed THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_backoff
+         |FROM alls GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
     // floor(log2(total div c)) replayed as length(bin(..)) - 1 — the
     // identical integer formula, so the sums are exact on both sides
     "text_perplexity_unigram" ->
