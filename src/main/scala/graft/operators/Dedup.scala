@@ -562,7 +562,89 @@ object Dedup {
       .toDF("layer", "n").orderBy($"layer")
   }
 
+  /** Probe-document cap for [[lshScurve]] — the bounded query set the
+    * recall measurement fans out from (the ann_ivf_recall protocol:
+    * exact side restricted to a sample, approximate side at corpus
+    * scale). */
+  val LSH_SCURVE_PROBES = 50L
+  /** Replayable minhash families for the curve:
+    * h_i(g) = mix64(g ⊕ mix64(i)) — XOR, not addition, so the
+    * expression is total under ANSI arithmetic on both engines. The
+    * gate LSH ([[minhashLshPairs]]) uses xxhash64 families, which
+    * DuckDB cannot replay — the CURVE key swaps in the splitmix
+    * family so the whole measurement (hashes, bands, collisions) is
+    * oracle-replayed bit-exactly; band structure (16×2) is
+    * identical. */
+  private def scurveSeed(i: Int): Long = TextHashes.mix64(i.toLong)
+
+  /** MinHash-LSH S-CURVE — the dedup family's measured quality
+    * witness (the [[Similarity]] family's `ann_ivf_recall` pattern):
+    * per Jaccard DECILE of the exact probe-vs-corpus pair relation,
+    * the fraction of pairs whose 16-band/2-row minhash signatures
+    * collide in at least one band — the empirical
+    * P(candidate | J) ≈ 1−(1−J²)¹⁶ curve every LSH parameter choice
+    * is an operating point on. Probes are a bounded sample
+    * (doc_id < [[LSH_SCURVE_PROBES]]); the exact side is the
+    * one-sided probe⋈inverted-index join (linear in corpus at fixed
+    * probe count — the production recall-measurement shape), and the
+    * collision test reads the two signatures directly, no bucket
+    * self-join. On THIS corpus the J distribution is bimodal
+    * (unrelated pairs at deciles 0–1 — the shared 31-word vocabulary
+    * noise floor — and planted near-dups at 9+); the mid-decile
+    * S-transition is pinned by planted fixtures in LshScurveSpec.
+    * All arithmetic integer (decile = 10·inter div union, recall in
+    * ppm); signatures ride the replayable splitmix family, so the
+    * oracle recomputes hashes, bands, and collisions exactly. */
+  def lshScurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    val sets = shingleSets(s, dir).toDF("doc_id", "ss")
+      .select($"doc_id", $"ss", size($"ss").as("n"))
+      .localCheckpoint() // probe + index + size joins + signature side
+    val probe = sets.filter($"doc_id" < LSH_SCURVE_PROBES)
+      .select($"doc_id".as("p"), explode($"ss").as("g"))
+    val index = sets.select($"doc_id".as("d"), explode($"ss").as("g"))
+    val inter = probe.join(index, "g")
+      .filter($"p" =!= $"d" &&
+        ($"d" >= LSH_SCURVE_PROBES || $"p" < $"d"))
+      .groupBy($"p", $"d").agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sets.select($"doc_id".as("p"), $"n".as("np")), "p")
+      .join(sets.select($"doc_id".as("d"), $"n".as("nd")), "d")
+      .select($"p", $"d",
+        expr("(inter * 10) div (np + nd - inter)").as("decile"))
+    // signatures only for docs that appear in a scored pair (semi-
+    // reduced like the LSH verify join); min over the SIGNED mixed
+    // value — the oracle replays min over toSigned(mix64(·)), so both
+    // engines pick the same family minimum on the same total order
+    val ids = pairs.select($"p".as("doc_id"))
+      .union(pairs.select($"d".as("doc_id"))).distinct()
+    val hs = (0 until MINHASH_K).map(i =>
+      min(GraftFunctions.mix64($"g".bitwiseXOR(lit(scurveSeed(i)))))
+        .as(s"h$i"))
+    val sigs = sets.join(ids, Seq("doc_id"), "left_semi")
+      .select($"doc_id", explode($"ss").as("g"))
+      .groupBy($"doc_id").agg(hs.head, hs.tail: _*)
+      .select($"doc_id",
+        array((0 until MINHASH_K).map(i => col(s"h$i")): _*).as("sig"))
+      .localCheckpoint() // joined on both pair sides
+    pairs
+      .join(sigs.select($"doc_id".as("p"), $"sig".as("sa")), "p")
+      .join(sigs.select($"doc_id".as("d"), $"sig".as("sb")), "d")
+      .select($"decile", expr(
+        "exists(sequence(0, 15), b -> sa[b*2] = sb[b*2]" +
+          " AND sa[b*2+1] = sb[b*2+1])").as("hit"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"hit", 1L).otherwise(0L)).as("n_collided"))
+      .select($"decile".cast("long").as("jaccard_decile"),
+        $"n_pairs", $"n_collided",
+        expr("(n_collided * 1000000) div n_pairs").as("recall_ppm"))
+      .orderBy($"jaccard_decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_scurve" -> (lshScurve _),
     "pipeline_dedup_cascade" -> (dedupCascade _),
     "dedup_cms_prefilter" -> (cmsPrefilterDups _),
     "dedup_span_crossdoc" -> (spanCrossdoc _),
@@ -723,6 +805,62 @@ object Dedup {
     // only binds on >4096-deep identical-slice floods, which the
     // documented exact-dedup-first pipeline removes; inside that
     // contract (and at every test SF) blocked output == all-pairs.
+    // full measurement replay: the same fnv bigram-hash shingles, the
+    // same splitmix minhash families (signed-min total order), the
+    // same 16×2 band-collision predicate, the same integer deciles —
+    // MATERIALIZED because sh/sig feed multiple consumers
+    "dedup_lsh_scurve" -> {
+      val gh = OracleSql.toSigned(OracleSql.fnv1a64("bigram"))
+      val m64 = "18446744073709551616"
+      val gu = s"((CAST(g AS HUGEINT) % $m64 + $m64) % $m64)"
+      val hexprs = (0 until MINHASH_K).map { i =>
+        val seed = java.lang.Long.toUnsignedString(scurveSeed(i))
+        s"min(${OracleSql.toSigned(OracleSql.mix64(
+          s"xor($gu, CAST($seed AS HUGEINT))"))}) AS h$i"
+      }.mkString(",\n      ")
+      val sigList = (0 until MINHASH_K).map(i => s"h$i")
+        .mkString("[", ", ", "]")
+      val P = LSH_SCURVE_PROBES
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS t
+         |  FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM toks WHERE len(t) >= 2),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, $gh AS g FROM bg),
+         |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh
+         |  GROUP BY 1),
+         |inter AS MATERIALIZED (SELECT a.doc_id AS p, b.doc_id AS d,
+         |    count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.g = b.g
+         |  WHERE a.doc_id < $P AND a.doc_id <> b.doc_id
+         |    AND (b.doc_id >= $P OR a.doc_id < b.doc_id)
+         |  GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (SELECT p, d,
+         |    (inter * 10) // (sa.n + sb.n - inter) AS decile
+         |  FROM inter JOIN sizes sa ON p = sa.doc_id
+         |             JOIN sizes sb ON d = sb.doc_id),
+         |sig AS MATERIALIZED (SELECT doc_id, $sigList AS sig FROM (
+         |  SELECT doc_id,
+         |      $hexprs
+         |    FROM sh GROUP BY doc_id)),
+         |hits AS (SELECT decile,
+         |    (len(list_filter(range(0, 16),
+         |      b -> sa.sig[CAST(b * 2 + 1 AS INTEGER)]
+         |             = sb.sig[CAST(b * 2 + 1 AS INTEGER)]
+         |        AND sa.sig[CAST(b * 2 + 2 AS INTEGER)]
+         |             = sb.sig[CAST(b * 2 + 2 AS INTEGER)])) > 0)
+         |      AS hit
+         |  FROM pairs JOIN sig sa ON p = sa.doc_id
+         |             JOIN sig sb ON d = sb.doc_id)
+         |SELECT CAST(decile AS BIGINT) AS jaccard_decile,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_collided,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS recall_ppm
+         |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "dedup_simhash" -> {
       val bigramHash = OracleSql.fnv1a64("bigram")
       s"""WITH toks AS (

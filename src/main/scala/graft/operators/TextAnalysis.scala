@@ -366,6 +366,13 @@ object TextAnalysis {
   def perplexityBackoff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.GraftFunctions
+    // the tokenized relation feeds SIX differently-pruned consumers
+    // (PlanAudit: 6 scans) and is deliberately NOT checkpointed: the
+    // corpus-sized ws-array materialization measured SLOWER at 1×
+    // (1.34 vs 1.24 s) AND at the 100× decade (26.1 vs 24.7 s) than
+    // six cheap narrow scans + splits — the perplexity_bigram
+    // negative-result calculus (BASELINE.md rounds 17–18); split-on-
+    // space is too cheap to beat a write+read of the whole corpus
     val d = Tables(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("ws"))
     val ref = d.filter(
