@@ -613,6 +613,10 @@ object Dedup {
       .join(sets.select($"doc_id".as("d"), $"n".as("nd")), "d")
       .select($"p", $"d",
         expr("(inter * 10) div (np + nd - inter)").as("decile"))
+      // three consumers (both ids scans + the collision join) would
+      // otherwise each rebuild the probe⋈index join — the r17
+      // duplicated-subtree class; the pair relation itself is tiny
+      .localCheckpoint()
     // signatures only for docs that appear in a scored pair (semi-
     // reduced like the LSH verify join); min over the SIGNED mixed
     // value — the oracle replays min over toSigned(mix64(·)), so both
@@ -632,7 +636,7 @@ object Dedup {
       .join(sigs.select($"doc_id".as("p"), $"sig".as("sa")), "p")
       .join(sigs.select($"doc_id".as("d"), $"sig".as("sb")), "d")
       .select($"decile", expr(
-        "exists(sequence(0, 15), b -> sa[b*2] = sb[b*2]" +
+        s"exists(sequence(0, ${BANDS - 1}), b -> sa[b*2] = sb[b*2]" +
           " AND sa[b*2+1] = sb[b*2+1])").as("hit"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_pairs"),
@@ -822,7 +826,7 @@ object Dedup {
         .mkString("[", ", ", "]")
       val P = LSH_SCURVE_PROBES
       s"""WITH toks AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), t -> t <> '') AS t
+         |    string_split(text, ' ') AS t
          |  FROM documents),
          |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
          |    i -> t[i] || ' ' || t[i+1])) AS bigram
@@ -845,7 +849,7 @@ object Dedup {
          |      $hexprs
          |    FROM sh GROUP BY doc_id)),
          |hits AS (SELECT decile,
-         |    (len(list_filter(range(0, 16),
+         |    (len(list_filter(range(0, $BANDS),
          |      b -> sa.sig[CAST(b * 2 + 1 AS INTEGER)]
          |             = sb.sig[CAST(b * 2 + 1 AS INTEGER)]
          |        AND sa.sig[CAST(b * 2 + 2 AS INTEGER)]

@@ -379,7 +379,13 @@ object TextAnalysis {
       GraftFunctions.mix64_bucket($"doc_id", BACKOFF_REF_BUCKETS) === 0L)
     val ucnt = ref.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
-    val total = ucnt.agg(sum($"c")).as[Long].collect()(0) // bounded: 1 row
+    // coalesce: sum over an EMPTY ucnt is null, and unlike the other
+    // perplexity keys' totals (empty only on an empty corpus) an
+    // empty REFERENCE HALF is reachable with a non-empty corpus
+    // (every doc_id in the other bucket) — degrade to the documented
+    // total=0 floor instead of a driver NPE (review r18)
+    val total = ucnt.agg(coalesce(sum($"c"), lit(0L)))
+      .as[Long].collect()(0) // bounded: 1 row
     val bigramsOf = (rel: DataFrame) => rel.filter(size($"ws") >= 2)
       .select($"doc_id", explode(expr(
         """transform(sequence(1, size(ws) - 1),
