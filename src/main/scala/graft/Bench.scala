@@ -16,7 +16,8 @@ object Bench {
     // plans against frozen floors measured at the gate anchors and
     // report a bogus regression with nothing in the artifact saying
     // why. Fail fast instead — sweeps belong in BenchOne.
-    val knobs = Seq("SPARK_GRAFT_BPE_ROUNDS", "SPARK_GRAFT_LPA_ROUNDS")
+    val knobs = Seq("SPARK_GRAFT_BPE_ROUNDS", "SPARK_GRAFT_LPA_ROUNDS",
+      "SPARK_GRAFT_ROUND_GC")
       .filter(sys.env.contains)
     require(knobs.isEmpty,
       s"refusing full Bench with measurement knob(s) set: " +
@@ -362,13 +363,24 @@ object Bench {
     // (BENCH_ONLY), an injected-failure honesty check (BENCH_BREAK),
     // or an off-SF decade run would otherwise silently replace the
     // committed gate artifact with a 1-query / broken / off-scale one.
+    // Canonicalize before comparing (advice r18): a trailing slash,
+    // symlink, or relative SPARK_GRAFT_SF_DIR pointing at the gate SF
+    // must still refresh the committed artifact, and a skip must be
+    // LOUD — a silently-stale gate copy defeats its whole purpose.
     val gateShaped = sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty &&
       sys.env.get("SPARK_GRAFT_BENCH_BREAK").isEmpty &&
-      sfDir == "/root/testdata/sf0.1"
+      (try new java.io.File(sfDir).getCanonicalPath ==
+             new java.io.File(GateArtifacts.BenchGateSfDir).getCanonicalPath
+       catch { case _: java.io.IOException => false })
     if (gateShaped) {
-      val gateCopy = new java.io.File("BENCH_gate_latest.json")
+      val gateCopy = new java.io.File(GateArtifacts.BenchGateFile)
       val w2 = new java.io.PrintWriter(gateCopy, "UTF-8")
       try w2.println(json) finally w2.close()
+    } else {
+      println(s"[bench] NOT gate-shaped (sfDir=$sfDir, " +
+        s"only=${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")}, " +
+        s"break=${sys.env.contains("SPARK_GRAFT_BENCH_BREAK")}): " +
+        s"skipping ${GateArtifacts.BenchGateFile} refresh")
     }
     println(json)
     println(s"BENCH_JSON_FILE=${outFile.getAbsolutePath}")

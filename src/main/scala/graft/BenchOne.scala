@@ -38,6 +38,8 @@ object BenchOne {
         // REPEAT here must re-pay training or min-of-N measures a
         // memo hit, not the operator
         graft.operators.TextAnalysis.clearBpeMemo()
+        graft.operators.TextAnalysis.clearClsMemo()
+        graft.operators.TextAnalysis.clearUniMemo()
         val t0 = System.nanoTime()
         val n = BenchExec.materialize(fn(spark, sfDir))
         val sec = (System.nanoTime() - t0) / 1e9

@@ -42,10 +42,15 @@ object Dedup {
     * higher-order-function lambdas for this per-doc work, and the
     * hash-sorted order is the fixed total order the prefix filter in
     * [[ngramJaccardPairs]] relies on. */
-  private[operators] def shingleSets(s: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
+  private[operators] def shingleSets(s: SparkSession, dir: String,
+      probeMax: Option[Long] = None): Dataset[(Long, Array[Long])] = {
     import s.implicits._
-    Tables(s, dir, "documents")
+    val base = Tables(s, dir, "documents")
       .select($"doc_id", $"text")
+    // probe-bounded callers filter BEFORE the shingling map — the
+    // predicate pushes to the parquet scan instead of hashing the
+    // whole corpus and discarding it
+    probeMax.fold(base)(p => base.filter($"doc_id" < p))
       // the table arrives as one parquet split; spread per-doc work
       .transform(Tables.repartitionForCpu(_, col("doc_id")))
       .as[(Long, String)]
@@ -432,17 +437,39 @@ object Dedup {
     * at all), and reads a flag computed for free inside the same
     * projection. DedupSpec plants ids at Long.MaxValue scale to pin
     * this. */
+  /** Per-round driver GC knob for iterative graph floods on a
+    * SINGLE-disk box (SCALING.md round-18 1000× anatomy): completed
+    * rounds' shuffle files are deleted by the ContextCleaner only
+    * after the driver JVM garbage-collects their ShuffleDependency
+    * objects, so a long flood retains every round's files (~25 GB
+    * each at 1000×) until an incidental full GC. `System.gc()` after
+    * each round bounds live scratch to ~one round's working set. Off
+    * by default (a full GC per round is wasted milliseconds at gate
+    * scale, real seconds of pause on a 48 GB decade heap where it is
+    * also the difference between finishing and ENOSPC); decade
+    * harness runs export it. */
+  private def roundGc: Boolean =
+    sys.env.get("SPARK_GRAFT_ROUND_GC").contains("1")
+
   private[graft] def labelPropagate(
       s: SparkSession, edges: DataFrame, labels0: DataFrame,
       maxRounds: Int = Int.MaxValue,
       onTruncated: Int => Unit = _ => ()): DataFrame = {
     import s.implicits._
+    // pre-partition the edge relation on its join key ONCE (round 19,
+    // the 1000× cliff's dominant term): without this every round's
+    // join re-shuffles the EDGE-sized side (~25 GB/round at 1000×) to
+    // co-locate with the node-sized labels; checkpointed
+    // HashPartitioning(b) is preserved by LogicalRDD, so per-round
+    // shuffles drop to the labels side + the map-side-combined min
+    // aggregate. One-time cost: one edge shuffle + materialization.
+    val eb = edges.repartition($"b").localCheckpoint()
     var labels = labels0
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val nbr = edges.join(labels, $"b" === $"doc_id")
+      val nbr = eb.join(labels, $"b" === $"doc_id")
         .groupBy($"a").agg(min($"cluster_id").as("nl"))
       val next = labels.join(nbr, $"doc_id" === $"a", "left")
         .select($"doc_id",
@@ -454,6 +481,10 @@ object Dedup {
       val chgRow = next.agg(sum(when($"chg", 1L).otherwise(0L))).first()
       converged = chgRow.isNullAt(0) || chgRow.getLong(0) == 0L
       labels = next.select($"doc_id", $"cluster_id")
+      // `next` is materialized (the probe above) and the previous
+      // round's checkpoint is now unreachable — give the
+      // ContextCleaner its GC trigger when scratch is the constraint
+      if (roundGc) System.gc()
     }
     // a bounded caller (fixed-R CC) gets to know the flood was cut
     // short — the exact changed-label probe already paid for this
@@ -647,8 +678,154 @@ object Dedup {
       .orderBy($"jaccard_decile")
   }
 
+  /** Subsample-family seed for the PLANTED pair generator — disjoint
+    * from the signature seeds `scurveSeed(0..31)` = mix64(0..31). */
+  private val SCURVE_SUB_SEED = TextHashes.mix64(0x5eedL)
+
+  /** PLANTED pair families with full decile coverage, derived from
+    * the real corpus: for each probe doc A (doc_id <
+    * [[LSH_SCURVE_PROBES]]) and each k = 1..9, partner
+    * B_k = {g ∈ A : mix64(g ⊕ SUB_SEED) mod 10 < k} — a
+    * hash-subsampled SUBSET, so J(A, B_k) = |B_k|/|A| ≈ k/10 exactly
+    * where the corpus's bimodal J distribution is empty (verdict r18
+    * #3: the committed scurve relation had only deciles {0,1,9}).
+    * Nested subsets share one exploded scan; everything is
+    * probe-bounded BY CONSTRUCTION (the filter precedes shingling),
+    * so corpus scale never enters the plan — the right shape for a
+    * quality instrument. Returns (doc_id, k, decile, sa, sb) with
+    * 32-hash splitmix signatures on both sides. */
+  private def plantedPairSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    val ex = shingleSets(s, dir, probeMax = Some(LSH_SCURVE_PROBES))
+      .toDF("doc_id", "ss")
+      .select($"doc_id", explode($"ss").as("g"))
+      .withColumn("u", GraftFunctions.mix64_bucket(
+        $"g".bitwiseXOR(lit(SCURVE_SUB_SEED)), 10L))
+      // A-side rollup + the 9-way B-side both consume it: checkpoint
+      // so the shingling map runs once (r17 duplicated-subtree class);
+      // the relation is probe-bounded, so the materialization is tiny
+      .localCheckpoint()
+    def minsAs(prefix: String) = (0 until MINHASH_K).map(i =>
+      min(GraftFunctions.mix64($"g".bitwiseXOR(lit(scurveSeed(i)))))
+        .as(s"$prefix$i"))
+    val aSide = ex.groupBy($"doc_id")
+      .agg(count(lit(1)).as("na"), minsAs("ha"): _*)
+    val ks = s.range(1, 10).select($"id".cast("int").as("k"))
+    val bSide = ex.join(broadcast(ks), $"u" < $"k")
+      .groupBy($"doc_id", $"k")
+      .agg(count(lit(1)).as("nb"), minsAs("hb"): _*)
+    aSide.join(bSide, "doc_id")
+      .select($"doc_id", $"k", expr("(nb * 10) div na").as("decile"),
+        array((0 until MINHASH_K).map(i => col(s"ha$i")): _*).as("sa"),
+        array((0 until MINHASH_K).map(i => col(s"hb$i")): _*).as("sb"))
+  }
+
+  /** The S-curve over the PLANTED pair families — same output shape
+    * as [[lshScurve]] but with every decile populated, so the
+    * mid-decile transition (the region banding parameters are chosen
+    * on) is itself driver-gated instead of living only in
+    * LshScurveSpec's fixtures. Signatures, bands, and the collision
+    * predicate are identical to the corpus curve (16×2 on the
+    * splitmix family); min-hash collision probability depends only on
+    * true Jaccard, so subset pairs measure the same curve real pairs
+    * would at the same J. */
+  def lshScurvePlanted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    plantedPairSigs(s, dir)
+      .select($"decile", expr(
+        s"exists(sequence(0, ${BANDS - 1}), b -> sa[b*2] = sb[b*2]" +
+          " AND sa[b*2+1] = sb[b*2+1])").as("hit"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"hit", 1L).otherwise(0L)).as("n_collided"))
+      .select($"decile".cast("long").as("jaccard_decile"),
+        $"n_pairs", $"n_collided",
+        expr("(n_collided * 1000000) div n_pairs").as("recall_ppm"))
+      .orderBy($"jaccard_decile")
+  }
+
+  /** Candidate banding configurations for the operating-point
+    * selector — all spend the same MINHASH_K = 32 hashes; band b is
+    * hash positions [b·R, b·R+R), so (16, 2) is bit-identical to the
+    * gate banding. The classic 1−(1−J^R)^B thresholds at b·r = 32:
+    * (32,1) ≈ 0.03, (16,2) ≈ 0.25, (8,4) ≈ 0.59, (4,8) ≈ 0.84,
+    * (2,16) ≈ 0.96. */
+  private val OPSEL_CONFIGS = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16))
+  /** Pairs at J-decile ≥ this must be caught… */
+  val OPSEL_TARGET_DECILE = 8
+  /** …at ≥ this pooled recall… */
+  val OPSEL_RECALL_FLOOR_PPM = 900000L
+  /** …while minimizing collisions on pairs at J-decile ≤ this. */
+  val OPSEL_NOISE_DECILE = 3
+
+  /** LSH OPERATING-POINT SELECTOR — closes the measured S-curve into
+    * a decision (the way graph_lpa_adaptive closed modularity into a
+    * stopping rule): evaluate every [[OPSEL_CONFIGS]] banding over
+    * the SAME planted pair relation in one pass, then select the
+    * configuration that meets the recall floor at the target decile
+    * with the least low-J noise (tie-breaks: fewer bands — fewer
+    * bucket tables at production scale — then the per-decile sort
+    * key). Emits the full per-config curve with the config-level
+    * verdict columns on every row, all-integer so the selection
+    * replays bit-exactly in DuckDB. */
+  def lshOpSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cfgHits = plantedPairSigs(s, dir)
+      .select($"decile", explode(array(OPSEL_CONFIGS.map { case (b, r) =>
+        struct(lit(b).as("nb"), lit(r).as("rpb"), expr(
+          s"exists(sequence(0, ${b - 1}), bb -> " +
+            s"forall(sequence(0, ${r - 1}), " +
+            s"rr -> sa[bb*$r+rr] = sb[bb*$r+rr]))").as("hit"))
+      }: _*)).as("c"))
+      .select($"c.nb".as("n_bands"), $"c.rpb".as("rows_per_band"),
+        $"decile", $"c.hit")
+    val perDecile = cfgHits
+      .groupBy($"n_bands", $"rows_per_band", $"decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"hit", 1L).otherwise(0L)).as("n_collided"))
+      // two consumers (config rollup + the final join); ≤ 55 rows
+      .localCheckpoint()
+    val cfg = perDecile.groupBy($"n_bands", $"rows_per_band")
+      .agg(
+        coalesce(sum(when($"decile" >= OPSEL_TARGET_DECILE,
+          $"n_collided")), lit(0L)).as("hi_c"),
+        coalesce(sum(when($"decile" >= OPSEL_TARGET_DECILE,
+          $"n_pairs")), lit(0L)).as("hi_p"),
+        coalesce(sum(when($"decile" <= OPSEL_NOISE_DECILE,
+          $"n_collided")), lit(0L)).as("lo_c"),
+        coalesce(sum(when($"decile" <= OPSEL_NOISE_DECILE,
+          $"n_pairs")), lit(0L)).as("lo_p"))
+      .select($"n_bands", $"rows_per_band",
+        expr("(hi_c * 1000000) div greatest(hi_p, 1)")
+          .as("recall_hi_ppm"),
+        expr("(lo_c * 1000000) div greatest(lo_p, 1)")
+          .as("noise_lo_ppm"))
+      .withColumn("meets_floor",
+        $"recall_hi_ppm" >= OPSEL_RECALL_FLOOR_PPM)
+    // global window over the 5-row config relation — bounded by
+    // construction (|OPSEL_CONFIGS|), not by data
+    val sel = cfg.withColumn("is_selected",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+        $"meets_floor".desc,
+        when($"meets_floor", $"noise_lo_ppm")
+          .otherwise(-$"recall_hi_ppm"),
+        $"n_bands")) === 1)
+    perDecile.join(sel, Seq("n_bands", "rows_per_band"))
+      .select($"n_bands".cast("long").as("n_bands"),
+        $"rows_per_band".cast("long").as("rows_per_band"),
+        $"decile".cast("long").as("jaccard_decile"),
+        $"n_pairs", $"n_collided",
+        expr("(n_collided * 1000000) div n_pairs").as("recall_ppm"),
+        $"recall_hi_ppm", $"noise_lo_ppm",
+        $"meets_floor", $"is_selected")
+      .orderBy($"n_bands", $"jaccard_decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_lsh_scurve" -> (lshScurve _),
+    "dedup_lsh_scurve_planted" -> (lshScurvePlanted _),
+    "dedup_lsh_opselect" -> (lshOpSelect _),
     "pipeline_dedup_cascade" -> (dedupCascade _),
     "dedup_cms_prefilter" -> (cmsPrefilterDups _),
     "dedup_span_crossdoc" -> (spanCrossdoc _),
@@ -660,6 +837,46 @@ object Dedup {
     "dedup_embedding_cosine" -> (embeddingCosinePairs _),
     "dedup_clusters" -> (nearDupClusters _),
   )
+
+  /** Shared CTE chain replaying [[plantedPairSigs]] bit-exactly:
+    * probe-filtered fnv bigram shingles, the mix64 subsample bucket,
+    * per-(doc, k) nested-subset sizes and signed-min splitmix
+    * signatures, integer deciles. MATERIALIZED: a/b/pairs each feed
+    * multiple consumers in both downstream oracles. */
+  private lazy val plantedPairsCte: String = {
+    val gh = OracleSql.toSigned(OracleSql.fnv1a64("bigram"))
+    val m64 = "18446744073709551616"
+    val gu = s"((CAST(g AS HUGEINT) % $m64 + $m64) % $m64)"
+    val sub = java.lang.Long.toUnsignedString(SCURVE_SUB_SEED)
+    def hexprs(p: String) = (0 until MINHASH_K).map { i =>
+      val seed = java.lang.Long.toUnsignedString(scurveSeed(i))
+      s"min(${OracleSql.toSigned(OracleSql.mix64(
+        s"xor($gu, CAST($seed AS HUGEINT))"))}) AS $p$i"
+    }.mkString(",\n      ")
+    def arr(p: String) = (0 until MINHASH_K).map(i => s"$p$i")
+      .mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE doc_id < $LSH_SCURVE_PROBES),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS bigram
+       |  FROM toks WHERE len(t) >= 2),
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, $gh AS g FROM bg),
+       |ex AS MATERIALIZED (SELECT doc_id, g,
+       |    (${OracleSql.mix64(s"xor($gu, CAST($sub AS HUGEINT))")}) % 10
+       |      AS u
+       |  FROM sh),
+       |a AS MATERIALIZED (SELECT doc_id, count(*) AS na,
+       |      ${hexprs("ha")}
+       |    FROM ex GROUP BY 1),
+       |b AS MATERIALIZED (SELECT doc_id, kk.k AS k, count(*) AS nb,
+       |      ${hexprs("hb")}
+       |    FROM ex, (SELECT unnest(range(1, 10)) AS k) kk
+       |    WHERE ex.u < kk.k GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (SELECT a.doc_id, b.k,
+       |    (b.nb * 10) // a.na AS decile,
+       |    ${arr("ha")} AS sa, ${arr("hb")} AS sb
+       |  FROM a JOIN b USING (doc_id))""".stripMargin
+  }
 
   private val jaccardOracle =
     """WITH words AS (
@@ -813,6 +1030,79 @@ object Dedup {
     // same splitmix minhash families (signed-min total order), the
     // same 16×2 band-collision predicate, the same integer deciles —
     // MATERIALIZED because sh/sig feed multiple consumers
+    "dedup_lsh_scurve_planted" ->
+      s"""$plantedPairsCte
+         |, hits AS (SELECT decile,
+         |    (len(list_filter(range(0, $BANDS),
+         |      b -> sa[CAST(b * 2 + 1 AS INTEGER)]
+         |             = sb[CAST(b * 2 + 1 AS INTEGER)]
+         |        AND sa[CAST(b * 2 + 2 AS INTEGER)]
+         |             = sb[CAST(b * 2 + 2 AS INTEGER)])) > 0) AS hit
+         |  FROM pairs)
+         |SELECT CAST(decile AS BIGINT) AS jaccard_decile,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_collided,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS recall_ppm
+         |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-config collision arms unrolled with LITERAL (bands, rows)
+    // (no lambda-capturing-outer-column dependence), the same pooled
+    // hi/lo rollups, and the selection ordering replayed as a window
+    // over the 5-row config relation
+    "dedup_lsh_opselect" -> {
+      val arms = OPSEL_CONFIGS.map { case (b, r) =>
+        s"""SELECT $b AS n_bands, $r AS rows_per_band, decile,
+           |    (len(list_filter(range(0, $b),
+           |      bb -> len(list_filter(range(0, $r),
+           |        rr -> sa[CAST(bb * $r + rr + 1 AS INTEGER)]
+           |            = sb[CAST(bb * $r + rr + 1 AS INTEGER)])) = $r))
+           |      > 0) AS hit
+           |  FROM pairs""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$plantedPairsCte
+         |, ch AS MATERIALIZED (
+         |$arms),
+         |pd AS MATERIALIZED (SELECT n_bands, rows_per_band, decile,
+         |    count(*) AS n_pairs,
+         |    sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_collided
+         |  FROM ch GROUP BY 1, 2, 3),
+         |cfg AS (SELECT n_bands, rows_per_band,
+         |    coalesce(sum(CASE WHEN decile >= $OPSEL_TARGET_DECILE
+         |        THEN n_collided END), 0) * 1000000
+         |      // greatest(coalesce(sum(CASE WHEN decile >=
+         |        $OPSEL_TARGET_DECILE THEN n_pairs END), 0), 1)
+         |      AS recall_hi_ppm,
+         |    coalesce(sum(CASE WHEN decile <= $OPSEL_NOISE_DECILE
+         |        THEN n_collided END), 0) * 1000000
+         |      // greatest(coalesce(sum(CASE WHEN decile <=
+         |        $OPSEL_NOISE_DECILE THEN n_pairs END), 0), 1)
+         |      AS noise_lo_ppm
+         |  FROM pd GROUP BY 1, 2),
+         |sel AS (SELECT n_bands, rows_per_band, recall_hi_ppm,
+         |    noise_lo_ppm,
+         |    recall_hi_ppm >= $OPSEL_RECALL_FLOOR_PPM AS meets_floor,
+         |    row_number() OVER (ORDER BY
+         |      (recall_hi_ppm >= $OPSEL_RECALL_FLOOR_PPM) DESC,
+         |      CASE WHEN recall_hi_ppm >= $OPSEL_RECALL_FLOOR_PPM
+         |           THEN noise_lo_ppm ELSE -recall_hi_ppm END,
+         |      n_bands) = 1 AS is_selected
+         |  FROM cfg)
+         |SELECT CAST(pd.n_bands AS BIGINT) AS n_bands,
+         |  CAST(pd.rows_per_band AS BIGINT) AS rows_per_band,
+         |  CAST(pd.decile AS BIGINT) AS jaccard_decile,
+         |  CAST(pd.n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(pd.n_collided AS BIGINT) AS n_collided,
+         |  CAST(pd.n_collided * 1000000 // pd.n_pairs AS BIGINT)
+         |    AS recall_ppm,
+         |  CAST(sel.recall_hi_ppm AS BIGINT) AS recall_hi_ppm,
+         |  CAST(sel.noise_lo_ppm AS BIGINT) AS noise_lo_ppm,
+         |  sel.meets_floor AS meets_floor,
+         |  sel.is_selected AS is_selected
+         |FROM pd JOIN sel ON pd.n_bands = sel.n_bands
+         |  AND pd.rows_per_band = sel.rows_per_band
+         |ORDER BY n_bands, jaccard_decile""".stripMargin
+    },
     "dedup_lsh_scurve" -> {
       val gh = OracleSql.toSigned(OracleSql.fnv1a64("bigram"))
       val m64 = "18446744073709551616"

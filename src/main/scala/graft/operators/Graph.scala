@@ -909,10 +909,13 @@ object Graph {
          |FROM st, cm, nn""".stripMargin,
     // the adaptive stopping rule replayed bit-exactly: LPA_ADAPTIVE_MAX
     // rounds unrolled, a quantized-Q rollup CTE per round, and each
-    // output row guarded by the integer history predicate — row r is
-    // emitted iff every round before it strictly improved (the engine
-    // evaluates exactly rounds 1..first-decline), and is_selected marks
-    // the first peak (or the cap when Q never declines)
+    // output row guarded by the integer history predicate generated by
+    // stopBefore()/staleAt() below — row r is emitted iff NO
+    // LPA_PATIENCE-long streak of best-so-far-failing rounds ends
+    // strictly before r (the engine evaluates rounds until patience
+    // runs out, NOT greedy stop-on-first-decline — see the patience
+    // rationale at the engine site), and is_selected marks the
+    // earliest argmax of Q over the emitted prefix
     "graph_lpa_adaptive" -> {
       val R = LPA_ADAPTIVE_MAX
       def q(i: Int) = s"(SELECT modularity_ppm FROM qq_$i)"

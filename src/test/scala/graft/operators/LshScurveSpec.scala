@@ -120,4 +120,128 @@ class LshScurveSpec extends AnyFunSuite {
     assert(got(8L) == ((20L, 20L, 1000000L)), got(8L).toString)
     assert(r2 < got(8L)._3, "curve not increasing across deciles")
   }
+
+  // ---- planted-pair gate keys (round 19) ----
+
+  private val SUB = graft.functions.TextHashes.mix64(0x5eedL)
+  private def u10(g: Long): Long = java.lang.Long.remainderUnsigned(
+    graft.functions.TextHashes.mix64(g ^ SUB), 10L)
+
+  /** Replay of Dedup.plantedPairSigs: one (decile, sigA, sigB) row
+    * per (probe doc, k), B_k the nested hash-subsampled subset. */
+  private def plantedReplay(rows: Seq[(Long, String)])
+      : Seq[(Long, Vector[Long], Vector[Long])] =
+    for {
+      (id, t) <- rows
+      if id < Dedup.LSH_SCURVE_PROBES
+      a = shingles(t)
+      if a.nonEmpty
+      k <- 1 to 9
+      b = a.filter(g => u10(g) < k)
+      if b.nonEmpty
+    } yield ((10L * b.size) / a.size, sig(a), sig(b))
+
+  private def curveOf(pairs: Seq[(Long, Vector[Long], Vector[Long])],
+      hit: (Vector[Long], Vector[Long]) => Boolean)
+      : Map[Long, (Long, Long, Long)] =
+    pairs.groupBy(_._1).map { case (dec, v) =>
+      val n = v.size.toLong
+      val c = v.count(p => hit(p._2, p._3)).toLong
+      dec -> (n, c, c * 1000000L / n)
+    }
+
+  private def corpusRows: Seq[(Long, String)] = {
+    import spark.implicits._
+    graft.sources.Tables(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+  }
+
+  test("planted gate key fills the mid deciles and matches the replay") {
+    val got = Dedup.lshScurvePlanted(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val exp = curveOf(plantedReplay(corpusRows), collide)
+    assert(got == exp, s"planted curve diverges:\n got=$got\n exp=$exp")
+    // THE point of the key (verdict r18 #3): the corpus scurve's
+    // bimodal J leaves deciles 2–8 empty; the planted families
+    // populate every one, driver-gated
+    (2L to 8L).foreach(d =>
+      assert(got.contains(d) && got(d)._1 > 0, s"decile $d empty: $got"))
+    // and the S-shape is visible in the gated relation itself
+    assert(got(0L)._3 < got(3L)._3, s"low end not rising: $got")
+    assert(got(3L)._3 < got(5L)._3 || got(3L)._3 == 1000000L,
+      s"mid transition not rising: $got")
+    assert(got.filter(_._1 >= 8L).values.forall(_._3 == 1000000L),
+      s"high end not saturated: $got")
+  }
+
+  private val CONFIGS = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16))
+  private def collideBR(a: Vector[Long], b: Vector[Long],
+      bands: Int, r: Int): Boolean =
+    (0 until bands).exists(band =>
+      (0 until r).forall(j => a(band * r + j) == b(band * r + j)))
+
+  test("operating-point selector replays and picks (8,4) for the 0.8 target") {
+    val pairs = plantedReplay(corpusRows)
+    // per-config curves + pooled hi/lo rollups, integer ppm
+    val perCfg = CONFIGS.map { case (b, r) =>
+      val curve = curveOf(pairs, collideBR(_, _, b, r))
+      def pool(sel: Long => Boolean) = {
+        val rows = curve.filter { case (d, _) => sel(d) }.values
+        val (p, c) = (rows.map(_._1).sum, rows.map(_._2).sum)
+        c * 1000000L / math.max(p, 1L)
+      }
+      val hi = pool(_ >= Dedup.OPSEL_TARGET_DECILE)
+      val lo = pool(_ <= Dedup.OPSEL_NOISE_DECILE)
+      (b, r, curve, hi, lo, hi >= Dedup.OPSEL_RECALL_FLOOR_PPM)
+    }
+    val selected = perCfg.sortBy { case (b, _, _, hi, lo, meets) =>
+      (!meets, if (meets) lo else -hi, b)
+    }.head
+    val expRows = perCfg.flatMap { case (b, r, curve, hi, lo, meets) =>
+      curve.toSeq.map { case (d, (n, c, ppm)) =>
+        (b.toLong, r.toLong, d, n, c, ppm, hi, lo, meets,
+          (b, r) == (selected._1, selected._2))
+      }
+    }.sortBy(t => (t._1, t._3))
+    val got = Dedup.lshOpSelect(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getBoolean(8), r.getBoolean(9))).toSeq
+    assert(got == expRows,
+      s"opselect diverges:\n got=${got.take(5)}…\n exp=${expRows.take(5)}…")
+    // exactly one selected config, and on a corpus with real noise
+    // pairs the 0.8-threshold answer is (8,4): the (16,2) gate
+    // banding meets the floor but pays ~an order more low-J noise,
+    // (4,8)'s 1−(1−J⁸)⁴ curve misses the floor at J≈0.8
+    val sel = got.filter(_._10).map(t => (t._1, t._2)).distinct
+    assert(sel == Seq((8L, 4L)), s"selector picked $sel")
+    val meets = got.filter(_._9).map(_._1).toSet
+    assert(Set(8L, 16L, 32L).subsetOf(meets), s"floor verdicts off: $meets")
+  }
+
+  test("single-shingle fixture: empty noise deciles fall to the fewest-bands tie-break") {
+    import spark.implicits._
+    // 2-word docs → exactly one shingle: every nonempty B_k equals A,
+    // so ALL pairs land at decile 10 with identical signatures — every
+    // config has recall_hi = 1.0 and an EMPTY noise pool (the
+    // greatest(lo_p, 1) guard path on both engines); selection then
+    // ties on noise 0 and falls to the fewest bands, (2,16)
+    val rows = (0L until 30L).map(i => (i, s"w${i}a w${i}b"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("opsel_single").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.lshOpSelect(spark, tmp).collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getLong(5), r.getLong(7),
+        r.getBoolean(8), r.getBoolean(9)))
+    assert(got.forall(_._2 == 10L), s"non-10 decile: ${got.toSeq}")
+    assert(got.forall(_._3 == 1000000L), s"recall not total: ${got.toSeq}")
+    assert(got.forall(_._4 == 0L), s"noise not zero: ${got.toSeq}")
+    assert(got.forall(_._5), s"floor not met everywhere: ${got.toSeq}")
+    val sel = got.filter(_._6).map(_._1).distinct.toSeq
+    assert(sel == Seq(2L), s"tie-break picked $sel, want fewest bands")
+  }
 }
