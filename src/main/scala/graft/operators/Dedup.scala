@@ -421,6 +421,20 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Per-round driver GC knob for iterative graph floods on a
+    * SINGLE-disk box (SCALING.md round-18 1000× anatomy): completed
+    * rounds' shuffle files are deleted by the ContextCleaner only
+    * after the driver JVM garbage-collects their ShuffleDependency
+    * objects, so a long flood retains every round's files (~25 GB
+    * each at 1000×) until an incidental full GC. `System.gc()` after
+    * each round bounds live scratch to ~one round's working set. Off
+    * by default (a full GC per round is wasted milliseconds at gate
+    * scale, real seconds of pause on a 48 GB decade heap where it is
+    * also the difference between finishing and ENOSPC); decade
+    * harness runs export it. */
+  private def roundGc: Boolean =
+    sys.env.get("SPARK_GRAFT_ROUND_GC").contains("1")
+
   /** Min-label propagation to fixpoint over a directed edge list
     * (callers pass both directions for undirected graphs). `labels0`
     * is (doc_id, cluster_id), normally cluster_id = doc_id.
@@ -437,19 +451,6 @@ object Dedup {
     * at all), and reads a flag computed for free inside the same
     * projection. DedupSpec plants ids at Long.MaxValue scale to pin
     * this. */
-  /** Per-round driver GC knob for iterative graph floods on a
-    * SINGLE-disk box (SCALING.md round-18 1000× anatomy): completed
-    * rounds' shuffle files are deleted by the ContextCleaner only
-    * after the driver JVM garbage-collects their ShuffleDependency
-    * objects, so a long flood retains every round's files (~25 GB
-    * each at 1000×) until an incidental full GC. `System.gc()` after
-    * each round bounds live scratch to ~one round's working set. Off
-    * by default (a full GC per round is wasted milliseconds at gate
-    * scale, real seconds of pause on a 48 GB decade heap where it is
-    * also the difference between finishing and ENOSPC); decade
-    * harness runs export it. */
-  private def roundGc: Boolean =
-    sys.env.get("SPARK_GRAFT_ROUND_GC").contains("1")
 
   private[graft] def labelPropagate(
       s: SparkSession, edges: DataFrame, labels0: DataFrame,

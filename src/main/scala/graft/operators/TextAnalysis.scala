@@ -734,14 +734,10 @@ object TextAnalysis {
     * one row per word OCCURRENCE (callers aggregate). */
   private def bpeWordForms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
-      .select(posexplode(split(
-        translate($"text", BPE_WIRE_ESC_FROM, BPE_WIRE_ESC_TO), " "))
-        .as(Seq("pos", "word")))
-      .filter($"word" =!= "")
-      .select(concat(
-        when($"pos" > 0, lit(BPE_BOW)).otherwise(lit("")),
-        $"word", lit(BPE_EOW)).as("word"))
+    // The form rule is the bit-exactness contract shared by the BPE
+    // AND unigram oracles — exactly one builder ([[docWordForms]])
+    // may own it, or the train- and encode-side relations drift.
+    docWordForms(s, dir).select($"word")
   }
 
   /** Trained-merge memo for [[bpeMerges]] — keyed by (canonical data
@@ -1110,7 +1106,10 @@ object TextAnalysis {
       val top = seedCnt.orderBy($"cnt".desc, $"piece")
         .limit(UNI_SEED_K).as[(String, Long)].collect()
       val singles = seedCnt
-        .filter(size(split($"piece", "")) === 1)
+        // length() counts code points on both engines (UTF8String
+        // numChars / DuckDB length) — the direct form of "one code
+        // point", with no dependency on empty-pattern split semantics
+        .filter(length($"piece") === 1)
         .as[(String, Long)].collect() // bounded: corpus alphabet
       var vocab: Map[String, (Long, Long)] =
         (top ++ singles).map { case (p, c) =>
@@ -1172,7 +1171,13 @@ object TextAnalysis {
   def unigramEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val costMap = uniVocab(s, dir).map(t => t._1 -> t._3).toMap
-    val seg = docWordForms(s, dir).select($"word").distinct()
+    // ONE tokenization pass feeds both the distinct-form Viterbi side
+    // and the per-doc occurrence side (they cannot share a subtree
+    // unchackpointed — different pruned subplans, the r17 duplicated-
+    // subtree class), and the checkpoint's exact stats let AQE pick
+    // the join side at runtime.
+    val dwf = docWordForms(s, dir).localCheckpoint()
+    val seg = dwf.select($"word").distinct()
       .as[String]
       .map { w =>
         val cps = codePointsOf(w)
@@ -1180,8 +1185,14 @@ object TextAnalysis {
         (w, cps.length.toLong, ps.length.toLong,
           ps.map(costMap).sum)
       }.toDF("word", "n_cp", "n_tok", "cost")
-    val perDoc = docWordForms(s, dir)
-      .join(broadcast(seg), "word") // vocab-bounded build side
+    // NO broadcast hint: seg is one row per DISTINCT CORPUS WORD FORM
+    // — corpus-vocabulary-sized, which grows with the corpus (tens of
+    // millions of forms at the 100 TB design point, past the 8 GB
+    // broadcast hard cap). AQE broadcasts it when it measures small
+    // (every gate/decade run here) and shuffle-joins when it isn't —
+    // the word-keyed shuffle is the correct large-SF shape.
+    val perDoc = dwf
+      .join(seg, "word")
       .groupBy($"doc_id")
       .agg(sum($"n_cp").as("n_symbols"),
         sum($"n_tok").as("n_tokens"),
@@ -1338,7 +1349,9 @@ object TextAnalysis {
     * weight list, mixing as a positional unnest + `//` rollup. */
   private[graft] def trainedClsWeights(
       s: SparkSession, dir: String): Array[Long] =
-    clsMemo.computeIfAbsent(dir, _ => {
+    // canonical key — trailing slash / symlink spellings must share
+    // one training run (the uni/bpe memos' established key rule)
+    clsMemo.computeIfAbsent(new java.io.File(dir).getCanonicalPath, _ => {
       import s.implicits._
       val toks = filter(split($"text", " "), t => t =!= "")
       val bis = when(size($"toks") >= 2, expr(

@@ -29,6 +29,10 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 all_oracle_keys = set(oracle)  # BEFORE any subset filter: the gate
 # artifact must only reflect runs that covered the full key set
+try:
+    manifest = json.load(open(f"{out_dir}/manifest.json"))
+except Exception:
+    manifest = None
 if "--present" in sys.argv:  # iteration aid: only keys Verify dumped
     oracle = {k: v for k, v in oracle.items()
               if os.path.isdir(f"{out_dir}/{k}")}
@@ -38,6 +42,17 @@ for name in sorted(oracle):
     row = {"rows_match": False, "schema_match": False, "hash_match": False,
            "spark_rows": None, "oracle_rows": None, "err": None}
     results[name] = row
+    # A Verify-side failure is a FAIL even when a stale parquet from an
+    # earlier run survives in out_dir (reused out_dirs are the normal
+    # workflow): without this, a key whose CURRENT build cannot run
+    # would hash-compare its round-N-1 output and commit a false OK to
+    # the gate artifact — the exact self-evidencing failure this file
+    # exists to prevent.
+    m = (manifest or {}).get(name)
+    if m is not None and not m.get("ok", True):
+        row["err"] = f"verify: {m.get('err')}"
+        print(f"FAIL {name}: verify-side error ({m.get('err')}); "
+              f"any on-disk output is stale"); fails += 1; continue
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         row["err"] = "no spark output"
@@ -82,22 +97,27 @@ for name in sorted(oracle):
 print(f"\n{len(oracle)-fails}/{len(oracle)} OK")
 
 # --- committed gate artifact (guarded, mirrors Bench.scala's pattern) ---
-GATE_SF = "/root/testdata/sf0.01"  # graft.GateArtifacts.VerifyGateSfDir
 repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-gate_path = os.path.join(repo_root, "CORRECTNESS_gate_latest.json")
-try:
-    manifest = json.load(open(f"{out_dir}/manifest.json"))
-except Exception:
-    manifest = None
+# Single source of truth: parse the gate constants out of
+# GateArtifacts.scala rather than re-hardcoding them here — a rename
+# on the Scala side must not silently stop this side's refresh.
+_ga_src = open(os.path.join(
+    repo_root, "src/main/scala/graft/GateArtifacts.scala")).read()
+import re as _re
+def _ga(name):
+    m = _re.search(rf'val {name} = "([^"]+)"', _ga_src)
+    if m is None:
+        sys.exit(f"GateArtifacts.scala: constant {name} not found — "
+                 "gate-artifact paths have drifted")
+    return m.group(1)
+GATE_SF = _ga("VerifyGateSfDir")
+gate_path = os.path.join(repo_root, _ga("CorrectnessGateFile"))
 sf_is_gate = os.path.realpath(sf_dir) == os.path.realpath(GATE_SF)
 full_run = (manifest is not None and set(manifest) >= all_oracle_keys
             and set(oracle) == all_oracle_keys)
 if sf_is_gate and full_run:
-    # carry Verify-side load errors for keys whose output never landed
-    for name, m in (manifest or {}).items():
-        if name in results and results[name]["err"] == "no spark output" \
-           and not m.get("ok", True):
-            results[name]["err"] = f"verify: {m.get('err')}"
+    # Verify-side errors are already FAILs in the main loop above
+    # (stale-output-proof); nothing to carry over here.
     n_ok = sum(1 for r in results.values()
                if r["rows_match"] and r["schema_match"] and r["hash_match"])
     artifact = {"summary": {"n_keys": len(results), "n_ok": n_ok,
