@@ -32,6 +32,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // sized like 32 executors (not like a driver) buys headroom against
   // spill/GC when the host is contended or SF grows.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Decade-run scratch-disk lever (SCALING.md round-19 1000× graph
+  // anatomy): LZ4-compress cached-RDD blocks when they spill —
+  // localCheckpoint caches of long-pair edge relations shrink
+  // several-fold on disk, which is the difference between a 1000×
+  // iterative-graph run fitting this box's scratch and ENOSPC.
+  // System properties prefixed "spark." are read by SparkConf, so
+  // this reaches every forked main (BenchOne/BenchScale/Verify).
+  // Default FALSE: gate runs measure the same storage path the
+  // frozen floors froze; Bench fail-fasts if it leaks into a gate
+  // run (the ROUND_GC knob discipline).
+  s"-Dspark.rdd.compress=${sys.env.contains("SPARK_GRAFT_RDD_COMPRESS")}",
 )
 // Streaming suites are wall-clock sensitive (task timeouts, triggers)
 // and share one SparkSession; running suites in parallel makes batch

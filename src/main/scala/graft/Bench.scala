@@ -17,7 +17,7 @@ object Bench {
     // report a bogus regression with nothing in the artifact saying
     // why. Fail fast instead — sweeps belong in BenchOne.
     val knobs = Seq("SPARK_GRAFT_BPE_ROUNDS", "SPARK_GRAFT_LPA_ROUNDS",
-      "SPARK_GRAFT_ROUND_GC")
+      "SPARK_GRAFT_ROUND_GC", "SPARK_GRAFT_RDD_COMPRESS")
       .filter(sys.env.contains)
     require(knobs.isEmpty,
       s"refusing full Bench with measurement knob(s) set: " +

@@ -464,7 +464,17 @@ object Dedup {
     // HashPartitioning(b) is preserved by LogicalRDD, so per-round
     // shuffles drop to the labels side + the map-side-combined min
     // aggregate. One-time cost: one edge shuffle + materialization.
-    val eb = edges.repartition($"b").localCheckpoint()
+    // SERIALIZED storage for the edge-sized cache (round-19 1000×
+    // anatomy, second cut): the default deserialized MEMORY_AND_DISK
+    // unrolls each partition as an object graph before caching — at
+    // 1.17 B edges that is both the task-thread heap OOM (32
+    // concurrent ~400 MB unrolls) and, spilled, the ~37 GB
+    // uncompressed disk footprint that breached the box. SER stores
+    // compact row bytes (LZ4'd on disk under spark.rdd.compress),
+    // bounding both; the per-round deserialization cost on a
+    // node-bounded join probe is noise against the round's shuffle.
+    val eb = edges.repartition($"b").localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = labels0
     var converged = false
     var round = 0

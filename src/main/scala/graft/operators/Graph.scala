@@ -82,7 +82,10 @@ object Graph {
     // measured SLOWER at sf0.1, 3.2–3.5 s vs 2.4 s floor, because the
     // fused checkpoint is wider and pays its cost on all 3
     // iterations while saving a join that was already free.)
-    val half = e0.localCheckpoint()
+    // serialized: edge-sized cache (round-19 1000× anatomy — see
+    // labelPropagate's eb checkpoint)
+    val half = e0.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = half
       .union(half.select($"dst".as("src"), $"src".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -502,7 +505,11 @@ object Graph {
       .select($"o_custkey".as("src"),
         ($"l_suppkey" + SUPPLIER_OFFSET).as("dst"))
       .distinct()
-    val half = e0.localCheckpoint()
+    // serialized: edge-sized cache, same rationale as labelPropagate's
+    // eb checkpoint (round-19 1000× anatomy — deserialized unroll is
+    // the heap cliff, uncompressed spill the disk cliff)
+    val half = e0.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = half.select($"src".as("a"), $"dst".as("b"))
       .union(half.select($"dst".as("a"), $"src".as("b")))
     val labels0 = half.select($"src".as("n"))
@@ -606,7 +613,10 @@ object Graph {
       .select($"o_custkey".as("src"),
         ($"l_suppkey" + SUPPLIER_OFFSET).as("dst"))
       .distinct()
-      .localCheckpoint() // read 2·R+2 times (edges + nodes)
+      // serialized: edge-sized cache read 2·R+2 times (edges + nodes)
+      // — round-19 1000× anatomy, see labelPropagate's eb checkpoint
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = half.select($"src".as("a"), $"dst".as("b"))
       .union(half.select($"dst".as("a"), $"src".as("b")))
     val labels0 = half.select($"src".as("node"))

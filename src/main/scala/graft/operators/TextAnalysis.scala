@@ -1468,6 +1468,110 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Threshold-grid resolution for [[classifierPrCurve]]: the sweep
+    * evaluates PR_GRID+1 evenly spaced integer thresholds between the
+    * observed holdout min and max score. A fixed grid (not the set of
+    * distinct scores) keeps the relation BOUNDED at any corpus size —
+    * the instrument's row count is a constant, like the scurve's
+    * deciles and the opselect's banding configs. */
+  val PR_GRID = 32
+
+  /** Precision/recall threshold sweep for the trained classifier —
+    * the operating-point instrument that closes the classifier story
+    * the way [[graft.operators.Dedup.lshOpSelect]] closed LSH
+    * banding: [[hashClassifierTrain]] learns the weights,
+    * [[hashClassifier]] scores with them, and THIS relation shows
+    * where to put the routing threshold. Evaluated on the HELD-OUT
+    * half (mix64 bucket 1 — never seen by training, so the curve
+    * measures generalization, not memorization) against the same
+    * stopword-ratio teacher the trainer distilled: for each of
+    * [[PR_GRID]]+1 evenly spaced integer thresholds between the
+    * observed min/max holdout score, the confusion counts of
+    * `predicted clean = score ≥ threshold`, with precision/recall/F1
+    * in exact ppm and `is_selected` marking the smallest-threshold
+    * F1 argmax — the operating point a pipeline would ship.
+    *
+    * Scale shape: scoring is the [[hashClassifier]] plan (one pruned
+    * scan, in-row feature fold, zero pre-sort shuffles) restricted to
+    * the holdout; the scored relation is checkpointed once and feeds
+    * the bounded 1-row min/max probe plus a constant-side (≤33-row)
+    * broadcast cross join whose aggregate is map-side combined into
+    * ≤33 groups — the sweep costs one extra scan of the scored
+    * holdout, never a corpus-sized shuffle. All arithmetic is
+    * integer (truncating division on both engines), so the DuckDB
+    * oracle replays training, scoring, grid, and selection exactly. */
+  def classifierPrCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = typedlit(trainedClsWeights(s, dir).toSeq)
+    val mask = lit((HASH_CLS_DIM - 1).toLong)
+    val toks = filter(split($"text", " "), t => t =!= "")
+    val bis = when(size($"toks") >= 2, expr(
+      "transform(sequence(1, size(toks) - 1)," +
+        " i -> concat(toks[i-1], ' ', toks[i]))"))
+      .otherwise(array().cast("array<string>"))
+    val nStop = size(filter($"toks", t => t.isInCollection(STOPWORDS)))
+    val scored = Tables(s, dir, "documents")
+      .filter(graft.functions.GraftFunctions.mix64_bucket(
+        $"doc_id", HASH_CLS_TRAIN_BUCKETS) === 1L)
+      .select($"doc_id", toks.as("toks"))
+      .select($"doc_id",
+        // the trainer's teacher rule verbatim (integer permille);
+        // empty docs label clean (0 ≥ 0) on both engines
+        (nStop.cast("long") * 1000L >=
+          lit(HASH_CLS_STOP_PERMILLE) * size($"toks").cast("long"))
+          .as("y"),
+        concat($"toks", bis).as("feats"))
+      .select($"doc_id", $"y",
+        aggregate($"feats", lit(0L), (acc, f) =>
+          acc + element_at(w, (GraftFunctions.fnv1a64(f)
+            .bitwiseAND(mask) + lit(1L)).cast("int"))).as("score"))
+      // two consumers (min/max probe + sweep join) — one scoring pass
+      .localCheckpoint()
+    val mm = scored.agg(min($"score"), max($"score")).head() // 1 row
+    if (mm.isNullAt(0))
+      // empty holdout: an empty curve with the full schema
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long,
+        Long, Boolean)]
+        .toDF("threshold", "tp", "fp", "fn", "tn", "precision_ppm",
+          "recall_ppm", "f1_ppm", "is_selected")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // truncating Long division — (hi-lo), k both ≥ 0, so Java / and
+    // DuckDB // agree; DISTINCT because a narrow score range
+    // collapses grid points (both engines dedupe identically)
+    val thr = (0 to PR_GRID)
+      .map(k => lo + (hi - lo) * k / PR_GRID).distinct
+      .toDF("threshold")
+    val conf = thr.crossJoin(scored)
+      .groupBy($"threshold")
+      .agg(
+        sum(when($"y" && $"score" >= $"threshold", 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(!$"y" && $"score" >= $"threshold", 1L).otherwise(0L))
+          .as("fp"),
+        sum(when($"y" && $"score" < $"threshold", 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!$"y" && $"score" < $"threshold", 1L).otherwise(0L))
+          .as("tn"))
+      .select($"threshold", $"tp", $"fp", $"fn", $"tn",
+        expr("tp * 1000000 div greatest(tp + fp, 1)")
+          .as("precision_ppm"),
+        expr("tp * 1000000 div greatest(tp + fn, 1)")
+          .as("recall_ppm"),
+        expr("2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1)")
+          .as("f1_ppm"))
+    // selection over the BOUNDED (≤ PR_GRID+1 row) curve: global
+    // window is safe here for the same reason as the scurve rollup
+    val all = Window.partitionBy(lit(1))
+    conf
+      .withColumn("best_f1", max($"f1_ppm").over(all))
+      .withColumn("best_thr",
+        min(when($"f1_ppm" === $"best_f1", $"threshold")).over(all))
+      .select($"threshold", $"tp", $"fp", $"fn", $"tn",
+        $"precision_ppm", $"recall_ppm", $"f1_ppm",
+        ($"threshold" === $"best_thr").as("is_selected"))
+      .orderBy($"threshold")
+  }
+
   /** Shingle width for [[ngramNovelty]]. */
   val NOVELTY_NGRAM = 3
 
@@ -1560,6 +1664,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_hash_classifier_train" -> (hashClassifierTrain _),
+    "text_classifier_pr_curve" -> (classifierPrCurve _),
     "text_unigram_train" -> (unigramTrain _),
     "text_unigram_encode" -> (unigramEncode _),
     "text_tokenizer_fertility" -> (tokenizerFertility _),
@@ -2012,6 +2117,69 @@ object TextAnalysis {
       s"""WITH RECURSIVE $clsTrainCte
          |SELECT CAST(bucket AS BIGINT) AS bucket, w AS weight
          |FROM wavg ORDER BY bucket""".stripMargin,
+    // full first-principles replay of the operating-point sweep: the
+    // oracle RE-TRAINS the weights (shared clsTrainCte), re-scores
+    // the HOLDOUT half (mix64 bucket 1), rebuilds the integer
+    // threshold grid from its own min/max, and re-derives the
+    // smallest-threshold F1 argmax — training, scoring, grid, and
+    // selection all replayed, nothing read from the engine
+    "text_classifier_pr_curve" -> {
+      val fnv = OracleSql.fnv1a64("g")
+      val stopList = STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
+      val holdFilter =
+        s"(${OracleSql.mix64("CAST(doc_id AS HUGEINT)")}) " +
+          s"% $HASH_CLS_TRAIN_BUCKETS = 1"
+      s"""WITH RECURSIVE $clsTrainCte,
+         |hl AS (SELECT doc_id, toks,
+         |    (len(list_filter(toks, w -> w IN $stopList)) * 1000
+         |      >= $HASH_CLS_STOP_PERMILLE * len(toks)) AS y
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+         |      w -> w <> '') AS toks FROM documents
+         |    WHERE $holdFilter)),
+         |haf AS MATERIALIZED (SELECT doc_id,
+         |    CAST(($fnv) % $HASH_CLS_DIM AS BIGINT) AS bucket
+         |  FROM (SELECT doc_id, unnest(list_concat(toks,
+         |      CASE WHEN len(toks) >= 2 THEN list_transform(
+         |        range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |      ELSE [] END)) AS g
+         |    FROM hl)),
+         |hsc0 AS (SELECT haf.doc_id, sum(coalesce(v.w, 0)) AS score
+         |  FROM haf LEFT JOIN wavg v USING (bucket) GROUP BY 1),
+         |hsc AS MATERIALIZED (SELECT l.doc_id, l.y,
+         |    CAST(coalesce(s0.score, 0) AS BIGINT) AS score
+         |  FROM hl l LEFT JOIN hsc0 s0 ON l.doc_id = s0.doc_id),
+         |mm AS (SELECT min(score) AS lo, max(score) AS hi FROM hsc),
+         |gr AS (SELECT DISTINCT lo + (hi - lo) * k // $PR_GRID
+         |      AS threshold
+         |  FROM mm, (SELECT unnest(range(${PR_GRID + 1})) AS k)
+         |  WHERE lo IS NOT NULL),
+         |cf AS (SELECT threshold,
+         |    sum(CASE WHEN y AND score >= threshold
+         |      THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN NOT y AND score >= threshold
+         |      THEN 1 ELSE 0 END) AS fp,
+         |    sum(CASE WHEN y AND score < threshold
+         |      THEN 1 ELSE 0 END) AS fn,
+         |    sum(CASE WHEN NOT y AND score < threshold
+         |      THEN 1 ELSE 0 END) AS tn
+         |  FROM gr CROSS JOIN hsc GROUP BY 1),
+         |f AS MATERIALIZED (SELECT threshold, tp, fp, fn, tn,
+         |    tp * 1000000 // greatest(tp + fp, 1) AS precision_ppm,
+         |    tp * 1000000 // greatest(tp + fn, 1) AS recall_ppm,
+         |    2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1)
+         |      AS f1_ppm
+         |  FROM cf),
+         |b AS (SELECT min(threshold) AS bt FROM f
+         |  WHERE f1_ppm = (SELECT max(f1_ppm) FROM f))
+         |SELECT CAST(threshold AS BIGINT) AS threshold,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+         |  CAST(precision_ppm AS BIGINT) AS precision_ppm,
+         |  CAST(recall_ppm AS BIGINT) AS recall_ppm,
+         |  CAST(f1_ppm AS BIGINT) AS f1_ppm,
+         |  (threshold = (SELECT bt FROM b)) AS is_selected
+         |FROM f ORDER BY threshold""".stripMargin
+    },
     // vocabulary-collapsed replay: same freq-weighted char-pair counts,
     // same (n DESC, pair ASC) rank
     "text_bpe_pair_stats" ->
