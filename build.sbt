@@ -42,7 +42,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Default FALSE: gate runs measure the same storage path the
   // frozen floors froze; Bench fail-fasts if it leaks into a gate
   // run (the ROUND_GC knob discipline).
-  s"-Dspark.rdd.compress=${sys.env.contains("SPARK_GRAFT_RDD_COMPRESS")}",
+  // value-checked like ROUND_GC ("=1" enables), not mere presence —
+  // an exported "=0" must mean OFF
+  s"-Dspark.rdd.compress=${sys.env.get("SPARK_GRAFT_RDD_COMPRESS").contains("1")}",
 )
 // Streaming suites are wall-clock sensitive (task timeouts, triggers)
 // and share one SparkSession; running suites in parallel makes batch
