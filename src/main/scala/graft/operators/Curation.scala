@@ -734,14 +734,16 @@ object Curation {
       }
       val dmin = if (distExprs.size == 1) distExprs.head
         else least(distExprs: _*)
+      // r19: the picked vector rides the SAME argmax struct (the
+      // (d, −id) prefix is already unique, so q never participates in
+      // the comparison) — one job per round instead of two; the
+      // collected row stays one (k-bounded) array
       val picked = q
         .select($"vec_id", $"q", dmin.as("d"))
-        .agg(max(struct($"d", (-$"vec_id").as("nid"))).as("m"))
-        .select($"m.d", (-$"m.nid").as("vec_id"))
-        .as[(Long, Long)].head() // bounded: one row
-      val pq = q.filter($"vec_id" === picked._2)
-        .select($"q").as[Seq[Long]].head()
-      centers :+= ((picked._2, pq, picked._1))
+        .agg(max(struct($"d", (-$"vec_id").as("nid"), $"q")).as("m"))
+        .select($"m.d", (-$"m.nid").as("vec_id"), $"m.q")
+        .as[(Long, Long, Seq[Long])].head() // bounded: one row
+      centers :+= ((picked._2, picked._3, picked._1))
     }
     centers.zipWithIndex
       .map { case ((id, _, d), r) => (r.toLong, id, d) }

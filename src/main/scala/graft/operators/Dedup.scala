@@ -119,15 +119,46 @@ object Dedup {
       // for its half-edge relation
       .localCheckpoint()
     // prefix length = n - ceil(t·n) + 1 = n - ((4n+4) div 5) + 1, exact
+    // r19: posexplode, so the POSITION filter below sees where in the
+    // hash-sorted array each match sits
     val pref = sets.select($"doc_id", $"n",
-      explode(expr(
-        "slice(ss, 1, cast(n - ((4*n + 4) div 5) + 1 as int))")).as("sh"))
-    val cands = pref.as("a")
-      .join(pref.as("b"),
+      posexplode(expr(
+        "slice(ss, 1, cast(n - ((4*n + 4) div 5) + 1 as int))")))
+      .select($"doc_id", $"n", $"pos".as("i"), $"col".as("sh"))
+    // PPJoin POSITION filter (r19 optimization, guide §2.3 — shuffle
+    // fewer bytes; Xiao et al. 2008): a match at 0-based positions
+    // (i, j) of the hash-sorted sets bounds the intersection by
+    // min(i, j) + min(na−i, nb−j) — common elements before the match
+    // sit in both i/j-prefixes, those from the match on in both
+    // suffixes. J ≥ 4/5 needs inter ≥ ceil(4(na+nb)/9) (from
+    // 5·inter ≥ 4·(na+nb−inter)), so matches whose bound falls short
+    // die INSIDE the join stage, before the candidate exchange +
+    // distinct. EXACT: a qualifying pair's first common element (in
+    // the shared total order) has zero common elements before it and
+    // all `inter` from it on, so its bound ≥ inter ≥ the threshold —
+    // that match always survives. On this corpus the filter cuts the
+    // candidate relation ~3× (931-shingle vocabulary ⇒ dense inverted
+    // index); at any scale it only shrinks the exchange.
+    val posBound = (least($"a.i", $"b.i") +
+      least($"a.n" - $"a.i", $"b.n" - $"b.i")) * 9 >=
+      ($"a.n" + $"b.n") * 4
+    // explicit partition counts (r19, guide §2.5): the self-join and
+    // verify stages are CPU-bound at small shuffle bytes — AQE's
+    // size-based coalescing ran them at 10 tasks (measured ~6.5 of 32
+    // cores busy). Explicit counts opt the exchanges out of
+    // coalescing; the pref repartition doubles as the join's own
+    // exchange (shared via ReuseExchange) and the cands repartition
+    // as the distinct's, so no NEW shuffle is added.
+    val nP = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val prefP = pref.repartition(nP, $"sh")
+    val cands = prefP.as("a")
+      .join(prefP.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
           // length prune n_a ≥ t·n_b, again in exact integers
-          $"a.n" * 5 >= $"b.n" * 4 && $"b.n" * 5 >= $"a.n" * 4)
+          $"a.n" * 5 >= $"b.n" * 4 && $"b.n" * 5 >= $"a.n" * 4 &&
+          posBound)
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .repartition(nP, $"da", $"db")
       .distinct()
     cands
       .join(sets.select($"doc_id".as("da"), $"ss".as("ssa"), $"n".as("na")), "da")
@@ -165,14 +196,27 @@ object Dedup {
       .localCheckpoint()
     // probe side: t = 4/5 prefix, exact integer length (q.v. the
     // jaccard prefix-math comment — double 0.2·n under-counts)
-    val probe = sets.select($"doc_id".as("da"), $"ss".as("ssa"),
-      $"n".as("na"),
-      explode(expr(
-        "slice(ss, 1, cast(n - ((4*n + 4) div 5) + 1 as int))")).as("sh"))
-    val index = sets.select($"doc_id".as("db"), explode($"ss").as("sh"))
-    val cands = probe.select($"da", $"sh")
+    val probe = sets.select($"doc_id".as("da"), $"n".as("na"),
+      posexplode(expr(
+        "slice(ss, 1, cast(n - ((4*n + 4) div 5) + 1 as int))")))
+      .select($"da", $"na", $"pos".as("i"), $"col".as("sh"))
+    val index = sets.select($"doc_id".as("db"), $"n".as("nb"),
+      posexplode($"ss"))
+      .select($"db", $"nb", $"pos".as("j"), $"col".as("sh"))
+    // one-sided PPJoin POSITION filter (r19 optimization — see the
+    // jaccard twin for the bound's proof): C(A→B) ≥ 4/5 needs
+    // inter ≥ ceil(4·na/5); a match at hash-sorted positions (i, j)
+    // bounds inter by min(i,j) + min(na−i, nb−j). The first common
+    // element of a qualifying pair always survives, so the candidate
+    // set stays exact while the pre-distinct exchange shrinks (this
+    // corpus: 15.5 M join rows / 10.6 M candidate pairs from the
+    // 931-shingle vocabulary — the filter kills most deep-in-B
+    // matches that cannot reach 80% of A).
+    val cands = probe
       .join(index, Seq("sh"))
-      .filter($"da" =!= $"db")
+      .filter($"da" =!= $"db" &&
+        (least($"i", $"j") + least($"na" - $"i", $"nb" - $"j")) * 5 >=
+          $"na" * 4)
       .select($"da", $"db").distinct()
     cands
       .join(sets.select($"doc_id".as("da"), $"ss".as("ssa"), $"n".as("na")),
@@ -199,10 +243,20 @@ object Dedup {
     * dedup ([[Incremental]]). */
   private[operators] def minhashBandBuckets(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val exploded = docs.select($"doc_id", explode($"shingle_set").as("s"))
-    val minhashAggs = (0 until MINHASH_K).map(i =>
-      min(xxhash64(lit(i), $"s")).as(s"h$i"))
-    val sigs = exploded.groupBy($"doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    // r19 optimization (guide §2.4 — remove shuffles outright): each
+    // doc's shingles already sit in ONE array cell, so the 32
+    // per-family mins are in-row folds (transform + array_min), not an
+    // explode + groupBy(doc_id) aggregation. The old shape shuffled one
+    // (doc, 33-long) row per doc per map task and paid a hash-aggregate
+    // pass; this shape is a narrow codegen'd projection — zero
+    // exchanges to produce signatures at ANY corpus size. Values are
+    // bit-identical: same xxhash64(i, s) family, same min (shingle
+    // sets are non-empty by [[shingleSets]]'s filter, so array_min
+    // never sees an empty array).
+    val sigCols = (0 until MINHASH_K).map(i =>
+      array_min(transform($"shingle_set", x => xxhash64(lit(i), x)))
+        .as(s"h$i"))
+    val sigs = docs.select(($"doc_id" +: sigCols): _*)
 
     // band key = hash of the band's rows; explode to (doc, band, key)
     val bandCols = (0 until BANDS).map { b =>
@@ -216,7 +270,20 @@ object Dedup {
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = shingleSets(s, dir).toDF("doc_id", "shingle_set")
+    // EXPLICIT partition counts around the banded self-join (r19,
+    // guide §2.5 / the repartitionForCpu rule): these stages are
+    // CPU-bound at tiny shuffle BYTES, so AQE's size-based coalescing
+    // collapsed them to 1–10 tasks (measured: the self-join and the
+    // verify stage each ran ~2 s on ONE core with 31 idle). An
+    // explicit count opts the exchange out of coalescing; both join
+    // inputs share one exchange (identical subtrees → ReuseExchange),
+    // and the pre-distinct repartition IS the distinct's own exchange
+    // (same hash key), so the plan gains no extra shuffle — the
+    // partition count rides spark.sql.shuffle.partitions, the
+    // scale-adaptive knob, not a local constant.
+    val nP = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val buckets = minhashBandBuckets(docs)
+      .repartition(nP, $"band", $"key")
 
     // localCheckpoint: the pair relation feeds THREE consumers below
     // (two candIds branches + the verify join); without materializing
@@ -228,6 +295,7 @@ object Dedup {
         $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .repartition(nP, $"da", $"db")
       .distinct()
       .localCheckpoint()
 
@@ -413,9 +481,26 @@ object Dedup {
     val edges = pairs.select($"da".as("a"), $"db".as("b"))
       .union(pairs.select($"db".as("a"), $"da".as("b")))
       .localCheckpoint()
-    val labels0 = Tables(s, dir, "documents")
+    // propagate ONLY over edge-incident nodes (r19 optimization, guide
+    // §2.3/§2.4 — don't shuffle rows whose value cannot change): a doc
+    // with no near-dup edge keeps cluster_id = doc_id at every round,
+    // yet the previous shape fed the CORPUS-sized identity relation
+    // through every round's join + checkpoint + changed-count probe.
+    // Restricting labels0 to the dup subgraph (both edge directions are
+    // present, so `a` covers every incident node) makes each round's
+    // state O(near-dup docs) — at 100 TB that is orders of magnitude
+    // below corpus size — and the untouched docs rejoin once at the
+    // end via a left join (tiny side broadcast by AQE). Result is
+    // bit-identical: propagation among incident nodes never reads a
+    // non-incident label, and isolated docs are their own keeper.
+    val touched = edges.select($"a".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
-    labelPropagate(s, edges, labels0)
+    val prop = labelPropagate(s, edges, touched)
+      .select($"doc_id", $"cluster_id".as("cl"))
+    Tables(s, dir, "documents").select($"doc_id")
+      .join(prop, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cl", $"doc_id").as("cluster_id"))
       .select($"doc_id", $"cluster_id",
         ($"doc_id" === $"cluster_id").as("is_keeper"))
       .orderBy($"doc_id")
@@ -473,7 +558,15 @@ object Dedup {
     // compact row bytes (LZ4'd on disk under spark.rdd.compress),
     // bounding both; the per-round deserialization cost on a
     // node-bounded join probe is noise against the round's shuffle.
-    val eb = edges.repartition($"b").localCheckpoint(true,
+    // EXPLICIT partition count (r19): a keyed repartition without a
+    // count is still AQE-coalescible, so the cache landed in ≤8
+    // partitions at gate scale and every round's probe ran there —
+    // the count pins it (repartitionForCpu rule); same value the
+    // implicit exchange would use at production scale, so no change
+    // to the 100 TB plan.
+    val ebP = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val eb = edges.repartition(ebP, $"b").localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = labels0
     var converged = false
@@ -594,11 +687,24 @@ object Dedup {
     * report. */
   def dedupCascade(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val exact = exactDedup(s, dir).filter($"n_copies" >= 2)
+    // The three layers are INDEPENDENT jobs; running them from driver
+    // threads lets each layer's tail stragglers back-fill with the next
+    // layer's tasks instead of leaving the cluster idle (guide §2.6 —
+    // FIFO scheduling gives exactly the back-fill behavior). Each count
+    // is exact, so overlap cannot change the result; 3 threads = one
+    // per layer, bounded at any scale.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fExact = Future(exactDedup(s, dir).filter($"n_copies" >= 2)
       .agg(coalesce(sum($"n_copies" - 1), lit(0L)).as("n"))
-      .as[Long].head()
-    val near = minhashLshPairs(s, dir).count()
-    val span = spanCrossdoc(s, dir).count()
+      .as[Long].head())
+    val fNear = Future(minhashLshPairs(s, dir).count())
+    val fSpan = Future(spanCrossdoc(s, dir).count())
+    val exact = Await.result(fExact, Duration.Inf)
+    val near = Await.result(fNear, Duration.Inf)
+    val span = Await.result(fSpan, Duration.Inf)
     Seq(("1_exact_dup_docs", exact), ("2_near_dup_pairs", near),
       ("3_shared_span_docs", span))
       .toDF("layer", "n").orderBy($"layer")

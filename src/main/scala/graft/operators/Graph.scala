@@ -207,6 +207,9 @@ object Graph {
     val os = Tables(s, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_suppkey".as("sup"))
       .distinct()
+      // r19: pin the pair-census self-join's exchange width (the
+      // repartitionForCpu rule; shared by both sides via ReuseExchange)
+      .repartition(Tables.cpuTarget(s), $"o")
     os.as("a").join(os.as("b"),
         $"a.o" === $"b.o" && $"a.sup" < $"b.sup")
       .groupBy($"a.sup".as("x"), $"b.sup".as("y"))
@@ -236,10 +239,23 @@ object Graph {
       .select($"e1.v".as("a"), $"e2.v".as("b"))
     val tris = wedges.join(oriented.as("e3"),
         $"a" === $"e3.u" && $"b" === $"e3.v")
-    val nNodes = deg.count()
-    val nEdges = edges.count()
-    val nWedges = wedges.count()
-    val nTris = tris.count()
+    // the four census counts are INDEPENDENT actions over the (tiny,
+    // checkpointed) bounded subgraph — overlap them from driver
+    // threads (r19, guide §2.6) instead of paying four sequential
+    // job round-trips; each count is exact, so overlap cannot change
+    // the census row
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fNodes = Future(deg.count())
+    val fEdges = Future(edges.count())
+    val fWedges = Future(wedges.count())
+    val fTris = Future(tris.count())
+    val nNodes = Await.result(fNodes, Duration.Inf)
+    val nEdges = Await.result(fEdges, Duration.Inf)
+    val nWedges = Await.result(fWedges, Duration.Inf)
+    val nTris = Await.result(fTris, Duration.Inf)
     Seq((nNodes, nEdges, nWedges, nTris))
       .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
   }
@@ -266,6 +282,11 @@ object Graph {
     val os = Tables(s, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_suppkey".as("sup"))
       .distinct()
+      // r19: explicit count on the self-join's exchange (shared by
+      // both sides via ReuseExchange) — the per-order pair expansion
+      // and the KMV partial aggregation run in this stage, which AQE
+      // coalesced to ~8 tasks at gate bytes (repartitionForCpu rule)
+      .repartition(Tables.cpuTarget(s), $"o")
     val nbr = os.as("a").join(os.as("b"),
         $"a.o" === $"b.o" && $"a.sup" =!= $"b.sup")
       .select($"a.sup".as("node"),
@@ -312,6 +333,12 @@ object Graph {
     // narrow double-explode — no self-join, no second lineitem pass
     val co = Tables(s, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey")
+      // r19: explicit count replacing the groupBy's own exchange
+      // (collect_set's partial combine saves no bytes — set union —
+      // so shuffling raw rows costs nothing extra at any scale); the
+      // d² basket explode runs in the post-exchange stage, which AQE
+      // otherwise coalesced to ~4 tasks
+      .repartition(Tables.cpuTarget(s), $"l_orderkey")
       .groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
       .select(explode($"ps").as("l_partkey"), $"ps")
@@ -751,6 +778,10 @@ object Graph {
     * per round, same shape as the gate key's single rollup. */
   def lpaAdaptive(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
     val (half, edges, labels0) = lpaGraph(s, dir)
     var labels = labels0
     val curve = scala.collection.mutable.ArrayBuffer
@@ -758,9 +789,25 @@ object Graph {
     var r = 1
     var best = Long.MinValue
     var stale = 0
+    // SPECULATIVE next-round vote (r19 optimization, guide §2.6 —
+    // overlap independent jobs): round r+1's vote depends only on
+    // round r's checkpointed labels, not on round r's rollup, so it
+    // runs on a driver thread WHILE the rollup computes. The stopping
+    // rule, the curve, and every label relation are unchanged — the
+    // only cost is one discarded vote when the rule says stop, and the
+    // win is ~min(vote, rollup) of wall per continued round. The
+    // pending vote is always awaited before returning so no work
+    // bleeds past this operator.
+    var pending: Option[Future[DataFrame]] = None
     while (r <= LPA_ADAPTIVE_MAX && stale < LPA_PATIENCE) {
-      labels = lpaVote(edges, labels)
-        .localCheckpoint() // read 2× next round + 3× by the rollup
+      labels = pending.map(Await.result(_, Duration.Inf))
+        .getOrElse(lpaVote(edges, labels)
+          .localCheckpoint()) // read 2× next round + 3× by the rollup
+      pending =
+        if (r < LPA_ADAPTIVE_MAX) {
+          val cur = labels
+          Some(Future(lpaVote(edges, cur).localCheckpoint()))
+        } else None
       val row = modularityRollup(s, half, labels).collect()(0)
       val q = row.getLong(4)
       curve += ((r.toLong, row.getLong(0), row.getLong(1),
@@ -768,6 +815,9 @@ object Graph {
       if (q > best) { best = q; stale = 0 } else stale += 1
       r += 1
     }
+    // drain a discarded speculative vote (stop fired with one in
+    // flight): its job must not overlap whatever runs next
+    pending.foreach(Await.result(_, Duration.Inf))
     val rSel = curve.filter(_._6 == best).map(_._1).min // earliest argmax
     curve.toSeq.toDF("round", "n_communities", "n_nodes", "m_edges",
       "intra_edges", "modularity_ppm")

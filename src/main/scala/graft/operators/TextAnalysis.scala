@@ -141,6 +141,10 @@ object TextAnalysis {
       PHONE_RE, "<PHONE>")
     Tables(s, dir, "events")
       .select($"event_id", $"event_type", $"user_id", $"props")
+      // r19: the events table ships as ONE parquet split, so the six
+      // regex passes below ran on a single core; the CONDITIONAL
+      // repartition fires only on under-split scans (no-op at scale)
+      .transform(Tables.repartitionForCpu(_, col("event_id")))
       .select(
         $"event_id",
         size(regexp_extract_all(rendered, lit(EMAIL_RE), lit(0)))
@@ -969,6 +973,10 @@ object TextAnalysis {
         ((bars - words * 2) / lit(2)).cast("long")
       })
     Tables(s, dir, "documents")
+      // r19: K replace passes per doc on a ONE-split scan ran on a
+      // single core — conditional repartition (no-op at scale) spreads
+      // the encode across the box
+      .transform(Tables.repartitionForCpu(_, col("doc_id")))
       .select($"doc_id", sym0.as("s0"), encoded.as("s1"))
       .select($"doc_id",
         tokensOf($"s0").as("n_symbols"),
@@ -1221,15 +1229,27 @@ object TextAnalysis {
     * corresponding encode relation. */
   def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nWords = docWordForms(s, dir).count()
     def totals(df: DataFrame): (Long, Long) = {
       val r = df.agg(
         coalesce(sum($"n_symbols"), lit(0L)),
         coalesce(sum($"n_tokens"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val (bs, bt) = totals(bpeEncode(s, dir))
-    val (us, ut) = totals(unigramEncode(s, dir))
+    // the three inputs (word census, BPE totals, unigram totals) are
+    // independent jobs — overlap them from driver threads (r19, guide
+    // §2.6); the two tokenizer memos are ConcurrentHashMap
+    // computeIfAbsent, so concurrent first-training is safe, and each
+    // total is exact, so overlap cannot change the relation
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fW = Future(docWordForms(s, dir).count())
+    val fB = Future(totals(bpeEncode(s, dir)))
+    val fU = Future(totals(unigramEncode(s, dir)))
+    val nWords = Await.result(fW, Duration.Inf)
+    val (bs, bt) = Await.result(fB, Duration.Inf)
+    val (us, ut) = Await.result(fU, Duration.Inf)
     Seq(("bpe", nWords, bs, bt), ("unigram", nWords, us, ut))
       .toDF("tokenizer", "n_words", "n_symbols", "n_tokens")
       .select($"tokenizer", $"n_words", $"n_symbols", $"n_tokens",
@@ -1379,26 +1399,44 @@ object TextAnalysis {
             $"doc_id".bitwiseXOR(lit(HASH_CLS_SHARD_SEED)),
             HASH_CLS_SHARDS.toLong).as("shard"),
           $"doc_id", $"y", $"sp")
+        // r19 optimization (guide §2.4 — remove shuffles outright):
+        // partition by shard and sort (shard, doc_id) ONCE, before the
+        // checkpoint, so every epoch is a zero-shuffle mapPartitions
+        // over the cached layout — the old groupByKey re-shuffled the
+        // whole feature relation on the SAME key all E epochs. Each
+        // partition holds whole shards with rows already in the
+        // shard's deterministic doc_id pass order, so the per-shard
+        // sequential pass (and therefore every weight) is unchanged.
+        .repartition(HASH_CLS_SHARDS, $"shard")
+        .sortWithinPartitions($"shard", $"doc_id")
         .as[(Long, Long, Long, Seq[(Long, Long)])]
         // E epochs re-read it; checkpoint so feature hashing runs once
         .localCheckpoint()
       var w = Array.fill(HASH_CLS_DIM)(0L)
       (1 to HASH_CLS_EPOCHS).foreach { _ =>
         val seed = w
-        val finals = docs.groupByKey(_._1)
-          .mapGroups { (shard, it) =>
-            val wv = seed.clone()
-            // doc_id order — the shard's deterministic pass order
-            it.toArray.sortBy(_._2).foreach { case (_, _, y, sp) =>
-              var dot = 0L
-              sp.foreach { case (b, c) => dot += c * wv(b.toInt) }
-              if (y * dot <= 0L)
-                sp.foreach { case (b, c) =>
-                  wv(b.toInt) += y * c * HASH_CLS_GAIN
-                }
+        val finals = docs.mapPartitions { it =>
+          // consecutive (shard, doc_id)-sorted runs: one sequential
+          // perceptron pass per shard in the partition
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Long])]
+          var curShard = Long.MinValue
+          var wv: Array[Long] = null
+          def flush(): Unit = if (wv != null) out += ((curShard, wv))
+          it.foreach { case (shard, _, y, sp) =>
+            if (wv == null || shard != curShard) {
+              flush(); curShard = shard; wv = seed.clone()
             }
-            (shard, wv)
-          }.collect() // bounded: ≤ SHARDS rows × D longs
+            var dot = 0L
+            sp.foreach { case (b, c) => dot += c * wv(b.toInt) }
+            if (y * dot <= 0L)
+              sp.foreach { case (b, c) =>
+                wv(b.toInt) += y * c * HASH_CLS_GAIN
+              }
+          }
+          flush()
+          out.iterator
+        }.collect() // bounded: ≤ SHARDS rows × D longs
         if (finals.nonEmpty) {
           val sums = Array.fill(HASH_CLS_DIM)(0L)
           finals.foreach { case (_, wv) =>
@@ -1594,7 +1632,18 @@ object TextAnalysis {
     // explode's inferred size(grams)>0 constraint into the scan as an
     // UNORDERED post-scan filter set, so a bare length pre-filter
     // does NOT protect the transform from sub-3-word docs
-    val grams = Tables(s, dir, "documents")
+    // r19 optimization (guide §2.3/§2.4): the old shape computed the
+    // gram relation TWICE (df census + join-back; pruned subplans
+    // differ so ReuseExchange can't dedupe) and shuffled the full gram
+    // strings THREE times (census groupBy, join-back on g, per-doc
+    // rollup). A df = 1 gram has exactly ONE contributing row, so its
+    // doc is recoverable as min(doc_id) inside the SAME census
+    // aggregate — no join-back, no second gram shuffle: per-doc novel
+    // counts come from the (tiny) df = 1 census slice regrouped by that
+    // doc, and docs with zero novel grams rejoin via a left join on the
+    // checkpointed doc-level relation (AQE broadcasts the novel side).
+    // One gram materialization, ONE gram-sized exchange instead of 3.
+    val base = Tables(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id",
         when(size($"w") >= NOVELTY_NGRAM, array_distinct(transform(
@@ -1603,11 +1652,16 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>")).as("grams"))
       .filter(size($"grams") > 0)
       .select($"doc_id", size($"grams").cast("long").as("n_shingles"),
-        explode($"grams").as("g"))
-    val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
-    grams.join(df, "g")
-      .groupBy($"doc_id", $"n_shingles")
-      .agg(sum(when($"df" === 1L, 1L).otherwise(0L)).as("novel"))
+        $"grams")
+      .localCheckpoint() // two consumers: census + doc-level join
+    val census = base.select($"doc_id", explode($"grams").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("df"), min($"doc_id").as("d"))
+    val novel = census.filter($"df" === 1L)
+      .groupBy($"d").agg(count(lit(1)).as("novel"))
+    base.select($"doc_id", $"n_shingles")
+      .join(novel, $"doc_id" === $"d", "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"novel", lit(0L)).as("novel"))
       .select($"doc_id", $"n_shingles", $"novel",
         expr("novel * 1000 div n_shingles").as("novelty_permille"))
       .orderBy($"doc_id")

@@ -52,6 +52,11 @@ object Tables {
     else df.repartition(target, key)
   }
 
+  /** The session's explicit shuffle-partition target — the count the
+    * CPU-parallelism fix-ups pin coalescible exchanges to. */
+  def cpuTarget(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   /** Ensure the session can read parquet TIMESTAMP(NANOS) as long —
     * ideally set at session build (Verify/Bench/TestSpark); this
     * idempotent fallback covers caller-built sessions. */
