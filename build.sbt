@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver invokes `sbt "runMain graft.Bench"` and parses the ONE
+// JSON line Bench prints. sbt's default output strategy for forked runs is
+// LoggedOutput, which prefixes every stdout line with "[info] " — so the
+// driver's parser never sees a line starting with "{" (BENCH_r18/r19
+// `parsed: null`, PERF empty two rounds running). StdoutOutput passes the
+// forked process's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,9 +34,16 @@ class RocksDbVolumeSpec extends AnyFunSuite {
       try scala.io.Source.fromInputStream(
         proc.getInputStream, "UTF-8").mkString
       finally proc.getInputStream.close()
-    val exited = proc.waitFor(480, java.util.concurrent.TimeUnit.SECONDS)
+    // Cap sizing (r20, VERDICT r19 item 1): the fold takes ~47 s on
+    // this box run alone, but the r19 driver gate saw it exceed the
+    // old 480 s cap when the shared host was contended (external load
+    // 1-12 during that round) — a load-sensitive flake on an untouched
+    // path. 1800 s keeps ~38× headroom over the measured wall so host
+    // contention cannot redden the gate, while a genuinely hung
+    // subprocess still fails deterministically.
+    val exited = proc.waitFor(1800, java.util.concurrent.TimeUnit.SECONDS)
     if (!exited) proc.destroyForcibly()
-    assert(exited, "BenchState did not finish in 480 s")
+    assert(exited, "BenchState did not finish in 1800 s")
     val tail = out.linesIterator.filter(_.contains("state_volume"))
       .mkString("\n")
     assert(proc.exitValue() == 0,
