@@ -32,7 +32,22 @@ object OptProbe {
     spark.sparkContext.setLogLevel("WARN")
     val stages = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, Long, Long, Int)]
+    // per-task run times and shuffle-read bytes per stage (r20, guide
+    // §2.5 skew triage: max/median task spread is the skew signal the
+    // Stages tab would show — needed for the decade-scale LSH banded
+    // self-join evidence, VERDICT r19 item 6)
+    val taskTimes = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
     val listener = new SparkListener {
+      override def onTaskEnd(
+          ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (ev.taskMetrics != null) taskTimes.synchronized {
+          taskTimes.getOrElseUpdate(ev.stageId,
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((ev.taskMetrics.executorRunTime,
+              Option(ev.taskMetrics.shuffleReadMetrics)
+                .map(_.totalBytesRead).getOrElse(0L)))
+        }
       override def onStageCompleted(
           ev: SparkListenerStageCompleted): Unit = {
         val si = ev.stageInfo
@@ -64,6 +79,7 @@ object OptProbe {
       graft.operators.TextAnalysis.clearUniMemo()
       spark.sparkContext.addSparkListener(listener)
       stages.synchronized(stages.clear())
+      taskTimes.synchronized(taskTimes.clear())
       val t0 = System.nanoTime()
       val rows = BenchExec.materialize(fn(spark, sfDir))
       val sec = (System.nanoTime() - t0) / 1e9
@@ -75,8 +91,17 @@ object OptProbe {
       val snap = stages.synchronized(stages.toSeq)
       println(f"stages=${snap.size} wallSum=${snap.map(_._4).sum / 1e3}%.2fs " +
         f"taskTimeSum=${snap.map(_._3).sum / 1e3}%.2fs")
+      val tt = taskTimes.synchronized(taskTimes.toMap)
       snap.sortBy(-_._4).take(25).foreach { case (id, nm, rt, wall, nt) =>
-        println(f"  stage=$id%4d wall=${wall / 1e3}%6.2fs taskTime=${rt / 1e3}%7.2fs tasks=$nt%3d  $nm")
+        val skew = tt.get(id).filter(_.nonEmpty).map { ts =>
+          val runs = ts.map(_._1).toSeq.sorted
+          val med = runs(runs.size / 2)
+          val mx = runs.last
+          val shMax = ts.map(_._2).max
+          f" taskMax=${mx / 1e3}%.2fs med=${med / 1e3}%.2fs " +
+            f"shReadMax=${shMax / 1048576.0}%.1fMB"
+        }.getOrElse("")
+        println(f"  stage=$id%4d wall=${wall / 1e3}%6.2fs taskTime=${rt / 1e3}%7.2fs tasks=$nt%3d$skew  $nm")
       }
     }
     spark.stop()

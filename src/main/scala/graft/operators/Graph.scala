@@ -154,7 +154,11 @@ object Graph {
         .join(visited.select($"node".as("seen")),
           $"node" === $"seen", "left_anti")
         .select($"node", lit(h).as("dist"))
-      frontier = next.localCheckpoint() // materialize: read 2× next hop
+      // LAZY checkpoint (r20 — cut per-hop job count): eager paid a
+      // dedicated materialization job per hop; lazy folds it into the
+      // next hop's first consumer job (the visited-side broadcast
+      // build), after which the second consumer reads the cache
+      frontier = next.localCheckpoint(false) // cached: read 2× next hop
       layers :+= frontier
     }
     layers.reduce(_ union _)
@@ -391,8 +395,19 @@ object Graph {
       .select($"o_custkey".as("src"),
         ($"l_suppkey" + SUPPLIER_OFFSET).as("dst"))
       .distinct()
+    // r20 (guide §2.4 — establish one partitioning, reuse it every
+    // round): the checkpointed edge list used to carry no partitioning
+    // (union of projections), so EVERY round's degree aggregate
+    // re-shuffled the current edge relation by src — R+1 edge-sized
+    // exchanges. Pinning hash(src) at the initial checkpoint replaces
+    // round 1's aggregate exchange (same bytes, moved earlier, exempt
+    // from AQE coalescing per the repartitionForCpu rule), and the
+    // per-round semi-joins preserve the partitioning (broadcast
+    // build side; checkpointed HashPartitioning rides LogicalRDD), so
+    // rounds 2..R and the final rollup aggregate exchange-free.
     var edges = e0
       .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .repartition(Tables.cpuTarget(s), $"src")
       .localCheckpoint()
     (1 to KCORE_ROUNDS).foreach { _ =>
       val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -401,7 +416,9 @@ object Graph {
       edges = edges
         .join(keep.select($"node".as("ks")), $"src" === $"ks", "left_semi")
         .join(keep.select($"node".as("kd")), $"dst" === $"kd", "left_semi")
-        .localCheckpoint()
+        // lazy (r20): materialized by the next round's first consumer
+        // job (keep's broadcast build) instead of a dedicated job
+        .localCheckpoint(false)
     }
     edges.groupBy($"src").agg(count(lit(1)).as("residual_deg"))
       .join(supplierNodes(s, dir), $"src" === $"snode", "left")
@@ -488,8 +505,14 @@ object Graph {
       // materialize the node-sized score vector ONCE per half-step:
       // the 1-row max and the next half-step's join both read the
       // checkpoint instead of re-running the whole preceding chain
-      // (without this, every renorm head() replays all prior rounds)
-      val mat = df.localCheckpoint()
+      // (without this, every renorm head() replays all prior rounds).
+      // LAZY checkpoint (r20, VERDICT r19 item 4 — cut per-round job
+      // count): the eager form paid TWO driver jobs per half-step
+      // (materialize, then the max probe over the cache); lazy defers
+      // materialization into the probe's own job, so each half-step
+      // costs ONE job and the next half-step's join still reads the
+      // now-populated cache.
+      val mat = df.localCheckpoint(false)
       val m = mat.agg(max(col(v))).head().getLong(0) // 1 row, bounded
       mat.select(col(k), expr(s"$v div (${m}L div 1000000L + 1L)").as(v))
     }
@@ -653,16 +676,33 @@ object Graph {
     (half, edges, labels0)
   }
 
-  /** One synchronous LPA vote round: one edge⋈label join + two
-    * map-side-combined aggregates (frequency count, struct argmax
-    * with the (count DESC, label ASC) total order), self-vote via
-    * union. Callers checkpoint the result. */
+  /** One synchronous LPA vote round: one edge⋈label join + the
+    * frequency-count / struct-argmax aggregate pair (the (count DESC,
+    * label ASC) total order), self-vote via union. Callers checkpoint
+    * the result.
+    *
+    * r20 (guide §2.4 — share one exchange; VERDICT r19 item 4, the
+    * family is orchestration-bound at gate SF): the two aggregates
+    * used to plan TWO exchanges per round — hashpartitioning(node,
+    * lbl) for the count, then hashpartitioning(node) for the argmax.
+    * One explicit repartition on `node` satisfies BOTH clustering
+    * requirements (hash(node) ⊆ {node, lbl}), so both aggregates run
+    * in a single post-shuffle stage: one exchange + one stage fewer
+    * per round, every round. Trade-off (measured): the single
+    * exchange ships raw vote rows instead of the count's map-side
+    * partials — but vote rows are produced partitioned by the
+    * NEIGHBOR key, so same-(node, lbl) rows rarely co-locate and the
+    * partial combine compressed little; bytes are comparable at any
+    * scale while the stage/exchange count strictly drops. The count
+    * is an explicit cpuTarget (the repartitionForCpu rule): exempt
+    * from AQE coalescing, scales with the session knob. */
   private def lpaVote(edges: DataFrame, labels: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
     val votes = edges
       .join(labels.select($"node".as("b"), $"lbl"), "b")
       .select($"a".as("node"), $"lbl")
       .union(labels) // self-vote
+      .repartition(Tables.cpuTarget(edges.sparkSession), $"node")
       .groupBy($"node", $"lbl").agg(count(lit(1)).as("c"))
     votes
       .groupBy($"node")
@@ -816,8 +856,24 @@ object Graph {
       r += 1
     }
     // drain a discarded speculative vote (stop fired with one in
-    // flight): its job must not overlap whatever runs next
-    pending.foreach(Await.result(_, Duration.Inf))
+    // flight): its job must not overlap whatever runs next. Its result
+    // was never needed, so (advice r19) a failure in that job must not
+    // fail the operator, and its checkpoint cache is unpersisted so
+    // each invocation doesn't leak one cached label relation.
+    pending.foreach { f =>
+      try {
+        // a localCheckpoint's cache is RDD-level (not CacheManager),
+        // so free it via the LogicalRDD the checkpoint plan wraps
+        Await.result(f, Duration.Inf).queryExecution.analyzed.foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(false)
+          case _ => ()
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lpaAdaptive: discarded speculative vote failed: ${e.getMessage}")
+      }
+    }
     val rSel = curve.filter(_._6 == best).map(_._1).min // earliest argmax
     curve.toSeq.toDF("round", "n_communities", "n_nodes", "m_edges",
       "intra_edges", "modularity_ppm")

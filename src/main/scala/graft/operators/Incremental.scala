@@ -97,9 +97,18 @@ object Incremental {
       .groupBy($"doc_id")
       .agg(min($"cid").as("exact_match"))
 
-    // near layer: batch band keys probe the corpus band-key table
+    // near layer: batch band keys probe the corpus band-key table.
+    // localCheckpoint (r20, guide §2.4 — don't recompute what you can
+    // materialize once): the shingle relation feeds FOUR consumers
+    // below (batch band buckets, corpus band buckets, and the two
+    // verify re-joins), whose pruned subplans differ, so ReuseExchange
+    // can't dedupe and the per-doc shingle map (hash+sort+dedup — the
+    // dominant CPU of this operator) ran 4× per invocation. Same fix
+    // ngramJaccardPairs/containmentPairs ship; the materialized
+    // relation is one row per doc.
     val sets = withBucket(
       Dedup.shingleSets(s, dir).toDF("doc_id", "shingle_set"))
+      .localCheckpoint()
     val batchSets = sets.filter($"bkt" < BATCH_PERMILLE)
       .select($"doc_id", $"shingle_set")
     val corpusSets = sets.filter($"bkt" >= BATCH_PERMILLE)

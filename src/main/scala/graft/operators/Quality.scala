@@ -69,18 +69,52 @@ object Quality {
     * exact audit. Nothing but 1-row aggregates reaches the driver. */
   def referential(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val checks = FK_EDGES.map { case (label, ct, ck, pt, pk) =>
-      val child = Tables(s, dir, ct).select(col(ck).cast("long").as("k"))
-      val parent = Tables(s, dir, pt).select(col(pk).cast("long").as("k"))
-        .distinct().withColumn("hit", lit(1))
-      child.join(parent, Seq("k"), "left")
-        .agg(count(lit(1)).as("n_child"),
-          sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_orphan"))
-        .select(lit(label).as("edge"), $"n_child", $"n_orphan",
-          expr("(n_child - n_orphan) * 1000 div n_child")
-            .as("match_permille"))
-    }
-    checks.reduce(_ unionAll _).orderBy($"edge")
+    // r20 (guide §2.3 — share one scan): the three lineitem edges used
+    // to be three independent branches, each scanning the fact table
+    // and running its own join + aggregate. Fused: ONE lineitem pass
+    // carries all three key columns, each left-joined (parents still
+    // distinct-projected, broadcast by AQE) against its parent, and
+    // one aggregate emits all three orphan counts, stacked to the
+    // three edge rows. Every parent join is 1:≤1 (distinct keys), so
+    // row counts — and therefore every output value — are identical
+    // to the per-edge formulation; at 100 TB this is two fewer full
+    // fact-table passes. The four dimension-child edges stay separate
+    // (their children are different tables).
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".cast("long").as("k1"),
+        $"l_partkey".cast("long").as("k2"),
+        $"l_suppkey".cast("long").as("k3"))
+    def parentKeys(pt: String, pk: String, as: String, hit: String) =
+      Tables(s, dir, pt).select(col(pk).cast("long").as(as))
+        .distinct().withColumn(hit, lit(1))
+    val fused = li
+      .join(parentKeys("orders", "o_orderkey", "k1", "h1"), Seq("k1"), "left")
+      .join(parentKeys("part", "p_partkey", "k2", "h2"), Seq("k2"), "left")
+      .join(parentKeys("supplier", "s_suppkey", "k3", "h3"), Seq("k3"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when($"h1".isNull, 1L).otherwise(0L)).as("o1"),
+        sum(when($"h2".isNull, 1L).otherwise(0L)).as("o2"),
+        sum(when($"h3".isNull, 1L).otherwise(0L)).as("o3"))
+      .select($"n_child", expr("stack(3, " +
+        "'lineitem->orders', o1, " +
+        "'lineitem->part', o2, " +
+        "'lineitem->supplier', o3) AS (edge, n_orphan)"))
+      .select($"edge", $"n_child", $"n_orphan",
+        expr("(n_child - n_orphan) * 1000 div n_child")
+          .as("match_permille"))
+    val rest = FK_EDGES.filterNot(_._2 == "lineitem")
+      .map { case (label, ct, ck, pt, pk) =>
+        val child = Tables(s, dir, ct).select(col(ck).cast("long").as("k"))
+        val parent = Tables(s, dir, pt).select(col(pk).cast("long").as("k"))
+          .distinct().withColumn("hit", lit(1))
+        child.join(parent, Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_orphan"))
+          .select(lit(label).as("edge"), $"n_child", $"n_orphan",
+            expr("(n_child - n_orphan) * 1000 div n_child")
+              .as("match_permille"))
+      }
+    (fused +: rest).reduce(_ unionAll _).orderBy($"edge")
   }
 
   /** Freshness / gap audit — the staleness monitor a streaming table

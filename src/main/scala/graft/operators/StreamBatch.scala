@@ -69,6 +69,29 @@ object StreamBatch {
     try body finally s.conf.set(key, before)
   }
 
+  /** Run `body` with no-data micro-batches disabled, restoring the
+    * session value afterwards (the conf is captured at query start).
+    *
+    * r20 (guide §5; the q40 finding generalized): an AvailableNow
+    * drain of a watermarked stateful query appends one numInputRows=0
+    * batch after the data batches purely to flush WATERMARK-GATED
+    * output — and each such batch pays the full per-batch cycle
+    * (state-store commit across every instance + offset/commit log,
+    * measured ~0.4-0.6 s here). For operators whose OUTPUT is never
+    * watermark-gated — inner stream-stream joins (emit on match) and
+    * streaming dedup (emit on first arrival); the watermark only
+    * bounds their STATE — the no-data batch emits nothing, so
+    * skipping it leaves the drained relation bit-identical. Do NOT
+    * use this on watermark-gated-output operators (append-mode
+    * windowed aggregates, outer joins without q40's sentinel-data
+    * harness): their final emissions NEED that flush batch. */
+  private def withoutNoDataBatches[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val before = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, before)
+  }
+
   /** Drain an AvailableNow query to completion, recording time-to-first
     * -completed-batch vs total drain under `name`. A timed-out drain
     * must ERROR, not silently return a partial sink. */
@@ -304,7 +327,12 @@ object StreamBatch {
     // pair within the hour), so the result must stay distributed:
     // append-mode emissions land in parquet per batch and the answer is
     // their union — no driver materialization at any size
-    drainToParquet(s, joined, "append", "q26_stream_stream_join")
+    // inner-join matches emit as soon as both rows arrive (never
+    // watermark-gated), so the trailing no-data flush batch emits
+    // nothing — skip it (r20, see withoutNoDataBatches)
+    withoutNoDataBatches(s) {
+      drainToParquet(s, joined, "append", "q26_stream_stream_join")
+    }
       .select($"view_user".as("user_id"), $"view_id", $"buy_id",
         $"view_ts", $"buy_ts")
       .orderBy($"view_id", $"buy_id")
@@ -379,7 +407,12 @@ object StreamBatch {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
       .select($"user_id", $"event_type", $"day")
 
-    drainToParquet(s, deduped, "append", "q57_stream_dedup_bounded")
+    // dedup emits a key's FIRST row immediately; the watermark only
+    // bounds state, so the trailing no-data flush batch emits nothing
+    // — skip it (r20, see withoutNoDataBatches)
+    withoutNoDataBatches(s) {
+      drainToParquet(s, deduped, "append", "q57_stream_dedup_bounded")
+    }
       .orderBy($"user_id", $"event_type", $"day")
   }
 
@@ -504,6 +537,23 @@ object StreamBatch {
     val out = java.nio.file.Files
       .createTempDirectory("graft-stream-q40").toString
     trackTemp("q40_stream_left_outer", out)
+    // NO-DATA micro-batches OFF for this query (r20, guide §5 / VERDICT
+    // r19 item 3 — the heaviest key spent ~1.7 s of its 4.6 s drain in
+    // three numInputRows=0 batches, each paying the full state-commit +
+    // offset-log cycle, measured via the per-batch progress JSON).
+    // No-data batches exist to flush watermark-gated output when no new
+    // input arrives; THIS harness always advances the watermark with
+    // sentinel DATA batches — round 2 exists precisely so a data batch
+    // executes with the advanced watermark — so every null row a
+    // no-data batch would emit is emitted by the next sentinel batch
+    // instead (state eviction applies the previous batch's watermark
+    // in whichever batch runs next). Union-of-batch-dirs readback ⇒
+    // identical output relation; a 24/7 deployment keeps the default
+    // (its watermark advances with live data anyway). Session conf is
+    // captured at query start and restored after the drain.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndBefore = s.conf.get(ndKey, "true")
+    s.conf.set(ndKey, "false")
     val t0 = System.nanoTime()
     var firstDrainSec = -1.0
     val q = joined.writeStream
@@ -552,7 +602,10 @@ object StreamBatch {
       sentinel(1); q.processAllAvailable() // a batch RUNS with it: evict
       lastDrainProgress.put("q40_stream_left_outer",
         q.recentProgress.toSeq.map(_.json))
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set(ndKey, ndBefore)
+    }
     // startup/steady split: the first drain covers query start + the
     // whole real-data batch; the remainder is the two sentinel rounds
     // (the per-batch cost a 24/7 stream pays forever)

@@ -1237,9 +1237,13 @@ object TextAnalysis {
     }
     // the three inputs (word census, BPE totals, unigram totals) are
     // independent jobs — overlap them from driver threads (r19, guide
-    // §2.6); the two tokenizer memos are ConcurrentHashMap
-    // computeIfAbsent, so concurrent first-training is safe, and each
-    // total is exact, so overlap cannot change the relation
+    // §2.6); the two tokenizer memos are TrieMap.getOrElseUpdate —
+    // under same-key contention a trainer can be evaluated more than
+    // once (the loser's result is discarded), which duplicates a
+    // training job but is deterministic: both evaluations produce the
+    // identical table, so the relation is unchanged either way. The
+    // BPE and unigram futures memoize under DIFFERENT keys, so in this
+    // operator no same-key race exists at all.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =

@@ -145,9 +145,69 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(TextAnalysis.piiScrub(spark, dir))
     val hashEx = plan.linesIterator
       .filter(_.contains("Arguments: hashpartitioning")).toSeq
-    assert(hashEx.size <= 1, s"expected at most the repartitionForCpu " +
-      s"exchange:\n${hashEx.mkString("\n")}")
+    // on the one-split test fixture the conditional repartitionForCpu
+    // ALWAYS fires, so assert exactly one exchange keyed on event_id —
+    // a formatted-explain layout drift then fails loudly instead of
+    // passing vacuously at count 0 (advice r19)
+    assert(hashEx.size == 1, s"expected exactly the repartitionForCpu " +
+      s"exchange:\n${hashEx.mkString("\n")}\n${plan.take(2000)}")
+    assert(hashEx.head.contains("event_id"), hashEx.head)
     assert(plan.contains("rangepartitioning"), plan.take(2000))
+  }
+
+  test("minhash signature stage is zero-exchange in-row folds") {
+    // r19 rewrite pin (r20, VERDICT r19 item 5): the 32 per-doc
+    // min-hashes are in-row array_min(transform(...)) folds over the
+    // shingle array — producing band buckets must involve NO aggregate
+    // and no shuffle beyond the conditional repartitionForCpu that
+    // always fires on the one-split test scan (so: exactly one hash
+    // exchange, keyed on doc_id). The old explode+groupBy(doc_id)
+    // shape would reappear here as a HashAggregate + second exchange.
+    val docs = Dedup.shingleSets(spark, dir).toDF("doc_id", "shingle_set")
+    val plan = planOf(Dedup.minhashBandBuckets(docs))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"expected only the repartitionForCpu " +
+      s"exchange:\n${hashEx.mkString("\n")}\n${plan.take(2000)}")
+    assert(hashEx.head.contains("doc_id"), hashEx.head)
+  }
+
+  test("jaccard join condition carries the PPJoin position filter") {
+    // r19 rewrite pin: the position bound
+    // (min(i,j)+min(na-i,nb-j))*9 >= (na+nb)*4 must sit INSIDE the
+    // prefix self-join's condition (kills candidates before the
+    // exchange+distinct), not in a post-join filter
+    val plan = planOf(Dedup.ngramJaccardPairs(spark, dir))
+    val conds = plan.linesIterator
+      .filter(_.startsWith("Join condition:")).toSeq
+    assert(conds.exists(c => c.contains("least(") && c.contains("* 9")),
+      conds.mkString("\n"))
+  }
+
+  test("containment candidates: match bound in join, group bound after") {
+    // r19 per-match position filter in the join condition + the r20
+    // first-common-element group bound (min(i)/min(j) aggregate and
+    // the least(na - i0, nb - j0) filter above it)
+    val plan = planOf(Dedup.containmentPairs(spark, dir))
+    val conds = plan.linesIterator
+      .filter(_.startsWith("Join condition:")).toSeq
+    assert(conds.exists(c => c.contains("least(") && c.contains("* 5")),
+      conds.mkString("\n"))
+    assert(plan.contains("partial_min(i"), plan.take(3000))
+    assert(plan.contains(" - i0"), plan.take(3000))
+  }
+
+  test("ngram novelty shuffles the gram relation exactly once") {
+    // r19 rewrite pin: the df=1 census carries its only doc as
+    // min(doc_id), so novel counts regroup the census slice — ONE
+    // exchange keyed on the gram column, where the old shape
+    // materialized grams twice and shuffled them three times
+    val plan = planOf(TextAnalysis.ngramNovelty(spark, dir))
+    val gramEx = plan.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning(g#")).toSeq
+    assert(gramEx.size == 1, s"expected exactly 1 gram exchange:\n" +
+      gramEx.mkString("\n"))
   }
 
   test("pack_sequences shuffles once, on source") {
