@@ -395,19 +395,13 @@ object Graph {
       .select($"o_custkey".as("src"),
         ($"l_suppkey" + SUPPLIER_OFFSET).as("dst"))
       .distinct()
-    // r20 (guide §2.4 — establish one partitioning, reuse it every
-    // round): the checkpointed edge list used to carry no partitioning
-    // (union of projections), so EVERY round's degree aggregate
-    // re-shuffled the current edge relation by src — R+1 edge-sized
-    // exchanges. Pinning hash(src) at the initial checkpoint replaces
-    // round 1's aggregate exchange (same bytes, moved earlier, exempt
-    // from AQE coalescing per the repartitionForCpu rule), and the
-    // per-round semi-joins preserve the partitioning (broadcast
-    // build side; checkpointed HashPartitioning rides LogicalRDD), so
-    // rounds 2..R and the final rollup aggregate exchange-free.
+    // (r20 note: a repartition(src) pin before this checkpoint was
+    // tried and REVERTED — under AQE the checkpoint's LogicalRDD
+    // reports UnknownPartitioning, so the per-round degree aggregates
+    // cannot reuse the layout and the pin is a pure added exchange;
+    // see the jaccardCocustomer negative-result comment.)
     var edges = e0
       .union(e0.select($"dst".as("src"), $"src".as("dst")))
-      .repartition(Tables.cpuTarget(s), $"src")
       .localCheckpoint()
     (1 to KCORE_ROUNDS).foreach { _ =>
       val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -458,6 +452,15 @@ object Graph {
       .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
       .select($"l_suppkey".as("supp"), $"o_custkey".as("cust"))
       .distinct()
+      // r20 negative result (measured, REVERTED): repartition(cust)
+      // before this checkpoint was meant to let the wedge self-join
+      // reuse the layout — but under AQE a localCheckpoint's
+      // LogicalRDD reports UnknownPartitioning (plans/r20 dumps show
+      // `Scan ExistingRDD ... UnknownPartitioning(0)`; the self-join
+      // still planned both Exchanges), so the pin was a pure added
+      // exchange: A/B/A/B 2.30 → 2.81 s. Do not re-add without a
+      // partitioning-preserving cache (persist +
+      // canChangeCachedPlanOutputPartitioning=false semantics).
       .localCheckpoint() // read twice (wedge join + degrees)
     val deg = e.groupBy($"supp").agg(count(lit(1)).as("deg"))
     val common = e.as("a")
@@ -740,18 +743,29 @@ object Graph {
   /** The quantized-modularity rollup [[lpaModularity]] documents,
     * parameterized over (half-edge relation, label relation) so
     * [[lpaAdaptive]] can evaluate it per round. `lab` must already be
-    * materialized (it is read 3×). */
+    * materialized (it is read 3×).
+    *
+    * `degPre` (r20): the per-node degree relation is LABEL-INDEPENDENT
+    * — it depends only on `half`, which is fixed across rounds — yet
+    * the per-round rollup used to rebuild it every round (two scans of
+    * the half checkpoint + a node-keyed exchange per round).
+    * [[lpaAdaptive]] computes it ONCE, checkpointed, and passes it in;
+    * the single-shot [[lpaModularity]] keeps the inline form (a
+    * one-use checkpoint would just add a job). Values are identical
+    * either way — same aggregation over the same relation. */
   private def modularityRollup(
-      s: SparkSession, half: DataFrame, lab: DataFrame): DataFrame = {
+      s: SparkSession, half: DataFrame, lab: DataFrame,
+      degPre: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val stats = half
       .join(lab.select($"node".as("src"), $"lbl".as("sl")), "src")
       .join(lab.select($"node".as("dst"), $"lbl".as("dl")), "dst")
       .agg(count(lit(1)).as("m_edges"),
         sum(when($"sl" === $"dl", 1L).otherwise(0L)).as("intra_edges"))
-    val deg = half.select($"src".as("node"))
-      .union(half.select($"dst".as("node"))) // UNION ALL: per-edge rows
-      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val deg = degPre.getOrElse(
+      half.select($"src".as("node"))
+        .union(half.select($"dst".as("node"))) // UNION ALL: per-edge rows
+        .groupBy($"node").agg(count(lit(1)).as("deg")))
     val dc = lab.join(deg, "node")
       .groupBy($"lbl").agg(sum($"deg").as("dc"))
     // the 2m denominator does NOT need the label-joined relation:
@@ -839,6 +853,13 @@ object Graph {
     // pending vote is always awaited before returning so no work
     // bleeds past this operator.
     var pending: Option[Future[DataFrame]] = None
+    // round-invariant degree relation hoisted out of the per-round
+    // rollup (r20, guide §2.4 — don't recompute what can't change):
+    // node-sized, checkpointed once, read by every round's rollup
+    val degPre = half.select($"src".as("node"))
+      .union(half.select($"dst".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     while (r <= LPA_ADAPTIVE_MAX && stale < LPA_PATIENCE) {
       labels = pending.map(Await.result(_, Duration.Inf))
         .getOrElse(lpaVote(edges, labels)
@@ -848,7 +869,8 @@ object Graph {
           val cur = labels
           Some(Future(lpaVote(edges, cur).localCheckpoint()))
         } else None
-      val row = modularityRollup(s, half, labels).collect()(0)
+      val row = modularityRollup(s, half, labels, Some(degPre))
+        .collect()(0)
       val q = row.getLong(4)
       curve += ((r.toLong, row.getLong(0), row.getLong(1),
         row.getLong(2), row.getLong(3), q))
