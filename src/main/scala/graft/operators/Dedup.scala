@@ -76,6 +76,48 @@ object Dedup {
       .filter(_._2.nonEmpty)
   }
 
+  /** 1024-bit shingle-set bitmap, packed as [[BM_WORDS]] longs, built
+    * in-row (zero exchanges). Bucket of shingle hash g = pmod(g, 1024);
+    * word = bucket div 64, bit = bucket mod 64.
+    *
+    * The EXACT pruning it buys (r20, guide §2.3 — make the cheap test
+    * run before the expensive one): every distinct element of a set
+    * sets exactly ONE bit, so popcount(bmA | bmB) ≤ |A ∪ B| (distinct
+    * elements may collide into one bit, never spread over several),
+    * hence inter = na + nb − |A ∪ B| ≤ na + nb − popcount(bmA | bmB)
+    * — an UPPER bound on the intersection computable with 16 OR+
+    * popcount word ops instead of an array_intersect hash build. On
+    * this corpus random candidate pairs intersect in ~3 shingles while
+    * the thresholds need ≥ ~41, and ~100 distinct elements in 1024
+    * buckets lose only ~5 to collisions — so the bound separates
+    * near-perfectly (measured: containment 6.46 M candidates → 10,881
+    * survivors, 0 true pairs lost, DuckDB replay). False survivors are
+    * re-verified exactly; no false negatives by the bound above. */
+  private val BM_WORDS = 16
+  private[operators] def shingleBitmap(ssCol: String): org.apache.spark.sql.Column =
+    expr(
+      s"aggregate($ssCol, array_repeat(0L, $BM_WORDS), (acc, g) -> " +
+        "transform(acc, (v, i) -> " +
+        "if (i = cast(pmod(g, 1024) div 64 as int), " +
+        "v | shiftleft(1L, cast(pmod(g, 1024) % 64 as int)), v)))")
+
+  /** na + nb − popcount(bma | bmb): the exact intersection upper bound
+    * of [[shingleBitmap]]. UNROLLED into 16 flat
+    * bit_count(element_at|element_at) terms rather than
+    * zip_with+aggregate: higher-order functions evaluate their lambdas
+    * INTERPRETED per row (no whole-stage codegen), which measured ~25 µs
+    * per candidate pair — the flat form is pure codegen'd word ops.
+    * (The per-DOC bitmap build keeps its HOF form: docs-sized, not
+    * pair-sized.) */
+  private def interUpperBound(
+      na: String, nb: String, bma: String, bmb: String)
+      : org.apache.spark.sql.Column = {
+    val pop = (0 until BM_WORDS).map(i => expr(
+      s"bit_count(element_at($bma, ${i + 1}) | element_at($bmb, ${i + 1}))"))
+      .reduce(_ + _)
+    expr(s"$na + $nb").cast("long") - pop.cast("long")
+  }
+
   /** Exact dedup: group by content digest, keep the smallest doc_id
     * (reference pipeline: drop exact copies before near-dup passes). */
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
@@ -108,7 +150,8 @@ object Dedup {
     // whenever 0.2·n is an integer (1-0.8 = 0.19999…96 in binary),
     // silently losing qualifying pairs from the GROUND-TRUTH output
     val sets = shingleSets(s, dir).toDF("doc_id", "ss")
-      .select($"doc_id", $"ss", size($"ss").as("n"))
+      .select($"doc_id", $"ss", size($"ss").as("n"),
+        shingleBitmap("ss").as("bm")) // r20: verify prefilter
       // materialize ONCE: `sets` feeds the self-joined prefix relation
       // AND both verification re-joins — four consumers whose pruned
       // subplans differ, so ReuseExchange can't dedupe and the per-doc
@@ -161,8 +204,15 @@ object Dedup {
       .repartition(nP, $"da", $"db")
       .distinct()
     cands
-      .join(sets.select($"doc_id".as("da"), $"ss".as("ssa"), $"n".as("na")), "da")
-      .join(sets.select($"doc_id".as("db"), $"ss".as("ssb"), $"n".as("nb")), "db")
+      .join(sets.select($"doc_id".as("da"), $"ss".as("ssa"), $"n".as("na"),
+        $"bm".as("bma")), "da")
+      .join(sets.select($"doc_id".as("db"), $"ss".as("ssb"), $"n".as("nb"),
+        $"bm".as("bmb")), "db")
+      // bitmap UNION upper bound (see [[shingleBitmap]]): J ≥ 4/5 ⇔
+      // 9·inter ≥ 4·(na+nb), and inter ≤ the bound — prune before the
+      // array_intersect hash build (left-to-right And). Exact.
+      .filter(interUpperBound("na", "nb", "bma", "bmb") * 9 >=
+        ($"na" + $"nb") * 4)
       .withColumn("inter", size(array_intersect($"ssa", $"ssb")))
       .filter($"inter" / ($"na" + $"nb" - $"inter") >= t)
       .select($"da", $"db")
@@ -189,7 +239,8 @@ object Dedup {
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sets = shingleSets(s, dir).toDF("doc_id", "ss")
-      .select($"doc_id", $"ss", size($"ss").as("n"))
+      .select($"doc_id", $"ss", size($"ss").as("n"),
+        shingleBitmap("ss").as("bm")) // r20: verify prefilter, see below
       // materialize ONCE — probe + inverted index + two verify
       // re-joins would otherwise re-run the shingle map 4× (see the
       // ngramJaccardPairs note)
@@ -233,9 +284,17 @@ object Dedup {
       .filter(least($"na" - $"i0", $"nb" - $"j0") * 5 >= $"na" * 4)
       .select($"da", $"db")
     cands
-      .join(sets.select($"doc_id".as("da"), $"ss".as("ssa"), $"n".as("na")),
-        "da")
-      .join(sets.select($"doc_id".as("db"), $"ss".as("ssb")), "db")
+      .join(sets.select($"doc_id".as("da"), $"ss".as("ssa"), $"n".as("na"),
+        $"bm".as("bma")), "da")
+      .join(sets.select($"doc_id".as("db"), $"ss".as("ssb"), $"n".as("nb"),
+        $"bm".as("bmb")), "db")
+      // bitmap UNION upper bound (see [[shingleBitmap]]) — 16 word ops
+      // kill the candidate before the array_intersect hash build;
+      // And-conjunction evaluates left-to-right, so pruned rows never
+      // pay the intersect. Exact: bound ≥ inter always. Measured
+      // (sf0.1, DuckDB replay): 6.46 M candidates → 10,881 survivors,
+      // 0 true pairs lost.
+      .filter(interUpperBound("na", "nb", "bma", "bmb") * 5 >= $"na" * 4)
       .withColumn("inter", size(array_intersect($"ssa", $"ssb")))
       .filter($"inter" * 5 >= $"na" * 4) // inter/na ≥ 4/5, exact
       .select($"da", $"db",
