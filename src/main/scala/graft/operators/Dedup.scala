@@ -856,6 +856,12 @@ object Dedup {
     // aggregate values derivable inside the row. Same min over the
     // same element set, bit-identical signatures, zero exchanges.
     val sigs = sets.join(ids, Seq("doc_id"), "left_semi")
+      // r20: the 32-family fold below is the heaviest per-row compute
+      // in this operator, and the semi-join's output is AQE-coalesced
+      // to ONE partition at gate bytes (probed: a 1.06 s single-task
+      // stage) — explicit CPU repartition before it (the pii_scrub
+      // rule; compute ≫ shuffle at any scale for this projection)
+      .repartition(Tables.cpuTarget(s), $"doc_id")
       .select($"doc_id",
         array((0 until MINHASH_K).map(i =>
           array_min(transform($"ss", g =>
@@ -865,9 +871,15 @@ object Dedup {
     pairs
       .join(sigs.select($"doc_id".as("p"), $"sig".as("sa")), "p")
       .join(sigs.select($"doc_id".as("d"), $"sig".as("sb")), "d")
-      .select($"decile", expr(
-        s"exists(sequence(0, ${BANDS - 1}), b -> sa[b*2] = sb[b*2]" +
-          " AND sa[b*2+1] = sb[b*2+1])").as("hit"))
+      // band-collision predicate UNROLLED over the fixed 16 bands
+      // (r20): the `exists(sequence(0,15), …)` higher-order form
+      // evaluates its lambda interpreted per pair — the flat OR chain
+      // of GetArrayItem comparisons is whole-stage-codegen'd.
+      // Identical semantics (same band layout, same equality).
+      .select($"decile", (0 until BANDS).map(b =>
+        ($"sa"(b * 2) === $"sb"(b * 2)) &&
+          ($"sa"(b * 2 + 1) === $"sb"(b * 2 + 1))).reduce(_ || _)
+        .as("hit"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when($"hit", 1L).otherwise(0L)).as("n_collided"))
